@@ -1,0 +1,24 @@
+"""fastlivo_tpu — a TPU-native LiDAR-Inertial-Visual Odometry framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+hku-mars/FAST-LIVO (tightly-coupled sparse-direct LIVO with an 18-state
+iterated error-state Kalman filter; see /root/reference, SURVEY.md).
+
+Architecture (TPU-first, not a port):
+  - ops/        batched math kernels: SO(3), plane fit, voxel-hash map,
+                image sampling, Pallas kernels for the hot gathers.
+  - state.py    18-dim error-state ("StatesGroup" equivalent) as a pytree.
+  - imu.py      IMU init + forward propagation + scan undistortion
+                (lax.scan over padded IMU samples).
+  - lio.py      point-to-plane iterated EKF update (batched, masked).
+  - camera.py   pinhole + radial-tangential camera model.
+  - vio.py      sparse-direct photometric iterated EKF update and the
+                SoA visual map (fixed-capacity, index-based).
+  - sync.py     measurement synchronization (host side).
+  - preprocess.py  per-vendor LiDAR decode + decimation (host side).
+  - pipeline.py the per-frame orchestrator.
+  - parallel/   device-mesh sharding of the residual rows (shard_map+psum).
+  - io/         dataset formats, synthetic world generator, loaders.
+"""
+
+__version__ = "0.1.0"

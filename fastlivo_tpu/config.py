@@ -1,0 +1,192 @@
+"""Configuration dataclasses mirroring the reference parameter surface.
+
+Every field name follows the rosparam name read by `readParameters`
+(reference: src/laserMapping.cpp:1096-1137) or the camera YAML loaded by
+vikit (config/camera_pinhole.yaml), so existing FAST-LIVO YAML configs
+load unchanged via `load_config`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+import yaml
+
+# lidar_type enum (reference: include/preprocess.h:13)
+AVIA = 1
+VELO16 = 2
+OUST64 = 3
+XT32 = 4
+
+
+@dataclasses.dataclass
+class CameraConfig:
+    """Pinhole camera intrinsics + radtan distortion (camera_*.yaml)."""
+
+    width: int = 640
+    height: int = 512
+    fx: float = 400.0
+    fy: float = 400.0
+    cx: float = 300.0
+    cy: float = 300.0
+    # radial-tangential distortion [k1, k2, p1, p2]
+    d: List[float] = dataclasses.field(default_factory=lambda: [0.0, 0.0, 0.0, 0.0])
+
+
+@dataclasses.dataclass
+class PreprocessConfig:
+    lidar_type: int = AVIA
+    n_scans: int = 6  # preprocess/scan_line
+    blind: float = 0.01  # preprocess/blind
+    point_filter_num: int = 2
+    feature_extract_enable: bool = False
+
+
+@dataclasses.dataclass
+class MappingConfig:
+    acc_cov_scale: float = 1.0
+    gyr_cov_scale: float = 1.0
+    # LiDAR -> IMU extrinsics (mapping/extrinsic_T, extrinsic_R)
+    extrinsic_T: List[float] = dataclasses.field(default_factory=lambda: [0.0, 0.0, 0.0])
+    extrinsic_R: List[float] = dataclasses.field(
+        default_factory=lambda: [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0]
+    )
+
+
+@dataclasses.dataclass
+class CapacityConfig:
+    """Static-shape capacities — the TPU-native knobs with no reference
+    equivalent (the reference uses dynamic containers). All shapes inside
+    jit are padded to these."""
+
+    map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
+    max_probe: int = 16  # open-addressing probe depth
+    knn_voxel_radius: int = 2  # 5x5x5 neighborhood for 5-NN gather
+    max_points: int = 16384  # padded scan size fed to the LIO update
+    max_imu_per_group: int = 64  # padded IMU samples per measurement group
+    # VIO capacities
+    vmap_points: int = 65536  # visual map point capacity
+    vmap_obs: int = 20  # observations per point (lidar_selection.cpp:944)
+    vmap_voxel_cap: int = 8  # visual points indexed per 0.5 m voxel
+    vmap_table_size: int = 1 << 18  # visual voxel-hash slots
+    frame_ring: int = 64  # reference-image ring buffer depth
+    max_tracked: int = 512  # padded sub_sparse_map size (grid cells)
+    max_cands: int = 8192  # padded visual candidate gather size
+
+
+@dataclasses.dataclass
+class Config:
+    # top-level params (laserMapping.cpp:1098-1136)
+    dense_map_enable: bool = True
+    img_enable: bool = True
+    lidar_enable: bool = True
+    debug: bool = False
+    max_iteration: int = 4  # NUM_MAX_ITERATIONS
+    ncc_en: bool = False
+    ncc_thre: float = 100.0
+    laser_point_cov: float = 0.001
+    img_point_cov: float = 10.0
+    filter_size_surf: float = 0.5
+    filter_size_map: float = 0.5
+    cube_side_length: float = 200.0
+    grid_size: int = 40
+    patch_size: int = 8
+    outlier_threshold: float = 100.0
+    pose_output_en: bool = False
+    pcd_save_en: bool = False
+    delta_time: float = 0.0
+
+    preprocess: PreprocessConfig = dataclasses.field(default_factory=PreprocessConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    # camera-from-lidar extrinsics (camera/Rcl, camera/Pcl)
+    Rcl: List[float] = dataclasses.field(
+        default_factory=lambda: [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0]
+    )
+    Pcl: List[float] = dataclasses.field(default_factory=lambda: [0.0, 0.0, 0.0])
+
+    capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+
+    # --- convenience accessors -------------------------------------------
+    @property
+    def extrinsic_R(self) -> np.ndarray:
+        return np.asarray(self.mapping.extrinsic_R, dtype=np.float64).reshape(3, 3)
+
+    @property
+    def extrinsic_T(self) -> np.ndarray:
+        return np.asarray(self.mapping.extrinsic_T, dtype=np.float64)
+
+    @property
+    def Rcl_mat(self) -> np.ndarray:
+        return np.asarray(self.Rcl, dtype=np.float64).reshape(3, 3)
+
+    @property
+    def Pcl_vec(self) -> np.ndarray:
+        return np.asarray(self.Pcl, dtype=np.float64)
+
+
+def _get(d: dict, key: str, default):
+    return d.get(key, default)
+
+
+def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None) -> Config:
+    """Load a FAST-LIVO style YAML (e.g. reference config/avia.yaml) plus
+    an optional camera YAML (config/camera_pinhole.yaml)."""
+    with open(yaml_path) as f:
+        raw = yaml.safe_load(f)
+    cfg = Config()
+    cfg.dense_map_enable = bool(_get(raw, "dense_map_enable", 1))
+    cfg.img_enable = bool(_get(raw, "img_enable", 1))
+    cfg.lidar_enable = bool(_get(raw, "lidar_enable", 1))
+    cfg.max_iteration = int(_get(raw, "max_iteration", 4))
+    cfg.ncc_en = bool(_get(raw, "ncc_en", False))
+    cfg.ncc_thre = float(_get(raw, "ncc_thre", 100.0))
+    cfg.laser_point_cov = float(_get(raw, "laser_point_cov", 0.001))
+    cfg.img_point_cov = float(_get(raw, "img_point_cov", 10.0))
+    cfg.filter_size_surf = float(_get(raw, "filter_size_surf", 0.5))
+    cfg.filter_size_map = float(_get(raw, "filter_size_map", 0.5))
+    cfg.cube_side_length = float(_get(raw, "cube_side_length", 200.0))
+    cfg.grid_size = int(_get(raw, "grid_size", 40))
+    cfg.patch_size = int(_get(raw, "patch_size", 4))
+    cfg.outlier_threshold = float(_get(raw, "outlier_threshold", 100.0))
+    cfg.pose_output_en = bool(_get(raw, "pose_output_en", False))
+    cfg.delta_time = float(_get(raw, "delta_time", 0.0))
+
+    pre = raw.get("preprocess", {})
+    cfg.preprocess = PreprocessConfig(
+        lidar_type=int(_get(pre, "lidar_type", AVIA)),
+        n_scans=int(_get(pre, "scan_line", 16)),
+        blind=float(_get(pre, "blind", 0.01)),
+        point_filter_num=int(_get(raw, "point_filter_num", 2)),
+        feature_extract_enable=bool(_get(raw, "feature_extract_enable", 0)),
+    )
+    mp = raw.get("mapping", {})
+    cfg.mapping = MappingConfig(
+        acc_cov_scale=float(_get(mp, "acc_cov_scale", 1.0)),
+        gyr_cov_scale=float(_get(mp, "gyr_cov_scale", 1.0)),
+        extrinsic_T=list(_get(mp, "extrinsic_T", [0.0, 0.0, 0.0])),
+        extrinsic_R=list(_get(mp, "extrinsic_R", [1, 0, 0, 0, 1, 0, 0, 0, 1])),
+    )
+    cam_block = raw.get("camera", {})
+    if "Rcl" in cam_block:
+        cfg.Rcl = list(cam_block["Rcl"])
+    if "Pcl" in cam_block:
+        cfg.Pcl = list(cam_block["Pcl"])
+    pcd = raw.get("pcd_save", {})
+    cfg.pcd_save_en = bool(_get(pcd, "pcd_save_en", False))
+
+    if camera_yaml is not None:
+        with open(camera_yaml) as f:
+            cam = yaml.safe_load(f)
+        cfg.camera = CameraConfig(
+            width=int(cam["cam_width"]),
+            height=int(cam["cam_height"]),
+            fx=float(cam["cam_fx"]),
+            fy=float(cam["cam_fy"]),
+            cx=float(cam["cam_cx"]),
+            cy=float(cam["cam_cy"]),
+            d=[float(cam.get(f"cam_d{i}", 0.0)) for i in range(4)],
+        )
+    return cfg

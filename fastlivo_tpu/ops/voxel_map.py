@@ -1,0 +1,214 @@
+"""Device-side incremental voxel-hash point map — the ikd-Tree replacement.
+
+The reference maintains its LiDAR map in an incremental k-d tree with
+on-insert voxel downsampling that keeps (asymptotically) one point per
+`filter_size_map` voxel — the point nearest the voxel center
+(reference: include/ikd-Tree/ikd_Tree.cpp:382-457). This module keeps that
+*semantics* but re-designs the *structure* for TPU/XLA:
+
+  - The map IS a fixed-capacity open-addressing hash table over voxel
+    coordinates; each slot stores exactly one world-frame point.
+  - Insert-with-downsample = batched probe/claim loop (fixed probe depth,
+    masked scatters); the nearest-to-center rule is a conditional update.
+  - k-nearest-neighbor search (ikd_Tree.cpp:350-380) = gather the
+    (2R+1)^3 voxel neighborhood of each query and take top-k by distance
+    — a fully batched gather + top_k, no tree traversal, no heap, no
+    rebuild thread (ikd_Tree.cpp:187-301 has no equivalent: there is
+    nothing to rebalance).
+  - Sliding-local-map box deletion (laserMapping.cpp:363-421,
+    ikd_Tree.cpp:501) = one masked full-table pass.
+
+Deletions leave holes in probe chains; the query loop probes a fixed
+depth without early exit so hits behind holes are still found. A hole can
+make a later insert of an existing key claim an earlier slot, creating a
+benign duplicate voxel entry (two near-identical points); duplicates are
+removed wholesale by `rebuild` (cheap full-table compaction).
+
+All shapes are static; `valid` masks carry the dynamic sizes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EMPTY = jnp.int32(-2147483648)  # sentinel in keys[:, 0]
+_H1 = jnp.int32(73856093)
+_H2 = jnp.int32(19349663)
+_H3 = jnp.int32(83492791)
+BIG = jnp.float32(1e30)
+
+
+class VoxelMap(NamedTuple):
+    keys: jnp.ndarray  # (T, 3) int32 voxel coords; keys[:,0]==EMPTY if free
+    pts: jnp.ndarray  # (T, 3) f32 stored world point
+    count: jnp.ndarray  # () int32 occupied slots
+    voxel_size: jnp.ndarray  # () f32
+
+
+def empty_map(table_size: int, voxel_size: float, dtype=jnp.float32) -> VoxelMap:
+    assert table_size & (table_size - 1) == 0, "table_size must be a power of two"
+    keys = jnp.full((table_size, 3), EMPTY, dtype=jnp.int32)
+    pts = jnp.zeros((table_size, 3), dtype=dtype)
+    return VoxelMap(keys, pts, jnp.int32(0), jnp.asarray(voxel_size, dtype))
+
+
+def voxel_of(p: jnp.ndarray, voxel_size) -> jnp.ndarray:
+    """World point -> int32 voxel coordinate (floor)."""
+    return jnp.floor(p / voxel_size).astype(jnp.int32)
+
+
+def _hash(keys: jnp.ndarray, mask: int) -> jnp.ndarray:
+    """(..., 3) int32 -> (...,) slot index in [0, mask]."""
+    h = keys[..., 0] * _H1 ^ keys[..., 1] * _H2 ^ keys[..., 2] * _H3
+    return h & jnp.int32(mask)
+
+
+@functools.partial(jax.jit, static_argnames=("max_probe",), donate_argnums=(0,))
+def insert(m: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray, max_probe: int = 12) -> VoxelMap:
+    """Insert a batch of world points with voxel downsampling.
+
+    Per voxel, the surviving point is the one nearest the voxel center,
+    among both the batch members and any previously stored point —
+    matching ikd-Tree Add_Points(downsample_on=true)
+    (ikd_Tree.cpp:391-417).
+
+    NOTE: the input map `m` is DONATED (its buffers are reused in place
+    to avoid copying the table every scan). Do not read `m` after the
+    call; use the returned map.
+    """
+    T = m.keys.shape[0]
+    mask = T - 1
+    vs = m.voxel_size
+    keys = voxel_of(pts, vs)
+    center = (keys.astype(pts.dtype) + 0.5) * vs
+    d2c = jnp.sum((pts - center) ** 2, axis=-1)
+
+    # neutralize invalid rows so they can't collide with real keys
+    keys = jnp.where(valid[:, None], keys, EMPTY + 1)
+    d2c = jnp.where(valid, d2c, BIG)
+
+    # --- in-batch dedup: keep the nearest-to-center point per voxel -----
+    order = jnp.lexsort((d2c, keys[:, 0], keys[:, 1], keys[:, 2]))
+    keys_s = keys[order]
+    pts_s = pts[order]
+    d2c_s = d2c[order]
+    valid_s = valid[order]
+    same_as_prev = jnp.all(keys_s == jnp.roll(keys_s, 1, axis=0), axis=-1)
+    same_as_prev = same_as_prev.at[0].set(False)
+    winner = valid_s & ~same_as_prev
+
+    tk, tp, cnt = m.keys, m.pts, m.count
+    slot = _hash(keys_s, mask)
+    done = ~winner
+    for _ in range(max_probe):
+        cur = tk[slot]
+        is_empty = cur[:, 0] == EMPTY
+        is_mine = jnp.all(cur == keys_s, axis=-1) & ~done
+        claim = is_empty & ~done
+        claim_idx = jnp.where(claim, slot, T)
+        tk = tk.at[claim_idx].set(keys_s, mode="drop")
+        won = claim & jnp.all(tk[slot] == keys_s, axis=-1)
+        # nearest-to-center replacement for existing voxels
+        stored = tp[slot]
+        stored_center = (cur.astype(pts.dtype) + 0.5) * vs
+        stored_d2c = jnp.sum((stored - stored_center) ** 2, axis=-1)
+        write = won | (is_mine & (d2c_s < stored_d2c))
+        widx = jnp.where(write, slot, T)
+        tp = tp.at[widx].set(pts_s, mode="drop")
+        cnt = cnt + jnp.sum(won, dtype=jnp.int32)
+        done = done | is_mine | won
+        slot = (slot + 1) & mask
+    return VoxelMap(tk, tp, cnt, vs)
+
+
+def _neighbor_offsets(radius: int) -> np.ndarray:
+    r = np.arange(-radius, radius + 1, dtype=np.int32)
+    g = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
+    # visit near voxels first so top_k ties favor close cells
+    return g[np.argsort(np.sum(g * g, axis=-1), kind="stable")]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius", "max_probe"))
+def knn(
+    m: VoxelMap,
+    queries: jnp.ndarray,
+    k: int = 5,
+    radius: int = 2,
+    max_probe: int = 12,
+):
+    """Bounded k-nearest-neighbor over the voxel map.
+
+    For each query, gathers the points stored in the (2*radius+1)^3
+    surrounding voxels and returns the k nearest. This is the TPU-native
+    stand-in for KD_TREE::Nearest_Search (ikd_Tree.cpp:350-380); the LIO
+    gate `sqDist(5th) <= 5 m^2` (laserMapping.cpp:1549) means only
+    near-range neighbors matter, which the bounded neighborhood covers.
+
+    Returns:
+      neigh: (N, k, 3) neighbor points (zeros where invalid)
+      d2:    (N, k) squared distances (BIG where invalid)
+      nvalid:(N, k) bool
+    """
+    T = m.keys.shape[0]
+    mask = T - 1
+    base = voxel_of(queries, m.voxel_size)  # (N, 3)
+    offs = jnp.asarray(_neighbor_offsets(radius))  # (M, 3)
+    cand = base[:, None, :] + offs[None, :, :]  # (N, M, 3)
+    slot = _hash(cand, mask)
+    found = jnp.zeros(slot.shape, dtype=bool)
+    resolved = jnp.full(slot.shape, T, dtype=jnp.int32)
+    for _ in range(max_probe):
+        cur = m.keys[slot.reshape(-1)].reshape(cand.shape)
+        hit = jnp.all(cur == cand, axis=-1) & ~found
+        resolved = jnp.where(hit, slot, resolved)
+        found = found | hit
+        slot = (slot + 1) & mask
+    safe = jnp.minimum(resolved, T - 1)
+    cpts = m.pts[safe.reshape(-1)].reshape(cand.shape[0], cand.shape[1], 3)
+    d2 = jnp.sum((cpts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(found, d2, BIG)
+    neg_d2, idx = jax.lax.top_k(-d2, k)  # (N, k)
+    nd2 = -neg_d2
+    nvalid = nd2 < BIG * 0.5
+    neigh = jnp.take_along_axis(cpts, idx[..., None], axis=1)
+    neigh = jnp.where(nvalid[..., None], neigh, 0.0)
+    return neigh, nd2, nvalid
+
+
+@jax.jit
+def delete_boxes(m: VoxelMap, boxes_lo: jnp.ndarray, boxes_hi: jnp.ndarray) -> VoxelMap:
+    """Remove all points inside any of the axis-aligned boxes.
+
+    boxes_lo/hi: (B, 3); a box with lo > hi is inert (use for padding).
+    Equivalent of KD_TREE::Delete_Point_Boxes (ikd_Tree.cpp:501) driven by
+    lasermap_fov_segment (laserMapping.cpp:363-421).
+    """
+    centers = (m.keys.astype(m.pts.dtype) + 0.5) * m.voxel_size  # (T, 3)
+    occupied = m.keys[:, 0] != EMPTY
+    inside_any = jnp.zeros(m.keys.shape[0], dtype=bool)
+    ge = jnp.all(centers[:, None, :] >= boxes_lo[None], axis=-1)
+    le = jnp.all(centers[:, None, :] <= boxes_hi[None], axis=-1)
+    inside_any = jnp.any(ge & le, axis=-1)
+    kill = occupied & inside_any
+    keys = jnp.where(kill[:, None], EMPTY, m.keys)
+    count = m.count - jnp.sum(kill, dtype=jnp.int32)
+    return VoxelMap(keys, m.pts, count, m.voxel_size)
+
+
+@jax.jit
+def rebuild(m: VoxelMap) -> VoxelMap:
+    """Full compaction: re-insert every occupied slot into a fresh table.
+
+    Removes duplicate voxel entries and hole-fragmented probe chains that
+    accumulate after many delete/insert cycles (the batched analogue of
+    the ikd-Tree background rebuild, ikd_Tree.cpp:187-301 — but O(T)
+    on-device instead of a pthread)."""
+    occupied = m.keys[:, 0] != EMPTY
+    fresh = empty_map(m.keys.shape[0], 1.0, dtype=m.pts.dtype)._replace(
+        voxel_size=m.voxel_size
+    )
+    return insert(fresh, m.pts, occupied)

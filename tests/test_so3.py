@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastlivo_tpu.ops import so3
+
+rng = np.random.default_rng(0)
+
+
+def _rand_axis_angle(n, scale=1.0):
+    return rng.normal(size=(n, 3)).astype(np.float32) * scale
+
+
+def test_exp_identity():
+    np.testing.assert_allclose(so3.exp(jnp.zeros(3)), np.eye(3), atol=1e-7)
+
+
+def test_exp_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    phis = _rand_axis_angle(32)
+    R = np.asarray(so3.exp(jnp.asarray(phis)))
+    R_ref = Rotation.from_rotvec(phis).as_matrix()
+    np.testing.assert_allclose(R, R_ref, atol=1e-5)
+
+
+def test_exp_log_roundtrip():
+    phis = _rand_axis_angle(64, scale=0.8)
+    back = np.asarray(so3.log(so3.exp(jnp.asarray(phis))))
+    np.testing.assert_allclose(back, phis, atol=2e-5)
+
+
+def test_log_small_angle():
+    phis = _rand_axis_angle(16, scale=1e-5)
+    back = np.asarray(so3.log(so3.exp(jnp.asarray(phis))))
+    np.testing.assert_allclose(back, phis, atol=1e-7)
+
+
+def test_exp_is_rotation():
+    phis = _rand_axis_angle(16, scale=3.0)
+    R = np.asarray(so3.exp(jnp.asarray(phis)))
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_skew_cross_product():
+    a = rng.normal(size=3).astype(np.float32)
+    b = rng.normal(size=3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(so3.skew(jnp.asarray(a)) @ b), np.cross(a, b), atol=1e-6
+    )
+
+
+def test_exp_grad_finite_at_zero():
+    g = jax.grad(lambda p: jnp.sum(so3.exp(p)))(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_rot_to_euler_roundtrip():
+    from scipy.spatial.transform import Rotation
+
+    phis = _rand_axis_angle(16, scale=0.7)
+    R = Rotation.from_rotvec(phis).as_matrix()
+    eul = np.asarray(so3.rot_to_euler(jnp.asarray(R.astype(np.float32))))
+    R_back = Rotation.from_euler("xyz", eul).as_matrix()
+    np.testing.assert_allclose(R_back, R, atol=1e-5)
+
+
+def test_quat_from_rot():
+    from scipy.spatial.transform import Rotation
+
+    phis = _rand_axis_angle(64, scale=3.0)
+    R = Rotation.from_rotvec(phis).as_matrix().astype(np.float32)
+    q = np.asarray(so3.quat_from_rot(jnp.asarray(R)))
+    q_ref = Rotation.from_matrix(R).as_quat()  # (x, y, z, w)
+    sign = np.sign(np.sum(q * q_ref, axis=-1, keepdims=True))
+    np.testing.assert_allclose(q * sign, q_ref, atol=1e-5)
