@@ -1,0 +1,304 @@
+"""IMU initialization, forward propagation and scan undistortion.
+
+TPU-native re-design of the reference ImuProcess
+(reference: src/IMU_Processing.cpp):
+
+  - static initialization (IMU_init, :137-181): host-side numpy
+    (runs once over the first ~200 samples, nothing to accelerate);
+  - forward state+covariance propagation (UndistortPcl :657-755):
+    one `lax.scan` over padded IMU sample pairs with a validity mask —
+    the 18x18 transition F_x and process noise blocks are identical to
+    the reference (:701-717);
+  - backward per-point undistortion (:774-808): fully vectorized — each
+    point finds its IMU pose interval by searchsorted and applies the
+    closed-form compensation transform. No per-point loop.
+
+Numerical layout: absolute timestamps never reach the device. The host
+computes per-pair dt and per-sample offsets (relative to the segment
+start) in float64 and ships only small f32 quantities.
+
+Deviation from the reference (documented): the reference compares point
+offsets measured from `lidar_beg_time` against pose offsets measured
+from `max(lidar_beg_time, last_update_time)` (IMU_Processing.cpp:621,
+:787), which shifts undistortion origins for scans interleaved with
+image updates. Here both use the same origin (the scan begin), and
+points earlier than the pose table are extrapolated backward from the
+first pose.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import so3
+from .state import DIM_STATE, G_M_S2, NavState
+
+BIG_T = 1e30
+MAX_INI_COUNT = 200  # reference: IMU_Processing.h:36
+
+
+class ImuCalib(NamedTuple):
+    """Per-run IMU calibration constants (device)."""
+
+    acc_scale: jnp.ndarray  # () G / |mean_acc| (IMU_Processing.cpp:685)
+    cov_acc: jnp.ndarray  # (3,) scaled accel noise
+    cov_gyr: jnp.ndarray  # (3,) scaled gyro noise
+    cov_bias_acc: jnp.ndarray  # (3,)
+    cov_bias_gyr: jnp.ndarray  # (3,)
+    lid_rot: jnp.ndarray  # (3, 3) R: lidar frame -> IMU frame
+    lid_off: jnp.ndarray  # (3,) t: lidar origin in IMU frame
+
+
+class PoseTable(NamedTuple):
+    """IMU-rate pose samples for undistortion (Pose6D equivalent,
+    common_lib.h:396-411). Row 0 is the segment-start state."""
+
+    offs: jnp.ndarray  # (M,) seconds from segment begin; BIG_T if invalid
+    rot: jnp.ndarray  # (M, 3, 3)
+    pos: jnp.ndarray  # (M, 3)
+    vel: jnp.ndarray  # (M, 3)
+    acc: jnp.ndarray  # (M, 3) world-frame specific acceleration
+    gyr: jnp.ndarray  # (M, 3) bias-corrected body angular velocity
+
+
+class ImuInitializer:
+    """Host-side static initializer (IMU_init, IMU_Processing.cpp:137-181).
+
+    Accumulates running mean/variance of accel & gyro over the first
+    MAX_INI_COUNT samples, then yields gravity, gyro bias and the noise
+    covariances (scaled per Process2, :830-835)."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean_acc = np.array([0.0, 0.0, -1.0])
+        self.mean_gyr = np.zeros(3)
+        self.cov_acc = np.full(3, 0.1)
+        self.cov_gyr = np.full(3, 0.1)
+
+    def push(self, acc: np.ndarray, gyr: np.ndarray) -> None:
+        if self.n == 0:
+            self.mean_acc = np.asarray(acc, dtype=np.float64).copy()
+            self.mean_gyr = np.asarray(gyr, dtype=np.float64).copy()
+            self.n = 1
+            return
+        n = self.n
+        da = acc - self.mean_acc
+        dg = gyr - self.mean_gyr
+        self.mean_acc += da / n
+        self.mean_gyr += dg / n
+        self.cov_acc = self.cov_acc * (n - 1.0) / n + (acc - self.mean_acc) * (
+            acc - self.mean_acc
+        ) * (n - 1.0) / (n * n)
+        self.cov_gyr = self.cov_gyr * (n - 1.0) / n + (gyr - self.mean_gyr) * (
+            gyr - self.mean_gyr
+        ) * (n - 1.0) / (n * n)
+        self.n += 1
+
+    @property
+    def done(self) -> bool:
+        return self.n > MAX_INI_COUNT
+
+    def gravity(self) -> np.ndarray:
+        return -self.mean_acc / np.linalg.norm(self.mean_acc) * G_M_S2
+
+    def calib(
+        self,
+        acc_cov_scale: float,
+        gyr_cov_scale: float,
+        lid_rot: np.ndarray,
+        lid_off: np.ndarray,
+        bias_cov: float = 1e-5,
+        dtype=jnp.float32,
+    ) -> ImuCalib:
+        norm = np.linalg.norm(self.mean_acc)
+        cov_acc = self.cov_acc * (G_M_S2 / norm) ** 2 * acc_cov_scale
+        cov_gyr = self.cov_gyr * gyr_cov_scale
+        return ImuCalib(
+            acc_scale=jnp.asarray(G_M_S2 / norm, dtype),
+            cov_acc=jnp.asarray(cov_acc, dtype),
+            cov_gyr=jnp.asarray(cov_gyr, dtype),
+            cov_bias_acc=jnp.full(3, bias_cov, dtype),
+            cov_bias_gyr=jnp.full(3, bias_cov, dtype),
+            lid_rot=jnp.asarray(lid_rot, dtype),
+            lid_off=jnp.asarray(lid_off, dtype),
+        )
+
+
+@jax.jit
+def propagate(
+    s: NavState,
+    acc_avg: jnp.ndarray,  # (P, 3) raw pairwise-averaged accelerometer
+    gyr_avg: jnp.ndarray,  # (P, 3) raw pairwise-averaged gyro
+    dt: jnp.ndarray,  # (P,) seconds (host-computed in f64)
+    offs: jnp.ndarray,  # (P,) tail offset from segment begin; BIG_T pad
+    pair_valid: jnp.ndarray,  # (P,) bool
+    tail_dt: jnp.ndarray,  # () signed seconds: segment end - last imu
+    acc_s_last: jnp.ndarray,  # (3,) world acc at segment start
+    angvel_last: jnp.ndarray,  # (3,) body gyro at segment start
+    calib: ImuCalib,
+):
+    """Forward propagation over one measurement group.
+
+    Returns (state at segment end, PoseTable of P+1 rows,
+    acc_s_last', angvel_last').
+    Mirrors IMU_Processing.cpp:657-755 (state/cov recursion) including
+    the signed tail extrapolation to the segment end time (:739-755).
+    """
+    dtype = s.pos.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def step(carry, inp):
+        rot, pos, vel, cov = carry
+        a_raw, w_raw, dti, valid = inp
+        w = w_raw - s.bg
+        a = a_raw * calib.acc_scale - s.ba
+
+        exp_f = so3.exp(w * dti)
+        a_skew = so3.skew(a)
+
+        # F_x blocks (IMU_Processing.cpp:704-710)
+        F = jnp.eye(DIM_STATE, dtype=dtype)
+        F = F.at[0:3, 0:3].set(so3.exp(-w * dti))
+        F = F.at[0:3, 9:12].set(-eye3 * dti)
+        F = F.at[3:6, 6:9].set(eye3 * dti)
+        F = F.at[6:9, 0:3].set(-(rot @ a_skew) * dti)
+        F = F.at[6:9, 12:15].set(-rot * dti)
+        F = F.at[6:9, 15:18].set(eye3 * dti)
+
+        Q = jnp.zeros((DIM_STATE, DIM_STATE), dtype=dtype)
+        dt2 = dti * dti
+        Q = Q.at[0:3, 0:3].set(jnp.diag(calib.cov_gyr) * dt2)
+        Q = Q.at[6:9, 6:9].set((rot * calib.cov_acc[None, :]) @ rot.T * dt2)
+        Q = Q.at[9:12, 9:12].set(jnp.diag(calib.cov_bias_gyr) * dt2)
+        Q = Q.at[12:15, 12:15].set(jnp.diag(calib.cov_bias_acc) * dt2)
+
+        cov_n = F @ cov @ F.T + Q
+        rot_n = rot @ exp_f
+        acc_w = rot_n @ a + s.grav
+        pos_n = pos + vel * dti + 0.5 * acc_w * dt2
+        vel_n = vel + acc_w * dti
+
+        new_carry = tuple(
+            jnp.where(valid, n, o)
+            for n, o in zip((rot_n, pos_n, vel_n, cov_n), (rot, pos, vel, cov))
+        )
+        out = (new_carry[0], new_carry[1], new_carry[2],
+               jnp.where(valid, acc_w, jnp.zeros(3, dtype)),
+               jnp.where(valid, w, jnp.zeros(3, dtype)))
+        return new_carry, out
+
+    init = (s.rot, s.pos, s.vel, s.cov)
+    (rot_e, pos_e, vel_e, cov_e), (rots, poss, vels, accs, gyrs) = jax.lax.scan(
+        step, init, (acc_avg, gyr_avg, dt, pair_valid)
+    )
+
+    # rows for invalid pairs repeat the carried state; host sets their
+    # offsets (0.0 for leading skipped pairs so they alias row 0, BIG_T
+    # for tail padding so searchsorted never selects them). Their acc/gyr
+    # alias the segment-start values.
+    accs = jnp.where(pair_valid[:, None], accs, acc_s_last[None])
+    gyrs = jnp.where(pair_valid[:, None], gyrs, angvel_last[None])
+    pose = PoseTable(
+        offs=jnp.concatenate([jnp.zeros(1, dtype), offs.astype(dtype)]),
+        rot=jnp.concatenate([s.rot[None], rots]),
+        pos=jnp.concatenate([s.pos[None], poss]),
+        vel=jnp.concatenate([s.vel[None], vels]),
+        acc=jnp.concatenate([acc_s_last[None], accs]),
+        gyr=jnp.concatenate([angvel_last[None], gyrs]),
+    )
+
+    # carry forward the world acc / body gyro at the last valid pair
+    any_valid = jnp.any(pair_valid)
+    idxs = jnp.arange(pair_valid.shape[0], dtype=jnp.int32)
+    last_idx = jnp.maximum(jnp.max(jnp.where(pair_valid, idxs, -1)), 0)
+    acc_last = jnp.where(any_valid, accs[last_idx], acc_s_last)
+    gyr_last = jnp.where(any_valid, gyrs[last_idx], angvel_last)
+
+    # signed tail extrapolation to the exact segment end time (:739-755)
+    sdt = tail_dt.astype(dtype)
+    adt = jnp.abs(sdt)
+    rot_e2 = rot_e @ so3.exp(gyr_last * sdt)
+    pos_e2 = pos_e + vel_e * sdt + 0.5 * acc_last * sdt * adt
+    vel_e2 = vel_e + acc_last * sdt
+
+    out_state = NavState(rot_e2, pos_e2, vel_e2, s.bg, s.ba, s.grav, cov_e)
+    return out_state, pose, acc_last, gyr_last
+
+
+@jax.jit
+def undistort(
+    s_end: NavState,
+    pose: PoseTable,
+    pts: jnp.ndarray,  # (N, 3) lidar-frame points
+    t_rel: jnp.ndarray,  # (N,) seconds from segment begin
+    pmask: jnp.ndarray,  # (N,) bool
+    calib: ImuCalib,
+) -> jnp.ndarray:
+    """Motion-compensate points to the segment-end lidar frame.
+
+    Vectorized form of the backward pass (IMU_Processing.cpp:774-808):
+      P' = (R_li^T R_e^T) (R_i (R_li P + t_li) + T_ei) - R_li^T t_li
+    with R_i, T_ei interpolated from the pose row whose offset precedes
+    the point's timestamp.
+    """
+    k = jnp.searchsorted(pose.offs, t_rel, side="left") - 1
+    k = jnp.clip(k, 0, pose.offs.shape[0] - 1)
+    dt = (t_rel - pose.offs[k])[:, None]  # (N, 1)
+
+    R_head = pose.rot[k]  # (N, 3, 3)
+    w = pose.gyr[k]
+    R_i = R_head @ so3.exp(w * dt)
+    T_ei = pose.pos[k] + pose.vel[k] * dt + 0.5 * pose.acc[k] * dt * dt - s_end.pos
+
+    p_imu = pts @ calib.lid_rot.T + calib.lid_off
+    p_world_rel = jnp.einsum("nij,nj->ni", R_i, p_imu) + T_ei
+    ext = calib.lid_rot.T @ s_end.rot.T
+    p_out = p_world_rel @ ext.T - calib.lid_rot.T @ calib.lid_off
+    return jnp.where(pmask[:, None], p_out, pts)
+
+
+def prepare_pairs(
+    imu_t: np.ndarray,
+    imu_acc: np.ndarray,
+    imu_gyr: np.ndarray,
+    beg_time: float,
+    end_time: float,
+    last_end_time: float,
+    max_pairs: int,
+):
+    """Host-side (float64) preparation of the scan inputs for `propagate`.
+
+    imu_* include the previous group's last sample prepended (the
+    reference's v_imu.push_front(last_imu_), IMU_Processing.cpp:618).
+    Returns f32 numpy arrays padded to `max_pairs`.
+    """
+    imu_t = np.asarray(imu_t, dtype=np.float64)
+    P = max_pairs
+    n = max(len(imu_t) - 1, 0)
+    if n > P:
+        raise ValueError(f"IMU group too large: {n} pairs > capacity {P}")
+    acc_avg = np.zeros((P, 3), np.float32)
+    gyr_avg = np.zeros((P, 3), np.float32)
+    dt = np.zeros(P, np.float32)
+    offs = np.full(P, BIG_T, np.float32)
+    valid = np.zeros(P, bool)
+    for i in range(n):
+        th, tt = imu_t[i], imu_t[i + 1]
+        if tt < last_end_time:
+            offs[i] = 0.0  # leading skipped pair: aliases pose row 0
+            continue
+        acc_avg[i] = 0.5 * (imu_acc[i] + imu_acc[i + 1])
+        gyr_avg[i] = 0.5 * (imu_gyr[i] + imu_gyr[i + 1])
+        dt[i] = (tt - last_end_time) if th < last_end_time else (tt - th)
+        offs[i] = tt - beg_time
+        valid[i] = True
+    imu_end = imu_t[-1] if len(imu_t) else beg_time
+    # signed tail dt (reference :740-747): from last imu (or segment begin
+    # when no imu reaches it) to the segment end time
+    origin = imu_end if imu_end > beg_time else beg_time
+    tail_dt = np.float32(end_time - origin)
+    return acc_avg, gyr_avg, dt, offs, valid, tail_dt
