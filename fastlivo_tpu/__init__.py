@@ -21,4 +21,12 @@ Architecture (TPU-first, not a port):
   - io/         dataset formats, synthetic world generator, loaders.
 """
 
+import jax as _jax
+
+# The 18x18 covariance algebra runs in f64 for parity with the
+# reference's double-precision solve (laserMapping.cpp:1663-1683); hot
+# point/patch batches are explicitly f32. x64 must be enabled before any
+# array is created, hence here at package import.
+_jax.config.update("jax_enable_x64", True)
+
 __version__ = "0.1.0"

@@ -1,0 +1,270 @@
+"""LIO iterated error-state Kalman update — the LiDAR half of the product.
+
+TPU-native re-design of the reference's inline iterated-EKF loop
+(reference: src/laserMapping.cpp:1506-1732). The per-point OpenMP loop
+(kNN search -> plane fit -> gating -> H row) becomes fully batched masked
+tensor math over a padded point set; the sequential iteration structure
+(including the exact rematch/convergence protocol) is kept as a
+`lax.while_loop` whose carried flags mirror the reference's
+`nearest_search_en` / `rematch_num` / `EKF_stop_flg` state machine:
+
+  - iterations run for iterCount = -1 .. max_iter-1 (:1506);
+  - kNN against the map runs only when `nearest_search_en` (:1536),
+    i.e. on the first iteration and on up to two "rematch" iterations
+    triggered by convergence or the antepenultimate iteration (:1700-1705);
+  - per-point selection monotonically shrinks between searches: a point
+    deselected by the plane-validity or s-score gate is skipped until the
+    next re-search resets selection from the 5-NN distance gate
+    (:1569-1585 with the `continue` at :1567);
+  - the Kalman step uses the prior-anchored form
+    solution = K_1[:, :6] Hᵀz + vec - G vec[:6] with
+    K_1 = (HᵀH + (P/R)⁻¹)⁻¹ and vec = prior ⊟ current (:1663-1683);
+  - on stop, P <- (I - G) P (:1712).
+
+Numerics: the reference runs the whole solve in f64. Here the residual
+batch is f32; the 18x18 gain uses the factored form
+K_1 = P' (HᵀH P' + I)⁻¹ with P' = P/R — one well-conditioned solve
+instead of two explicit inversions — evaluated in f64 (tiny, emulated on
+TPU but negligible next to the point batch).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import plane as plane_ops
+from .ops import so3
+from .ops import voxel_map as vm
+from .state import DIM_STATE, NavState
+
+SQ_DIST_GATE = 5.0  # 5th-NN squared-distance gate (laserMapping.cpp:1549)
+RES_GATE = 2.0  # |residual| gate at compaction (:1600)
+S_GATE = 0.9  # plane-quality score gate (:1576-1578)
+PLANE_THRESH = 0.1  # esti_plane threshold (:1571)
+CONV_ROT_DEG = 0.01  # convergence: |dR|*57.3 < 0.01 deg (:1688)
+CONV_POS_CM = 0.015  # convergence: |dt|*100 < 0.015 cm (:1688)
+
+
+class LioResult(NamedTuple):
+    state: NavState  # posterior state (cov updated)
+    pts_world: jnp.ndarray  # (N, 3) scan in world frame at the posterior
+    active: jnp.ndarray  # (N,) bool: points that fed the final update
+    res: jnp.ndarray  # (N,) |point-to-plane| residual at the posterior
+    n_active: jnp.ndarray  # () int32
+    iters: jnp.ndarray  # () int32 iterations executed
+
+
+def _state_vec(rot, pos, vel, bg, ba, grav):
+    return NavState(rot, pos, vel, bg, ba, grav, jnp.zeros(()))
+
+
+def _apply_sol(rot, pos, vel, bg, ba, grav, sol):
+    """StatesGroup::operator+= (common_lib.h:343-352)."""
+    return (
+        rot @ so3.exp(sol[0:3]),
+        pos + sol[3:6],
+        vel + sol[6:9],
+        bg + sol[9:12],
+        ba + sol[12:15],
+        grav + sol[15:18],
+    )
+
+
+def _boxminus_vec(prior: NavState, rot, pos, vel, bg, ba, grav):
+    """prior ⊟ current -> (18,) (common_lib.h:354-365)."""
+    return jnp.concatenate(
+        [
+            so3.log(rot.T @ prior.rot),
+            prior.pos - pos,
+            prior.vel - vel,
+            prior.bg - bg,
+            prior.ba - ba,
+            prior.grav - grav,
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "knn_radius", "max_probe")
+)
+def lio_update(
+    state: NavState,  # propagated prior (its cov is the prior covariance)
+    m: vm.VoxelMap,
+    pts_body: jnp.ndarray,  # (N, 3) downsampled, undistorted scan (lidar frame)
+    pmask: jnp.ndarray,  # (N,) bool validity
+    lid_rot: jnp.ndarray,  # (3, 3) lidar -> IMU rotation
+    lid_off: jnp.ndarray,  # (3,) lidar origin in IMU frame
+    laser_point_cov: float,
+    max_iter: int = 4,
+    knn_radius: int = 2,
+    max_probe: int = 12,
+) -> LioResult:
+    """One scan's iterated point-to-plane EKF update (laserMapping.cpp:1506-1732)."""
+    N = pts_body.shape[0]
+    dtype = pts_body.dtype
+    prior = state
+
+    p_imu = pts_body @ lid_rot.T + lid_off  # (N,3) in IMU frame
+    body_norm_sqrt = jnp.sqrt(
+        jnp.sqrt(jnp.sum(pts_body * pts_body, axis=-1))
+    )  # |p|^(1/2) for the s score (:1575)
+
+    def world_pts(rot, pos):
+        return p_imu @ rot.T + pos
+
+    def do_search(rot, pos):
+        pw = world_pts(rot, pos)
+        neigh, nd2, _ = vm.knn(
+            m, pw, k=5, radius=knn_radius, max_probe=max_probe
+        )
+        sel = (nd2[:, -1] <= SQ_DIST_GATE) & pmask
+        pabcd, plane_ok = plane_ops.fit_plane(neigh, threshold=PLANE_THRESH)
+        return sel, pabcd, plane_ok
+
+    def keep_search(sel, pabcd, plane_ok):
+        return sel, pabcd, plane_ok
+
+    def body(carry):
+        (it, rot, pos, vel, bg, ba, grav, sel, pabcd, plane_ok,
+         search_en, rematch, stop, G, _conv) = carry
+
+        sel, pabcd, plane_ok = jax.lax.cond(
+            search_en,
+            lambda _: do_search(rot, pos),
+            lambda args: keep_search(*args),
+            (sel, pabcd, plane_ok),
+        )
+
+        pw = world_pts(rot, pos)
+        pd2 = plane_ops.point_to_plane(pabcd, pw)  # (N,)
+        s = 1.0 - 0.9 * jnp.abs(pd2) / body_norm_sqrt
+        sel = sel & plane_ok & (s > S_GATE)
+        active = sel & (jnp.abs(pd2) <= RES_GATE)
+
+        # H rows: [ (skew(p_imu) Rᵀ n), n ], z = -pd2  (:1607-1629)
+        n_vec = pabcd[:, :3]
+        Rt_n = n_vec @ rot  # (N,3) = (Rᵀ n)ᵀ rows
+        A = jnp.cross(p_imu, Rt_n)  # skew(p)·v = p × v
+        h = jnp.concatenate([A, n_vec], axis=-1)  # (N,6)
+        w = active.astype(dtype)[:, None]
+        hw = h * w
+        HTH6 = hw.T @ h  # (6,6)
+        HTz = hw.T @ (-pd2)  # (6,)
+
+        # gain in f64 (18x18 algebra is tiny; keeps parity with the
+        # reference's double-precision solve)
+        f64 = jnp.float64
+        P = prior.cov.astype(f64) / jnp.asarray(laser_point_cov, f64)
+        HTH18 = jnp.zeros((DIM_STATE, DIM_STATE), f64)
+        HTH18 = HTH18.at[0:6, 0:6].set(HTH6.astype(f64))
+        S = HTH18 @ P + jnp.eye(DIM_STATE, dtype=f64)
+        # K_1 = P S⁻¹  (= (HᵀH + P⁻¹)⁻¹ scaled form)
+        K_1 = jnp.linalg.solve(S.T, P).T
+        G_new = (K_1[:, 0:6] @ HTH6.astype(f64)).astype(dtype)  # (18,6)
+        vec = _boxminus_vec(prior, rot, pos, vel, bg, ba, grav)
+        sol = (
+            K_1[:, 0:6] @ HTz.astype(f64)
+            + vec.astype(f64)
+            - G_new.astype(f64) @ vec[0:6].astype(f64)
+        ).astype(dtype)
+
+        rot, pos, vel, bg, ba, grav = _apply_sol(rot, pos, vel, bg, ba, grav, sol)
+
+        conv = (jnp.linalg.norm(sol[0:3]) * 57.3 < CONV_ROT_DEG) & (
+            jnp.linalg.norm(sol[3:6]) * 100.0 < CONV_POS_CM
+        )
+        do_rematch = conv | ((rematch == 0) & (it == max_iter - 2))
+        rematch = rematch + do_rematch.astype(jnp.int32)
+        stop = (rematch >= 2) | (it == max_iter - 1)
+
+        return (it + 1, rot, pos, vel, bg, ba, grav, sel, pabcd, plane_ok,
+                do_rematch, rematch, stop, G_new, conv)
+
+    init = (
+        jnp.int32(-1),
+        state.rot, state.pos, state.vel, state.bg, state.ba, state.grav,
+        jnp.zeros(N, bool),
+        jnp.zeros((N, 4), dtype),
+        jnp.zeros(N, bool),
+        jnp.bool_(True),  # nearest_search_en starts true (:1473)
+        jnp.int32(0),
+        jnp.bool_(False),
+        jnp.zeros((DIM_STATE, 6), dtype),
+        jnp.bool_(False),
+    )
+    (it, rot, pos, vel, bg, ba, grav, sel, pabcd, plane_ok,
+     _se, _rm, _stop, G, _conv) = jax.lax.while_loop(
+        lambda c: ~c[12], body, init
+    )
+
+    # covariance update at stop: P <- (I - [G|0]) P  (:1712)
+    cov = prior.cov - G @ prior.cov[0:6, :]
+    post = NavState(rot, pos, vel, bg, ba, grav, cov)
+
+    pw = world_pts(rot, pos)
+    pd2 = plane_ops.point_to_plane(pabcd, pw)
+    s = 1.0 - 0.9 * jnp.abs(pd2) / body_norm_sqrt
+    sel_f = sel & plane_ok & (s > S_GATE)
+    active = sel_f & (jnp.abs(pd2) <= RES_GATE)
+    return LioResult(
+        state=post,
+        pts_world=pw,
+        active=active,
+        res=jnp.abs(pd2),
+        n_active=jnp.sum(active, dtype=jnp.int32),
+        iters=it + 1,
+    )
+
+
+class LocalMapTracker:
+    """Host-side sliding local-map bookkeeping (lasermap_fov_segment,
+    laserMapping.cpp:363-421). Tracks the axis-aligned local cube and
+    emits world-frame delete boxes when the sensor nears an edge; the
+    actual deletion is the device-side `voxel_map.delete_boxes`."""
+
+    DET_RANGE = 300.0  # laserMapping.cpp:83
+    MOV_THRESHOLD = 1.5  # :90
+
+    def __init__(self, cube_len: float):
+        self.cube_len = float(cube_len)
+        self.initialized = False
+        self.vmin = [0.0, 0.0, 0.0]
+        self.vmax = [0.0, 0.0, 0.0]
+
+    def update(self, pos):
+        """pos: length-3 sensor position. Returns list of (lo, hi) boxes
+        to delete (possibly empty)."""
+        pos = [float(p) for p in pos]
+        if not self.initialized:
+            half = self.cube_len / 2.0
+            self.vmin = [p - half for p in pos]
+            self.vmax = [p + half for p in pos]
+            self.initialized = True
+            return []
+        thr = self.MOV_THRESHOLD * self.DET_RANGE
+        d_lo = [abs(pos[i] - self.vmin[i]) for i in range(3)]
+        d_hi = [abs(pos[i] - self.vmax[i]) for i in range(3)]
+        if not any(d_lo[i] <= thr or d_hi[i] <= thr for i in range(3)):
+            return []
+        mov = max((self.cube_len - 2.0 * thr) * 0.5 * 0.9,
+                  self.DET_RANGE * (self.MOV_THRESHOLD - 1.0))
+        boxes = []
+        nmin, nmax = list(self.vmin), list(self.vmax)
+        for i in range(3):
+            if d_lo[i] <= thr:
+                nmin[i] -= mov
+                nmax[i] -= mov
+                lo, hi = list(self.vmin), list(self.vmax)
+                lo[i] = self.vmax[i] - mov
+                boxes.append((lo, hi))
+            elif d_hi[i] <= thr:
+                nmin[i] += mov
+                nmax[i] += mov
+                lo, hi = list(self.vmin), list(self.vmax)
+                hi[i] = self.vmin[i] + mov
+                boxes.append((lo, hi))
+        self.vmin, self.vmax = nmin, nmax
+        return boxes

@@ -1,0 +1,183 @@
+"""LIO iterated-EKF update tests against synthetic geometry.
+
+Strategy (SURVEY.md §4): no golden C++ traces exist in-container, so the
+update is validated the way the reference is validated empirically —
+convergence to a known ground-truth pose against known planar geometry,
+plus invariants of the reference's iteration protocol
+(laserMapping.cpp:1506-1732)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastlivo_tpu import lio
+from fastlivo_tpu.ops import so3, voxel_map as vm
+from fastlivo_tpu.ops.voxel_filter import voxel_downsample
+from fastlivo_tpu.state import NavState, identity_state
+
+
+def make_room_points(step=0.12, half=5.0, height=3.0):
+    """Points on the 6 faces of a box room centered at origin."""
+    g = np.arange(-half, half, step)
+    gg1, gg2 = np.meshgrid(g, g, indexing="ij")
+    flat1, flat2 = gg1.ravel(), gg2.ravel()
+    zs = np.clip(flat2, -half, half)
+    faces = []
+    hz = np.arange(0.0, height, step)
+    gh1, gh2 = np.meshgrid(g, hz, indexing="ij")
+    f1, f2 = gh1.ravel(), gh2.ravel()
+    faces.append(np.stack([flat1, flat2, np.zeros_like(flat1)], 1))  # floor
+    faces.append(np.stack([flat1, flat2, np.full_like(flat1, height)], 1))
+    faces.append(np.stack([np.full_like(f1, -half), f1, f2], 1))
+    faces.append(np.stack([np.full_like(f1, half), f1, f2], 1))
+    faces.append(np.stack([f1, np.full_like(f1, -half), f2], 1))
+    faces.append(np.stack([f1, np.full_like(f1, half), f2], 1))
+    return np.concatenate(faces).astype(np.float32)
+
+
+def build_map(world_pts, voxel=0.5, table=1 << 17):
+    m = vm.empty_map(table, voxel)
+    P = world_pts.shape[0]
+    pad = ((P + 1023) // 1024) * 1024
+    buf = np.zeros((pad, 3), np.float32)
+    buf[:P] = world_pts
+    mask = np.zeros(pad, bool)
+    mask[:P] = True
+    return vm.insert(m, jnp.asarray(buf), jnp.asarray(mask))
+
+
+def scan_from_pose(world_pts, rot, pos, lid_rot=np.eye(3), lid_off=np.zeros(3),
+                   n=4096, rng=None, noise=0.0):
+    rng = rng or np.random.default_rng(0)
+    idx = rng.choice(len(world_pts), size=n, replace=False)
+    w = world_pts[idx]
+    p_imu = (w - pos) @ rot  # R^T (w - pos)
+    p_body = (p_imu - lid_off) @ np.linalg.inv(lid_rot).T
+    if noise:
+        p_body = p_body + rng.normal(0, noise, p_body.shape)
+    return p_body.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def room():
+    world = make_room_points()
+    return world, build_map(world)
+
+
+def run_update(room, rot_true, pos_true, rot0, pos0, lid_rot=np.eye(3),
+               lid_off=np.zeros(3), noise=0.0, max_iter=6, cov_scale=1.0):
+    world, m = room
+    scan = scan_from_pose(world, rot_true, pos_true, lid_rot, lid_off,
+                          noise=noise)
+    s = identity_state()
+    s = s._replace(
+        rot=jnp.asarray(rot0, jnp.float32),
+        pos=jnp.asarray(pos0, jnp.float32),
+        cov=s.cov * cov_scale,
+    )
+    res = lio.lio_update(
+        s, m, jnp.asarray(scan), jnp.ones(len(scan), bool),
+        jnp.asarray(lid_rot, jnp.float32), jnp.asarray(lid_off, jnp.float32),
+        laser_point_cov=0.001, max_iter=max_iter,
+    )
+    return res
+
+
+def test_converges_to_true_pose(room):
+    rot_true = np.asarray(so3.exp(jnp.asarray([0.03, -0.02, 0.1])))
+    pos_true = np.array([0.4, -0.3, 1.2])
+    # perturbed prior: ~1.7 deg, ~8 cm off
+    drot = so3.exp(jnp.asarray([0.01, 0.02, -0.02]))
+    rot0 = rot_true @ np.asarray(drot)
+    pos0 = pos_true + np.array([0.05, -0.04, 0.03])
+    res = run_update(room, rot_true, pos_true, rot0, pos0)
+    ang = np.linalg.norm(np.asarray(so3.log(jnp.asarray(rot_true.T) @ res.state.rot)))
+    assert ang < 2e-3, f"rotation error {ang}"
+    assert np.linalg.norm(np.asarray(res.state.pos) - pos_true) < 5e-3
+    assert int(res.n_active) > 3000
+    # residuals at the posterior are small
+    r = np.asarray(res.res)[np.asarray(res.active)]
+    assert float(np.mean(r)) < 0.02
+
+
+def test_with_extrinsics_and_noise(room):
+    lid_rot = np.asarray(so3.exp(jnp.asarray([0.0, 0.0, np.pi / 2])), np.float64)
+    lid_off = np.array([0.1, 0.0, -0.05])
+    rot_true = np.asarray(so3.exp(jnp.asarray([-0.05, 0.04, 0.6])))
+    pos_true = np.array([-1.0, 2.0, 1.0])
+    drot = so3.exp(jnp.asarray([-0.015, 0.01, 0.015]))
+    rot0 = rot_true @ np.asarray(drot)
+    pos0 = pos_true + np.array([-0.06, 0.02, 0.05])
+    res = run_update(room, rot_true, pos_true, rot0, pos0,
+                     lid_rot=lid_rot, lid_off=lid_off, noise=0.005)
+    ang = np.linalg.norm(np.asarray(so3.log(jnp.asarray(rot_true.T) @ res.state.rot)))
+    assert ang < 5e-3
+    assert np.linalg.norm(np.asarray(res.state.pos) - pos_true) < 2e-2
+
+
+def test_covariance_contracts(room):
+    rot_true = np.eye(3)
+    pos_true = np.array([0.0, 0.0, 1.0])
+    res = run_update(room, rot_true, pos_true, rot_true, pos_true)
+    cov = np.asarray(res.state.cov)
+    prior_cov = np.asarray(identity_state().cov)
+    # measurement reduces pose-block uncertainty, never increases it
+    assert np.all(np.diag(cov)[:6] <= np.diag(prior_cov)[:6] + 1e-9)
+    assert np.all(np.isfinite(cov))
+    # untouched blocks (biases) keep prior variance
+    assert np.allclose(np.diag(cov)[9:15], np.diag(prior_cov)[9:15], atol=1e-6)
+
+
+def test_prior_anchoring_with_no_matches(room):
+    """With an empty neighborhood (scan far from map), the update must
+    return exactly the prior (vec pull-back; reference with
+    effct_feat_num=0 leaves state at the prior)."""
+    _, m = room
+    scan = np.full((256, 3), 500.0, np.float32)  # nowhere near the map
+    s = identity_state()._replace(pos=jnp.asarray([500.0, 500.0, 500.0], jnp.float32))
+    res = lio.lio_update(
+        s, m, jnp.asarray(scan), jnp.ones(256, bool),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        laser_point_cov=0.001, max_iter=4,
+    )
+    assert int(res.n_active) == 0
+    np.testing.assert_allclose(np.asarray(res.state.pos), np.asarray(s.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.state.rot), np.asarray(s.rot), atol=1e-5)
+
+
+def test_iteration_protocol_bounds(room):
+    rot_true = np.eye(3)
+    pos_true = np.array([0.0, 0.0, 1.0])
+    res = run_update(room, rot_true, pos_true, rot_true, pos_true, max_iter=6)
+    # iterCount runs -1..max_iter-1 => at most max_iter+1 iterations
+    assert 1 <= int(res.iters) <= 7
+
+
+def test_voxel_downsample_centroids():
+    pts = np.array([
+        [0.1, 0.1, 0.1],
+        [0.3, 0.1, 0.1],   # same 0.5-voxel as above
+        [0.9, 0.9, 0.9],   # different voxel
+    ])
+    out, mask = voxel_downsample(pts, 0.5, max_out=8)
+    assert mask.sum() == 2
+    np.testing.assert_allclose(out[0], [0.2, 0.1, 0.1], atol=1e-6)
+    np.testing.assert_allclose(out[1], [0.9, 0.9, 0.9], atol=1e-6)
+
+
+def test_voxel_downsample_extra_columns():
+    pts = np.array([[0.1, 0.1, 0.1, 10.0], [0.2, 0.2, 0.2, 20.0]])
+    out, mask = voxel_downsample(pts, 1.0)
+    assert mask.sum() == 1
+    np.testing.assert_allclose(out[0], [0.15, 0.15, 0.15, 15.0], atol=1e-6)
+
+
+def test_local_map_tracker():
+    t = lio.LocalMapTracker(cube_len=2000.0)
+    assert t.update([0.0, 0.0, 0.0]) == []  # init
+    assert t.update([0.0, 0.0, 0.0]) == []  # well inside
+    boxes = t.update([950.0, 0.0, 0.0])  # within 1.5*300 of +x edge
+    assert len(boxes) == 1
+    lo, hi = boxes[0]
+    # moving +x deletes the trailing (-x) slab: [vmin, vmin+mov]
+    assert lo[0] == -1000.0 and hi[0] == -1000.0 + (2000.0 - 2 * 450.0) * 0.5 * 0.9
+    assert t.vmax[0] > 1000.0 and t.vmin[0] > -1000.0  # window advanced
