@@ -65,6 +65,7 @@ class CapacityConfig:
     max_probe: int = 16  # open-addressing probe depth
     knn_voxel_radius: int = 2  # 5x5x5 neighborhood for 5-NN gather
     max_points: int = 16384  # padded scan size fed to the LIO update
+    max_raw_points: int = 32768  # padded raw scan size for undistortion
     max_imu_per_group: int = 64  # padded IMU samples per measurement group
     # VIO capacities
     vmap_points: int = 65536  # visual map point capacity

@@ -140,6 +140,7 @@ def propagate(
     acc_s_last: jnp.ndarray,  # (3,) world acc at segment start
     angvel_last: jnp.ndarray,  # (3,) body gyro at segment start
     calib: ImuCalib,
+    row0_off: jnp.ndarray | float = 0.0,  # segment-start offset from scan begin
 ):
     """Forward propagation over one measurement group.
 
@@ -203,7 +204,9 @@ def propagate(
     accs = jnp.where(pair_valid[:, None], accs, acc_s_last[None])
     gyrs = jnp.where(pair_valid[:, None], gyrs, angvel_last[None])
     pose = PoseTable(
-        offs=jnp.concatenate([jnp.zeros(1, dtype), offs.astype(dtype)]),
+        offs=jnp.concatenate(
+            [jnp.asarray(row0_off, dtype).reshape(1), offs.astype(dtype)]
+        ),
         rot=jnp.concatenate([s.rot[None], rots]),
         pos=jnp.concatenate([s.pos[None], poss]),
         vel=jnp.concatenate([s.vel[None], vels]),
@@ -245,18 +248,25 @@ def undistort(
     with R_i, T_ei interpolated from the pose row whose offset precedes
     the point's timestamp.
     """
-    k = jnp.searchsorted(pose.offs, t_rel, side="left") - 1
-    k = jnp.clip(k, 0, pose.offs.shape[0] - 1)
-    dt = (t_rel - pose.offs[k])[:, None]  # (N, 1)
+    dtype = pts.dtype
+    offs = pose.offs.astype(dtype)
+    k = jnp.searchsorted(offs, t_rel, side="left") - 1
+    k = jnp.clip(k, 0, offs.shape[0] - 1)
+    dt = (t_rel - offs[k])[:, None]  # (N, 1)
 
-    R_head = pose.rot[k]  # (N, 3, 3)
-    w = pose.gyr[k]
+    R_head = pose.rot[k].astype(dtype)  # (N, 3, 3)
+    w = pose.gyr[k].astype(dtype)
     R_i = R_head @ so3.exp(w * dt)
-    T_ei = pose.pos[k] + pose.vel[k] * dt + 0.5 * pose.acc[k] * dt * dt - s_end.pos
+    T_ei = (
+        pose.pos[k].astype(dtype)
+        + pose.vel[k].astype(dtype) * dt
+        + 0.5 * pose.acc[k].astype(dtype) * dt * dt
+        - s_end.pos.astype(dtype)
+    )
 
     p_imu = pts @ calib.lid_rot.T + calib.lid_off
     p_world_rel = jnp.einsum("nij,nj->ni", R_i, p_imu) + T_ei
-    ext = calib.lid_rot.T @ s_end.rot.T
+    ext = calib.lid_rot.T @ s_end.rot.astype(dtype).T
     p_out = p_world_rel @ ext.T - calib.lid_rot.T @ calib.lid_off
     return jnp.where(pmask[:, None], p_out, pts)
 
@@ -286,19 +296,21 @@ def prepare_pairs(
     dt = np.zeros(P, np.float32)
     offs = np.full(P, BIG_T, np.float32)
     valid = np.zeros(P, bool)
+    row0_off = np.float32(last_end_time - beg_time)
     for i in range(n):
         th, tt = imu_t[i], imu_t[i + 1]
         if tt < last_end_time:
-            offs[i] = 0.0  # leading skipped pair: aliases pose row 0
+            offs[i] = row0_off  # leading skipped pair: aliases pose row 0
             continue
         acc_avg[i] = 0.5 * (imu_acc[i] + imu_acc[i + 1])
         gyr_avg[i] = 0.5 * (imu_gyr[i] + imu_gyr[i + 1])
         dt[i] = (tt - last_end_time) if th < last_end_time else (tt - th)
         offs[i] = tt - beg_time
         valid[i] = True
-    imu_end = imu_t[-1] if len(imu_t) else beg_time
-    # signed tail dt (reference :740-747): from last imu (or segment begin
-    # when no imu reaches it) to the segment end time
-    origin = imu_end if imu_end > beg_time else beg_time
+    imu_end = imu_t[-1] if len(imu_t) else last_end_time
+    # signed tail dt (reference :740-747): from the time the propagated
+    # state has reached (last usable imu sample, or the segment start if
+    # every pair was skipped) to the segment end time
+    origin = max(imu_end, last_end_time)
     tail_dt = np.float32(end_time - origin)
-    return acc_avg, gyr_avg, dt, offs, valid, tail_dt
+    return acc_avg, gyr_avg, dt, offs, valid, tail_dt, row0_off

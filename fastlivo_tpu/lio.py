@@ -113,7 +113,8 @@ def lio_update(
     )  # |p|^(1/2) for the s score (:1575)
 
     def world_pts(rot, pos):
-        return p_imu @ rot.T + pos
+        # point batch stays f32; the f64 pose casts down at the boundary
+        return p_imu @ rot.astype(dtype).T + pos.astype(dtype)
 
     def do_search(rot, pos):
         pw = world_pts(rot, pos)
@@ -146,7 +147,7 @@ def lio_update(
 
         # H rows: [ (skew(p_imu) Rᵀ n), n ], z = -pd2  (:1607-1629)
         n_vec = pabcd[:, :3]
-        Rt_n = n_vec @ rot  # (N,3) = (Rᵀ n)ᵀ rows
+        Rt_n = n_vec @ rot.astype(dtype)  # (N,3) = (Rᵀ n)ᵀ rows
         A = jnp.cross(p_imu, Rt_n)  # skew(p)·v = p × v
         h = jnp.concatenate([A, n_vec], axis=-1)  # (N,6)
         w = active.astype(dtype)[:, None]
@@ -161,15 +162,13 @@ def lio_update(
         HTH18 = jnp.zeros((DIM_STATE, DIM_STATE), f64)
         HTH18 = HTH18.at[0:6, 0:6].set(HTH6.astype(f64))
         S = HTH18 @ P + jnp.eye(DIM_STATE, dtype=f64)
-        # K_1 = P S⁻¹  (= (HᵀH + P⁻¹)⁻¹ scaled form)
-        K_1 = jnp.linalg.solve(S.T, P).T
-        G_new = (K_1[:, 0:6] @ HTH6.astype(f64)).astype(dtype)  # (18,6)
+        # K_1 = P S⁻¹  (= (HᵀH + P⁻¹)⁻¹ in the P-factored form; exact
+        # even when the carried covariance loses symmetry, as the
+        # reference's (I-G)P update lets it)
+        K_1 = jnp.linalg.solve(S.T, P.T).T
+        G_new = K_1[:, 0:6] @ HTH6.astype(f64)  # (18,6)
         vec = _boxminus_vec(prior, rot, pos, vel, bg, ba, grav)
-        sol = (
-            K_1[:, 0:6] @ HTz.astype(f64)
-            + vec.astype(f64)
-            - G_new.astype(f64) @ vec[0:6].astype(f64)
-        ).astype(dtype)
+        sol = K_1[:, 0:6] @ HTz.astype(f64) + vec - G_new @ vec[0:6]
 
         rot, pos, vel, bg, ba, grav = _apply_sol(rot, pos, vel, bg, ba, grav, sol)
 
@@ -192,7 +191,7 @@ def lio_update(
         jnp.bool_(True),  # nearest_search_en starts true (:1473)
         jnp.int32(0),
         jnp.bool_(False),
-        jnp.zeros((DIM_STATE, 6), dtype),
+        jnp.zeros((DIM_STATE, 6), jnp.float64),
         jnp.bool_(False),
     )
     (it, rot, pos, vel, bg, ba, grav, sel, pabcd, plane_ok,

@@ -1,0 +1,345 @@
+"""Per-frame orchestration: the `main()` loop of the framework.
+
+Host-side equivalent of the reference's node loop
+(reference: src/laserMapping.cpp:1260-1818) wired to the device-side
+subsystems: IMU propagation (imu.py), the voxel-hash map (ops/voxel_map),
+the LIO iterated EKF (lio.py), and — when images are enabled — the
+VIO photometric update (vio.py).
+
+Frame protocol per measurement group (sync.py):
+  - IMU-init phase: accumulate static samples (IMU_init,
+    IMU_Processing.cpp:137-182); groups are consumed without estimation;
+    `first_lidar_time` tracks the current scan begin until ready.
+  - image group (`is_lidar_end=False`): propagate state+cov to the image
+    time; run the VIO update (laserMapping.cpp:1319-1390).
+  - lidar-end group: propagate to scan end, motion-compensate the whole
+    scan into the scan-end lidar frame using the merged per-scan pose
+    table (deviation from the reference documented in imu.py: consistent
+    time origins across segments), slide the local map
+    (lasermap_fov_segment :363-421), voxel-downsample, run the LIO
+    iterated EKF (:1506-1732) once `flg_EKF_inited` (0.5 s after
+    `first_lidar_time`, :79,1317), then insert the scan into the map
+    (map_incremental :692-706).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import imu as imu_mod
+from . import lio as lio_mod
+from .config import Config
+from .ops import so3, voxel_map as vm
+from .ops.voxel_filter import voxel_downsample
+from .state import NavState, identity_state
+from .sync import MeasureGroup, ScanBundle, Synchronizer
+
+INIT_TIME = 0.5  # seconds before the EKF activates (laserMapping.cpp:79)
+MAX_SCAN_POSES = 512  # merged per-scan pose-table capacity
+
+
+@dataclasses.dataclass
+class FrameOutput:
+    t: float  # scan end time (odometry stamp)
+    pos: np.ndarray  # (3,)
+    quat: np.ndarray  # (4,) [w, x, y, z]
+    vel: np.ndarray  # (3,)
+    n_active: int
+    iters: int
+    n_points: int
+    timing: dict
+    pts_world: Optional[np.ndarray] = None  # dense undistorted world cloud
+
+
+class Pipeline:
+    def __init__(self, cfg: Config, vio=None):
+        self.cfg = cfg
+        cap = cfg.capacity
+        self.sync = Synchronizer(img_enable=cfg.img_enable)
+        self.initializer = imu_mod.ImuInitializer()
+        self.init_done = False
+        self.calib: Optional[imu_mod.ImuCalib] = None
+        self.state: NavState = identity_state()
+        self.map = vm.empty_map(cap.map_table_size, cfg.filter_size_map)
+        self.map_built = False
+        self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length)
+        self.vio = vio
+
+        self.first_lidar_time: Optional[float] = None
+        self.ready = False
+        self.last_imu: Optional[tuple] = None  # (t, acc, gyr)
+        self.last_group_end: Optional[float] = None
+        self.acc_s_last = jnp.zeros(3, jnp.float32)
+        self.angvel_last = jnp.zeros(3, jnp.float32)
+        # per-scan accumulated pose-table segments (host numpy)
+        self._scan_tables: List[dict] = []
+        self._scan_id = None
+        self.outputs: List[FrameOutput] = []
+        self.trajectory: List[np.ndarray] = []  # TUM rows
+
+    # --- ingestion passthrough ------------------------------------------
+    def push_lidar(self, stamp, pts, t_rel):
+        self.sync.push_lidar(stamp, pts, t_rel)
+
+    def push_imu(self, stamp, acc, gyr):
+        self.sync.push_imu(stamp, acc, gyr)
+
+    def push_img(self, stamp, img):
+        self.sync.push_img(stamp, img)
+
+    def spin(self) -> List[FrameOutput]:
+        """Process every ready measurement group; returns new frame outputs."""
+        new = []
+        for g in self.sync.drain():
+            out = self._process_group(g)
+            if out is not None:
+                new.append(out)
+        return new
+
+    # --- internals -------------------------------------------------------
+    def _feed_initializer(self, g: MeasureGroup):
+        for i in range(len(g.imu_t)):
+            self.initializer.push(g.imu_acc[i], g.imu_gyr[i])
+        if len(g.imu_t):
+            self.last_imu = (g.imu_t[-1], g.imu_acc[-1], g.imu_gyr[-1])
+        if self.initializer.done:
+            cfg = self.cfg
+            self.calib = self.initializer.calib(
+                cfg.mapping.acc_cov_scale,
+                cfg.mapping.gyr_cov_scale,
+                cfg.extrinsic_R,
+                cfg.extrinsic_T,
+            )
+            grav = self.initializer.gravity()
+            self.state = self.state._replace(
+                grav=jnp.asarray(grav, jnp.float64),
+                bg=jnp.asarray(self.initializer.mean_gyr, jnp.float64),
+                rot=jnp.eye(3, dtype=jnp.float64),
+            )
+            self.init_done = True
+            self.last_group_end = g.scan.beg_time if g.scan else float(g.imu_t[-1])
+
+    def _propagate(self, g: MeasureGroup, end_time: float):
+        """Propagate state+cov over the group's IMU block; stash the pose
+        segment for scan-end undistortion."""
+        scan = g.scan
+        cap = self.cfg.capacity.max_imu_per_group
+        # prepend the previous group's last sample (IMU_Processing.cpp:618)
+        if self.last_imu is not None:
+            imu_t = np.concatenate([[self.last_imu[0]], g.imu_t])
+            imu_acc = np.concatenate([[self.last_imu[1]], g.imu_acc])
+            imu_gyr = np.concatenate([[self.last_imu[2]], g.imu_gyr])
+        else:
+            imu_t, imu_acc, imu_gyr = g.imu_t, g.imu_acc, g.imu_gyr
+        if len(g.imu_t):
+            self.last_imu = (g.imu_t[-1], g.imu_acc[-1], g.imu_gyr[-1])
+
+        acc_avg, gyr_avg, dt, offs, valid, tail_dt, row0_off = imu_mod.prepare_pairs(
+            imu_t, imu_acc, imu_gyr,
+            beg_time=scan.beg_time,
+            end_time=end_time,
+            last_end_time=self.last_group_end,
+            max_pairs=cap,
+        )
+        st, pose, self.acc_s_last, self.angvel_last = imu_mod.propagate(
+            self.state,
+            jnp.asarray(acc_avg), jnp.asarray(gyr_avg), jnp.asarray(dt),
+            jnp.asarray(offs), jnp.asarray(valid), jnp.asarray(tail_dt),
+            self.acc_s_last, self.angvel_last, self.calib,
+            row0_off=jnp.asarray(row0_off),
+        )
+        self.state = st
+        self.last_group_end = end_time
+        # stash the segment rows (host) for the merged per-scan table
+        keep = np.concatenate([[True], valid])
+        self._scan_tables.append(
+            {
+                "offs": np.asarray(pose.offs)[keep],
+                "rot": np.asarray(pose.rot)[keep],
+                "pos": np.asarray(pose.pos)[keep],
+                "vel": np.asarray(pose.vel)[keep],
+                "acc": np.asarray(pose.acc)[keep],
+                "gyr": np.asarray(pose.gyr)[keep],
+            }
+        )
+
+    def _merged_pose_table(self) -> imu_mod.PoseTable:
+        segs = self._scan_tables
+        offs = np.concatenate([s["offs"] for s in segs])
+        M = MAX_SCAN_POSES
+        if len(offs) > M:
+            raise ValueError(f"scan pose table overflow: {len(offs)} > {M}")
+
+        def pad(key):
+            a = np.concatenate([s[key] for s in segs]).astype(np.float32)
+            buf = np.zeros((M,) + a.shape[1:], np.float32)
+            buf[: len(a)] = a
+            buf[len(a):] = a[-1]
+            return buf
+
+        offs_p = np.full(M, imu_mod.BIG_T, np.float32)
+        offs_p[: len(offs)] = offs
+        return imu_mod.PoseTable(
+            offs=jnp.asarray(offs_p),
+            rot=jnp.asarray(pad("rot")),
+            pos=jnp.asarray(pad("pos")),
+            vel=jnp.asarray(pad("vel")),
+            acc=jnp.asarray(pad("acc")),
+            gyr=jnp.asarray(pad("gyr")),
+        )
+
+    def _process_group(self, g: MeasureGroup) -> Optional[FrameOutput]:
+        scan = g.scan
+        if scan is not None and self._scan_id is not scan:
+            self._scan_id = scan
+            self._scan_tables = []
+
+        if not self.init_done:
+            self._feed_initializer(g)
+            if scan is not None:
+                self.first_lidar_time = scan.beg_time
+            return None
+
+        t0 = time.perf_counter()
+        end_time = scan.end_time if g.is_lidar_end else scan.beg_time + g.img_offset_time
+        self._propagate(g, end_time)
+        state_propagat = self.state
+
+        if not g.is_lidar_end:
+            # VIO update at the image timestamp (laserMapping.cpp:1319-1390)
+            if self.vio is not None and self.ready and self.first_lidar_time is not None:
+                if scan.beg_time - self.first_lidar_time >= INIT_TIME:
+                    self.state = self.vio.update(self.state, state_propagat, g.img)
+            return None
+
+        # ---- lidar-end frame: undistort whole scan ----------------------
+        pose_table = self._merged_pose_table()
+        cap = self.cfg.capacity
+        N = len(scan.pts)
+        rawcap = cap.max_raw_points
+        if N > rawcap:
+            stride = -(-N // rawcap)
+            sel = slice(0, N, stride)
+            pts_np = scan.pts[sel, :3]
+            t_rel_np = scan.t_rel[sel]
+            N = len(pts_np)
+        else:
+            pts_np, t_rel_np = scan.pts[:, :3], scan.t_rel
+        buf = np.zeros((rawcap, 3), np.float32)
+        buf[:N] = pts_np
+        trel = np.full(rawcap, 0.0, np.float32)
+        trel[:N] = t_rel_np
+        pmask = np.zeros(rawcap, bool)
+        pmask[:N] = True
+        und = imu_mod.undistort(
+            self.state, pose_table, jnp.asarray(buf), jnp.asarray(trel),
+            jnp.asarray(pmask), self.calib,
+        )
+        feats_undistort = np.asarray(und)[:N]
+        t_undistort = time.perf_counter()
+
+        if not self.ready:
+            self.ready = True
+        ekf_inited = (
+            self.first_lidar_time is not None
+            and scan.beg_time - self.first_lidar_time >= INIT_TIME
+        )
+
+        # ---- sliding local map (lasermap_fov_segment) --------------------
+        pos_np = np.asarray(self.state.pos)
+        boxes = self.tracker.update(pos_np)
+        if boxes and self.map_built:
+            lo = np.asarray([b[0] for b in boxes], np.float32)
+            hi = np.asarray([b[1] for b in boxes], np.float32)
+            self.map = vm.delete_boxes(self.map, jnp.asarray(lo), jnp.asarray(hi))
+
+        # ---- scan downsample --------------------------------------------
+        down, dmask = voxel_downsample(
+            feats_undistort, self.cfg.filter_size_surf, max_out=cap.max_points
+        )
+        n_down = int(dmask.sum())
+        t_down = time.perf_counter()
+
+        lid_rot = jnp.asarray(self.cfg.extrinsic_R, jnp.float32)
+        lid_off = jnp.asarray(self.cfg.extrinsic_T, jnp.float32)
+
+        # ---- first frame: build the map and return -----------------------
+        if not self.map_built:
+            if n_down > 5:
+                world = self._to_world(down, dmask, lid_rot, lid_off)
+                self.map = vm.insert(self.map, world, jnp.asarray(dmask))
+                self.map_built = True
+            return None
+
+        # ---- iterated EKF -----------------------------------------------
+        iters = 0
+        n_active = 0
+        if self.cfg.lidar_enable and ekf_inited:
+            res = lio_mod.lio_update(
+                self.state, self.map, jnp.asarray(down), jnp.asarray(dmask),
+                lid_rot, lid_off,
+                laser_point_cov=self.cfg.laser_point_cov,
+                max_iter=self.cfg.max_iteration,
+                knn_radius=cap.knn_voxel_radius,
+                max_probe=cap.max_probe,
+            )
+            self.state = res.state
+            iters = int(res.iters)
+            n_active = int(res.n_active)
+        t_ekf = time.perf_counter()
+
+        # ---- map insert (map_incremental) -------------------------------
+        world = self._to_world(down, dmask, lid_rot, lid_off)
+        self.map = vm.insert(self.map, world, jnp.asarray(dmask))
+        t_map = time.perf_counter()
+
+        rot_np = np.asarray(self.state.rot, np.float64)
+        pos_np = np.asarray(self.state.pos, np.float64)
+        from .io.synthetic import _rot_to_quat
+
+        quat = _rot_to_quat(rot_np)
+        out = FrameOutput(
+            t=scan.end_time,
+            pos=pos_np,
+            quat=quat,
+            vel=np.asarray(self.state.vel, np.float64),
+            n_active=n_active,
+            iters=iters,
+            n_points=n_down,
+            timing={
+                "undistort": t_undistort - t0,
+                "downsample": t_down - t_undistort,
+                "ekf": t_ekf - t_down,
+                "map": t_map - t_ekf,
+                "total": t_map - t0,
+            },
+        )
+        if self.cfg.dense_map_enable:
+            # world-frame dense cloud at the posterior (pcl_wait_pub,
+            # laserMapping.cpp:1764-1772) — feeds the VIO depth pipeline
+            R_wl = rot_np @ self.cfg.extrinsic_R
+            t_wl = rot_np @ self.cfg.extrinsic_T + pos_np
+            out.pts_world = feats_undistort @ R_wl.T + t_wl
+        self.outputs.append(out)
+        self.trajectory.append(
+            np.array([out.t, *pos_np, quat[1], quat[2], quat[3], quat[0]])
+        )
+        if self.vio is not None:
+            self.vio.set_last_cloud(out.pts_world)
+        return out
+
+    def _to_world(self, pts_body, mask, lid_rot, lid_off):
+        p = jnp.asarray(pts_body)
+        p_imu = p @ lid_rot.T + lid_off
+        # cast the f64 pose down: the map and point batches stay f32
+        rot32 = self.state.rot.astype(jnp.float32)
+        pos32 = self.state.pos.astype(jnp.float32)
+        return p_imu @ rot32.T + pos32
+
+    def tum_trajectory(self) -> np.ndarray:
+        """(T, 8) TUM rows: t x y z qx qy qz qw (laserMapping.cpp:1738-1748)."""
+        return np.asarray(self.trajectory)

@@ -27,7 +27,16 @@ G_M_S2 = 9.81  # gravity constant (common_lib.h:33)
 
 
 class NavState(NamedTuple):
-    """Pytree nav state. All members are jnp arrays (f32 by default)."""
+    """Pytree nav state.
+
+    All members are f64 by default: the iterated-EKF covariance path
+    must run in double (f32 roundoff drives the contracted covariance
+    indefinite within ~10 frames — variances reach ~1e-8 while entries
+    are ~1e-3-scale, below f32 epsilon; the reference runs the whole
+    solve in double for the same reason). The 18-dim algebra is tiny, so
+    f64 — even software-emulated on TPU — is negligible next to the
+    f32 point/patch batches, which cast the pose down at the boundary.
+    """
 
     rot: jnp.ndarray  # (3, 3) world-from-imu rotation at segment end
     pos: jnp.ndarray  # (3,)
@@ -38,7 +47,7 @@ class NavState(NamedTuple):
     cov: jnp.ndarray  # (18, 18) covariance
 
 
-def identity_state(dtype=jnp.float32) -> NavState:
+def identity_state(dtype=jnp.float64) -> NavState:
     """Fresh state, matching StatesGroup's constructor
     (common_lib.h:298-306): identity pose, zero vectors, INIT_COV * I."""
     return NavState(

@@ -28,7 +28,7 @@ def _state():
 def _run(imu_t, acc, gyr, beg, end, last_end=0.0, state=None, calib=None, P=128):
     state = state or _state()
     calib = calib or _calib()
-    acc_avg, gyr_avg, dt, offs, valid, tail_dt = imu_mod.prepare_pairs(
+    acc_avg, gyr_avg, dt, offs, valid, tail_dt, row0_off = imu_mod.prepare_pairs(
         imu_t, acc, gyr, beg, end, last_end, P
     )
     z3 = jnp.zeros(3, jnp.float32)
@@ -138,7 +138,7 @@ def test_matches_independent_reference_model():
     )
     s2, pose, _, _ = _run(t, acc, gyr, beg=0.0, end=0.12, state=s0)
 
-    acc_avg, gyr_avg, dt, offs, valid, tail_dt = imu_mod.prepare_pairs(
+    acc_avg, gyr_avg, dt, offs, valid, tail_dt, row0_off = imu_mod.prepare_pairs(
         t, acc, gyr, 0.0, 0.12, 0.0, 32
     )
     R, p, v, P = _numpy_reference(

@@ -70,8 +70,8 @@ def run_update(room, rot_true, pos_true, rot0, pos0, lid_rot=np.eye(3),
                           noise=noise)
     s = identity_state()
     s = s._replace(
-        rot=jnp.asarray(rot0, jnp.float32),
-        pos=jnp.asarray(pos0, jnp.float32),
+        rot=jnp.asarray(rot0, jnp.float64),
+        pos=jnp.asarray(pos0, jnp.float64),
         cov=s.cov * cov_scale,
     )
     res = lio.lio_update(
@@ -133,7 +133,7 @@ def test_prior_anchoring_with_no_matches(room):
     effct_feat_num=0 leaves state at the prior)."""
     _, m = room
     scan = np.full((256, 3), 500.0, np.float32)  # nowhere near the map
-    s = identity_state()._replace(pos=jnp.asarray([500.0, 500.0, 500.0], jnp.float32))
+    s = identity_state()._replace(pos=jnp.asarray([500.0, 500.0, 500.0], jnp.float64))
     res = lio.lio_update(
         s, m, jnp.asarray(scan), jnp.ones(256, bool),
         jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),

@@ -1,0 +1,89 @@
+"""End-to-end LIO-only pipeline test on a synthetic dataset.
+
+The analogue of the reference's rosbag-replay system test (SURVEY.md §4):
+a physically consistent synthetic world/trajectory/sensor suite with
+exact ground truth; the pipeline must track the trajectory through IMU
+init, map bootstrap, motion distortion, and the iterated EKF."""
+import numpy as np
+import pytest
+
+from fastlivo_tpu.config import CapacityConfig, Config
+from fastlivo_tpu.io.synthetic import SyntheticDataset
+from fastlivo_tpu.pipeline import Pipeline
+
+
+def small_config(img_enable=False):
+    cfg = Config()
+    cfg.img_enable = img_enable
+    cfg.lidar_enable = True
+    cfg.max_iteration = 6
+    cfg.filter_size_surf = 0.3
+    cfg.filter_size_map = 0.3
+    cfg.laser_point_cov = 0.001
+    cfg.capacity = CapacityConfig(
+        map_table_size=1 << 17,
+        max_points=4096,
+        max_raw_points=8192,
+        max_imu_per_group=64,
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def lio_run():
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=3
+    )
+    cfg = small_config()
+    pipe = Pipeline(cfg)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    outs = pipe.spin()
+    return ds, pipe, outs
+
+
+def test_pipeline_produces_frames(lio_run):
+    ds, pipe, outs = lio_run
+    # 60 scans, minus imu-init scans (~10) minus the map-bootstrap scan
+    assert len(outs) >= 40
+
+
+def test_trajectory_ate(lio_run):
+    ds, pipe, outs = lio_run
+    base = ds.traj.base_pos
+    errs, rot_errs = [], []
+    for o in outs:
+        if o.t < ds.traj.t_static + 0.5:
+            continue
+        rot_gt, pos_gt = ds.traj.pose(o.t)
+        errs.append(np.linalg.norm(o.pos - (pos_gt - base)))
+        # quat [w,x,y,z] -> R
+        w, x, y, z = o.quat
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        cosang = (np.trace(rot_gt.T @ R) - 1) / 2
+        rot_errs.append(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+    ate = np.sqrt(np.mean(np.square(errs)))
+    rot_rmse = np.sqrt(np.mean(np.square(rot_errs)))
+    assert ate < 0.05, f"ATE {ate:.4f} m (errors {np.round(errs[:10], 3)}...)"
+    assert rot_rmse < 1.0, f"rot RMSE {rot_rmse:.3f} deg"
+
+
+def test_frames_track_motion(lio_run):
+    ds, pipe, outs = lio_run
+    # trajectory actually moves (not trivially static)
+    moving = [o for o in outs if o.t > ds.traj.t_static + 1.5]
+    p = np.array([o.pos for o in moving])
+    assert np.ptp(p, axis=0).max() > 0.5
+
+
+def test_active_points(lio_run):
+    ds, pipe, outs = lio_run
+    late = [o for o in outs if o.t > ds.traj.t_static + 0.5]
+    frac = np.mean([o.n_active / max(o.n_points, 1) for o in late])
+    assert frac > 0.7, f"only {frac:.2%} of points matched"
