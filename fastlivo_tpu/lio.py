@@ -35,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .ops import linalg as linalg_ops
 from .ops import plane as plane_ops
 from .ops import so3
 from .ops import voxel_map as vm
@@ -88,7 +89,8 @@ def _boxminus_vec(prior: NavState, rot, pos, vel, bg, ba, grav):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "knn_radius", "max_probe")
+    jax.jit,
+    static_argnames=("max_iter", "knn_radius", "max_probe", "axis_name"),
 )
 def lio_update(
     state: NavState,  # propagated prior (its cov is the prior covariance)
@@ -101,8 +103,16 @@ def lio_update(
     max_iter: int = 4,
     knn_radius: int = 2,
     max_probe: int = 12,
+    axis_name: str | None = None,
 ) -> LioResult:
-    """One scan's iterated point-to-plane EKF update (laserMapping.cpp:1506-1732)."""
+    """One scan's iterated point-to-plane EKF update (laserMapping.cpp:1506-1732).
+
+    Multi-chip: when called inside `shard_map` with the point batch
+    row-partitioned over mesh axis `axis_name` (map + state replicated),
+    the HᵀH / Hᵀz partial sums are all-reduced with `lax.psum` and every
+    device runs the identical 18x18 solve — the SPMD scheme from
+    SURVEY.md §2.3 (residual-row data parallelism, collectives over ICI).
+    """
     N = pts_body.shape[0]
     dtype = pts_body.dtype
     prior = state
@@ -154,6 +164,9 @@ def lio_update(
         hw = h * w
         HTH6 = hw.T @ h  # (6,6)
         HTz = hw.T @ (-pd2)  # (6,)
+        if axis_name is not None:
+            HTH6 = jax.lax.psum(HTH6, axis_name)
+            HTz = jax.lax.psum(HTz, axis_name)
 
         # gain in f64 (18x18 algebra is tiny; keeps parity with the
         # reference's double-precision solve)
@@ -165,7 +178,7 @@ def lio_update(
         # K_1 = P S⁻¹  (= (HᵀH + P⁻¹)⁻¹ in the P-factored form; exact
         # even when the carried covariance loses symmetry, as the
         # reference's (I-G)P update lets it)
-        K_1 = jnp.linalg.solve(S.T, P.T).T
+        K_1 = linalg_ops.gj_solve(S.T, P.T).T
         G_new = K_1[:, 0:6] @ HTH6.astype(f64)  # (18,6)
         vec = _boxminus_vec(prior, rot, pos, vel, bg, ba, grav)
         sol = K_1[:, 0:6] @ HTz.astype(f64) + vec - G_new @ vec[0:6]
@@ -208,12 +221,15 @@ def lio_update(
     s = 1.0 - 0.9 * jnp.abs(pd2) / body_norm_sqrt
     sel_f = sel & plane_ok & (s > S_GATE)
     active = sel_f & (jnp.abs(pd2) <= RES_GATE)
+    n_act = jnp.sum(active, dtype=jnp.int32)
+    if axis_name is not None:
+        n_act = jax.lax.psum(n_act, axis_name)
     return LioResult(
         state=post,
         pts_world=pw,
         active=active,
         res=jnp.abs(pd2),
-        n_active=jnp.sum(active, dtype=jnp.int32),
+        n_active=n_act,
         iters=it + 1,
     )
 
