@@ -168,20 +168,14 @@ def lio_update(
             HTH6 = jax.lax.psum(HTH6, axis_name)
             HTz = jax.lax.psum(HTz, axis_name)
 
-        # gain in f64 (18x18 algebra is tiny; keeps parity with the
-        # reference's double-precision solve)
+        # gain in f64 (tiny; keeps parity with the reference's
+        # double-precision solve) via the exact 6x6 reduction
         f64 = jnp.float64
         P = prior.cov.astype(f64) / jnp.asarray(laser_point_cov, f64)
-        HTH18 = jnp.zeros((DIM_STATE, DIM_STATE), f64)
-        HTH18 = HTH18.at[0:6, 0:6].set(HTH6.astype(f64))
-        S = HTH18 @ P + jnp.eye(DIM_STATE, dtype=f64)
-        # K_1 = P S⁻¹  (= (HᵀH + P⁻¹)⁻¹ in the P-factored form; exact
-        # even when the carried covariance loses symmetry, as the
-        # reference's (I-G)P update lets it)
-        K_1 = linalg_ops.gj_solve(S.T, P.T).T
-        G_new = K_1[:, 0:6] @ HTH6.astype(f64)  # (18,6)
+        K16 = linalg_ops.kalman_gain6(P, HTH6.astype(f64))  # (18,6)
+        G_new = K16 @ HTH6.astype(f64)  # (18,6)
         vec = _boxminus_vec(prior, rot, pos, vel, bg, ba, grav)
-        sol = K_1[:, 0:6] @ HTz.astype(f64) + vec - G_new @ vec[0:6]
+        sol = K16 @ HTz.astype(f64) + vec - G_new @ vec[0:6]
 
         rot, pos, vel, bg, ba, grav = _apply_sol(rot, pos, vel, bg, ba, grav, sol)
 

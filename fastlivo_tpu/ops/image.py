@@ -1,0 +1,199 @@
+"""Batched image sampling: patches, gradients, Shi-Tomasi scores.
+
+TPU-native equivalents of the reference's per-pixel loops:
+  - `extract_patches`  = LidarSelector::getpatch (lidar_selection.cpp:
+    119-140): scale-strided bilinear patch extraction; the integer
+    anchor is floor(px/scale)*scale and the bilinear weights come from
+    the scale-normalized subpixel remainder.
+  - `patches_and_grads` = the sampling + centered-difference gradients
+    of UpdateState's inner loop (lidar_selection.cpp:805-832).
+  - `shi_tomasi` = vk::shiTomasiScore (rpg_vikit): min-eigenvalue of
+    the 8x8-box structure tensor at integer pixel positions.
+
+All functions are batched over the leading point axis and gather with
+clamped indices (callers gate with in-frame borders first, matching the
+reference's isInFrame margins).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape
+    yi = jnp.clip(yi, 0, H - 1)
+    xi = jnp.clip(xi, 0, W - 1)
+    return img[yi, xi]
+
+
+def bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample at float pixel coords uv (..., 2) [u=col, v=row]."""
+    u, v = uv[..., 0], uv[..., 1]
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    au = u - u0
+    av = v - v0
+    tl = _gather(img, v0, u0)
+    tr = _gather(img, v0, u0 + 1)
+    bl = _gather(img, v0 + 1, u0)
+    br = _gather(img, v0 + 1, u0 + 1)
+    return (
+        (1 - au) * (1 - av) * tl
+        + au * (1 - av) * tr
+        + (1 - au) * av * bl
+        + au * av * br
+    )
+
+
+def _anchor_weights(pc: jnp.ndarray, scale: jnp.ndarray):
+    """getpatch's anchor/weight scheme: integer anchor at
+    floor(px/scale)*scale, weights from the scale-normalized remainder."""
+    u, v = pc[..., 0], pc[..., 1]
+    u_i = jnp.floor(u / scale).astype(jnp.int32) * scale
+    v_i = jnp.floor(v / scale).astype(jnp.int32) * scale
+    su = (u - u_i) / scale
+    sv = (v - v_i) / scale
+    w_tl = (1.0 - su) * (1.0 - sv)
+    w_tr = su * (1.0 - sv)
+    w_bl = (1.0 - su) * sv
+    w_br = su * sv
+    return u_i, v_i, (w_tl, w_tr, w_bl, w_br)
+
+
+def _strided_grid(u_i, v_i, patch_size: int, scale):
+    """(K,) anchors + (K,) scale -> (K, P, P) integer sample grids."""
+    half = patch_size // 2
+    offs = jnp.arange(patch_size) - half  # (P,)
+    s = scale[:, None, None]
+    rows = v_i[:, None, None] + offs[None, :, None] * s  # (K, P, 1)
+    cols = u_i[:, None, None] + offs[None, None, :] * s  # (K, 1, P)
+    K, P = u_i.shape[0], patch_size
+    return (
+        jnp.broadcast_to(rows, (K, P, P)),
+        jnp.broadcast_to(cols, (K, P, P)),
+    )
+
+
+def extract_patches(
+    img: jnp.ndarray, pc: jnp.ndarray, patch_size: int, scale
+) -> jnp.ndarray:
+    """getpatch for a batch: (K, 2) centers -> (K, P, P) patches.
+
+    `scale` is 1<<level (int array or scalar). Output[x, y] follows the
+    reference layout: x runs over rows (v), y over columns (u)."""
+    scale = jnp.asarray(scale, jnp.int32)
+    if scale.ndim == 0:
+        scale = jnp.broadcast_to(scale, pc.shape[:-1])
+    u_i, v_i, (w_tl, w_tr, w_bl, w_br) = _anchor_weights(pc, scale)
+    rows, cols = _strided_grid(u_i, v_i, patch_size, scale)
+    s = scale[:, None, None]
+    tl = _gather(img, rows, cols)
+    tr = _gather(img, rows, cols + s)
+    bl = _gather(img, rows + s, cols)
+    br = _gather(img, rows + s, cols + s)
+    w = lambda a: a[:, None, None]
+    return w(w_tl) * tl + w(w_tr) * tr + w(w_bl) * bl + w(w_br) * br
+
+
+def patches_and_grads(
+    img: jnp.ndarray, pc: jnp.ndarray, patch_size: int, scale
+):
+    """UpdateState's fused sample+gradient pass (lidar_selection.cpp:
+    805-832): returns (val, du, dv), each (K, P, P).
+
+    du/dv are the 0.5*(I(+scale)-I(-scale)) centered differences of the
+    *bilinear-weighted strided* samples, then divided by scale
+    (Jimg *= 1/scale, :826)."""
+    scale = jnp.asarray(scale, jnp.int32)
+    if scale.ndim == 0:
+        scale = jnp.broadcast_to(scale, pc.shape[:-1])
+    u_i, v_i, (w_tl, w_tr, w_bl, w_br) = _anchor_weights(pc, scale)
+    rows, cols = _strided_grid(u_i, v_i, patch_size, scale)
+    s = scale[:, None, None]
+    w = lambda a: a[:, None, None]
+
+    def sample(dr, dc):
+        return (
+            w(w_tl) * _gather(img, rows + dr, cols + dc)
+            + w(w_tr) * _gather(img, rows + dr, cols + dc + s)
+            + w(w_bl) * _gather(img, rows + dr + s, cols + dc)
+            + w(w_br) * _gather(img, rows + dr + s, cols + dc + s)
+        )
+
+    val = sample(0, 0)
+    sf = s.astype(img.dtype)
+    du = 0.5 * (sample(0, s) - sample(0, -s)) / sf
+    dv = 0.5 * (sample(s, 0) - sample(-s, 0)) / sf
+    return val, du, dv
+
+
+def shi_tomasi(img: jnp.ndarray, pc: jnp.ndarray) -> jnp.ndarray:
+    """vk::shiTomasiScore at integer positions floor(pc): (K, 2) -> (K,).
+
+    8x8 box of centered-difference gradients; score is the smaller
+    eigenvalue of the averaged structure tensor."""
+    half = 4
+    box = 2 * half
+    u = jnp.floor(pc[..., 0]).astype(jnp.int32)
+    v = jnp.floor(pc[..., 1]).astype(jnp.int32)
+    offs = jnp.arange(box) - half
+    rows = v[:, None, None] + offs[None, :, None] + jnp.zeros((1, 1, box), jnp.int32)
+    cols = u[:, None, None] + offs[None, None, :] + jnp.zeros((1, box, 1), jnp.int32)
+    dx = 0.5 * (_gather(img, rows, cols + 1) - _gather(img, rows, cols - 1))
+    dy = 0.5 * (_gather(img, rows + 1, cols) - _gather(img, rows - 1, cols))
+    area = box * box
+    dXX = jnp.sum(dx * dx, axis=(-2, -1)) / area
+    dYY = jnp.sum(dy * dy, axis=(-2, -1)) / area
+    dXY = jnp.sum(dx * dy, axis=(-2, -1)) / area
+    tr = dXX + dYY
+    det = dXX * dYY - dXY * dXY
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+    return 0.5 * (tr - disc)
+
+
+def affine_warp_patches(
+    ref_imgs: jnp.ndarray,  # (R, H, W) reference image ring
+    slots: jnp.ndarray,  # (K,) int32 ring slot per point
+    A_ref_cur: jnp.ndarray,  # (K, 2, 2) inverse warp (cur->ref pixels)
+    px_ref: jnp.ndarray,  # (K, 2) reference pixel
+    patch_size: int,
+    search_level: jnp.ndarray,  # (K,) int32
+    pyramid_level: int,
+) -> jnp.ndarray:
+    """LidarSelector::warpAffine batched over points (lidar_selection.
+    cpp:258-296): for patch offset d (in units of the current patch
+    grid), sample ref image at px_ref + A_ref_cur @ (d * 2^(search+pyr)).
+    Out-of-image samples produce 0 (reference sets 0). -> (K, P, P)."""
+    K = px_ref.shape[0]
+    half = patch_size // 2
+    offs = (jnp.arange(patch_size) - half).astype(ref_imgs.dtype)
+    sc = (1 << pyramid_level) * (2 ** search_level.astype(jnp.int32)).astype(
+        ref_imgs.dtype
+    )  # (K,)
+    # patch coords: x runs over cols (u), y over rows (v); layout [y, x]
+    dx = offs[None, None, :] * sc[:, None, None]  # (K, 1, P) u-offset
+    dy = offs[None, :, None] * sc[:, None, None]  # (K, P, 1) v-offset
+    du = A_ref_cur[:, 0, 0][:, None, None] * dx + A_ref_cur[:, 0, 1][:, None, None] * dy
+    dv = A_ref_cur[:, 1, 0][:, None, None] * dx + A_ref_cur[:, 1, 1][:, None, None] * dy
+    u = px_ref[:, 0][:, None, None] + du  # (K, P, P)
+    v = px_ref[:, 1][:, None, None] + dv
+    H, W = ref_imgs.shape[1:]
+    inb = (u >= 0) & (v >= 0) & (u < W - 1) & (v < H - 1)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    au = u - u0
+    av = v - v0
+    sl = slots[:, None, None]
+
+    def g(rr, cc):
+        rr = jnp.clip(rr, 0, H - 1)
+        cc = jnp.clip(cc, 0, W - 1)
+        return ref_imgs[sl, rr, cc]
+
+    val = (
+        (1 - au) * (1 - av) * g(v0, u0)
+        + au * (1 - av) * g(v0, u0 + 1)
+        + (1 - au) * av * g(v0 + 1, u0)
+        + au * av * g(v0 + 1, u0 + 1)
+    )
+    return jnp.where(inb, val, 0.0)

@@ -44,3 +44,22 @@ def gj_solve(S: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     A = jax.lax.fori_loop(0, n, body, A, unroll=True)
     X = A[:, n:]
     return X[:, 0] if vec else X
+
+
+def kalman_gain6(P: jnp.ndarray, HTH6: jnp.ndarray) -> jnp.ndarray:
+    """K_1[:, :6] of the iterated-EKF gain, via the exact 6x6 reduction.
+
+    The reference computes K_1 = (HᵀH + (P/R)⁻¹)⁻¹ with two 18x18
+    inversions (laserMapping.cpp:1663, lidar_selection.cpp:871). With
+    HᵀH nonzero only in the top-left 6x6 block, the factored form
+    K_1 = P' (HᵀH P' + I)⁻¹ has S = HᵀH P' + I with identity rows below
+    the pose block, so
+        K_1[:, :6] = P'[:, :6] (HᵀH₆ P'[:6, :6] + I₆)⁻¹
+    — one 6x6 solve instead of an 18x18 one. Only the first 6 columns
+    are ever used (solution and G both contract against them).
+
+    Args: P (18, 18) = cov/R (f64); HTH6 (6, 6) (f64).
+    Returns: (18, 6) gain block.
+    """
+    A = HTH6 @ P[0:6, 0:6] + jnp.eye(6, dtype=P.dtype)
+    return gj_solve(A.T, P[:, 0:6].T).T

@@ -39,6 +39,56 @@ def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1) * inv_det[..., None]
 
 
+def sym3x3_min_eigvec(S: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric 3x3
+    batch (..., 3, 3), in closed form.
+
+    Eigenvalues via the trigonometric solution of the characteristic
+    cubic; the eigenvector is the largest cross product of rows of
+    (S - lambda_min I) (its null-space direction). Fully elementwise —
+    no LAPACK custom calls, compiles on any backend."""
+    dtype = S.dtype
+    a00, a01, a02 = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    a11, a12, a22 = S[..., 1, 1], S[..., 1, 2], S[..., 2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (
+        a01 * a01 + a02 * a02 + a12 * a12
+    )
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det(B)/2 with B = (S - qI)/p
+    detB = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    ) / (p * p * p)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # rows of (S - lam I)
+    r0 = jnp.stack([a00 - lam_min, a01, a02], axis=-1)
+    r1 = jnp.stack([a01, a11 - lam_min, a12], axis=-1)
+    r2 = jnp.stack([a02, a12, a22 - lam_min], axis=-1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.where(
+        (n01 >= n02)[..., None] & (n01 >= n12)[..., None],
+        c01,
+        jnp.where((n02 >= n12)[..., None], c02, c12),
+    )
+    norm = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    # degenerate (isotropic) scatter: fall back to +z; the validity gate
+    # downstream rejects such fits anyway
+    fallback = jnp.zeros_like(best).at[..., 2].set(1.0)
+    ok = norm[..., 0] > 1e-20
+    return jnp.where(ok[..., None], best / jnp.where(ok[..., None], norm, 1.0), fallback)
+
+
 def fit_plane(
     pts: jnp.ndarray, valid: jnp.ndarray | None = None, threshold: float = 0.1
 ):
@@ -70,9 +120,10 @@ def fit_plane(
     centroid = jnp.sum(pts * w, axis=-2) / nvalid[..., None]
     centered = (pts - centroid[..., None, :]) * w
     scatter = jnp.einsum("...ki,...kj->...ij", centered, centered)
-    # smallest eigenvector of the symmetric 3x3 scatter = plane normal
-    eigval, eigvec = jnp.linalg.eigh(scatter)
-    normal = eigvec[..., :, 0]
+    # smallest eigenvector of the symmetric 3x3 scatter = plane normal.
+    # Closed form (elementwise, VPU-friendly) — jnp.linalg.eigh's QR
+    # iteration costs ~30 ms for a 16k batch on one TPU chip.
+    normal = sym3x3_min_eigvec(scatter)
     d = -jnp.sum(normal * centroid, axis=-1)
     pabcd = jnp.concatenate([normal, d[..., None]], axis=-1)
     # validity: every valid neighbor within threshold of the plane

@@ -8,21 +8,28 @@ on-insert voxel downsampling that keeps (asymptotically) one point per
 
   - The map IS a fixed-capacity open-addressing hash table over voxel
     coordinates; each slot stores exactly one world-frame point.
+  - Slot identity is a 31-bit verification hash of the voxel coordinate
+    (`check`), NOT the coordinate itself: the kNN/insert probe loops then
+    gather ONE int32 per probe instead of 3-4 — random HBM gathers are
+    the TPU bottleneck here (measured 20+ ms/scan with row gathers). A
+    check collision (two voxels, same probe slot, same 31-bit hash,
+    ~2^-31 per probe) at worst admits one far-away candidate that the
+    distance gates reject.
   - Insert-with-downsample = batched probe/claim loop (fixed probe depth,
     masked scatters); the nearest-to-center rule is a conditional update.
-  - k-nearest-neighbor search (ikd_Tree.cpp:350-380) = gather the
-    (2R+1)^3 voxel neighborhood of each query and take top-k by distance
-    — a fully batched gather + top_k, no tree traversal, no heap, no
-    rebuild thread (ikd_Tree.cpp:187-301 has no equivalent: there is
-    nothing to rebalance).
+  - k-nearest-neighbor search (ikd_Tree.cpp:350-380) = probe the
+    (2R+1)^3 voxel neighborhood of each query, then one row gather of the
+    resolved points and top-k by distance — no tree, no heap, no rebuild
+    thread (ikd_Tree.cpp:187-301 has no equivalent: nothing to rebalance).
   - Sliding-local-map box deletion (laserMapping.cpp:363-421,
-    ikd_Tree.cpp:501) = one masked full-table pass.
+    ikd_Tree.cpp:501) = one masked full-table pass (voxel centers are
+    recomputed from the stored points).
 
 Deletions leave holes in probe chains; the query loop probes a fixed
 depth without early exit so hits behind holes are still found. A hole can
 make a later insert of an existing key claim an earlier slot, creating a
-benign duplicate voxel entry (two near-identical points); duplicates are
-removed wholesale by `rebuild` (cheap full-table compaction).
+benign duplicate voxel entry; duplicates are removed wholesale by
+`rebuild` (cheap full-table compaction).
 
 All shapes are static; `valid` masks carry the dynamic sizes.
 """
@@ -35,15 +42,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-EMPTY = jnp.int32(-2147483648)  # sentinel in keys[:, 0]
-_H1 = jnp.int32(73856093)
-_H2 = jnp.int32(19349663)
-_H3 = jnp.int32(83492791)
+EMPTY_CHECK = jnp.int32(-2147483648)  # sentinel in check[]
 BIG = jnp.float32(1e30)
 
 
 class VoxelMap(NamedTuple):
-    keys: jnp.ndarray  # (T, 3) int32 voxel coords; keys[:,0]==EMPTY if free
+    check: jnp.ndarray  # (T,) int32 voxel verification hash; EMPTY_CHECK=free
     pts: jnp.ndarray  # (T, 3) f32 stored world point
     count: jnp.ndarray  # () int32 occupied slots
     voxel_size: jnp.ndarray  # () f32
@@ -51,9 +55,12 @@ class VoxelMap(NamedTuple):
 
 def empty_map(table_size: int, voxel_size: float, dtype=jnp.float32) -> VoxelMap:
     assert table_size & (table_size - 1) == 0, "table_size must be a power of two"
-    keys = jnp.full((table_size, 3), EMPTY, dtype=jnp.int32)
-    pts = jnp.zeros((table_size, 3), dtype=dtype)
-    return VoxelMap(keys, pts, jnp.int32(0), jnp.asarray(voxel_size, dtype))
+    return VoxelMap(
+        check=jnp.full(table_size, EMPTY_CHECK, dtype=jnp.int32),
+        pts=jnp.zeros((table_size, 3), dtype=dtype),
+        count=jnp.int32(0),
+        voxel_size=jnp.asarray(voxel_size, dtype),
+    )
 
 
 def voxel_of(p: jnp.ndarray, voxel_size) -> jnp.ndarray:
@@ -61,10 +68,29 @@ def voxel_of(p: jnp.ndarray, voxel_size) -> jnp.ndarray:
     return jnp.floor(p / voxel_size).astype(jnp.int32)
 
 
-def _hash(keys: jnp.ndarray, mask: int) -> jnp.ndarray:
-    """(..., 3) int32 -> (...,) slot index in [0, mask]."""
-    h = keys[..., 0] * _H1 ^ keys[..., 1] * _H2 ^ keys[..., 2] * _H3
-    return h & jnp.int32(mask)
+def _mix64(keys: jnp.ndarray) -> jnp.ndarray:
+    """Pack 3x21-bit voxel coords into uint64 and run the splitmix64
+    finalizer. Multiply-XOR hashes of small integer coordinates collide
+    badly (measured ~3% 31-bit collisions on a few hundred voxels); the
+    finalizer's avalanche fixes that."""
+    u = keys.astype(jnp.uint64)
+    z = (
+        (u[..., 0] & jnp.uint64(0x1FFFFF))
+        | ((u[..., 1] & jnp.uint64(0x1FFFFF)) << jnp.uint64(21))
+        | ((u[..., 2] & jnp.uint64(0x1FFFFF)) << jnp.uint64(42))
+    )
+    z = z + jnp.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return z ^ (z >> jnp.uint64(31))
+
+
+def _slot_check(keys: jnp.ndarray, mask: int):
+    """One mix, two decorrelated outputs: probe slot and verify hash."""
+    z = _mix64(keys)
+    slot = (z >> jnp.uint64(33)).astype(jnp.int32) & jnp.int32(mask)
+    check = (z & jnp.uint64(0x7FFFFFFF)).astype(jnp.int32)  # >= 0, never sentinel
+    return slot, check
 
 
 @functools.partial(jax.jit, static_argnames=("max_probe",), donate_argnums=(0,))
@@ -80,49 +106,50 @@ def insert(m: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray, max_probe: int = 1
     to avoid copying the table every scan). Do not read `m` after the
     call; use the returned map.
     """
-    T = m.keys.shape[0]
+    T = m.check.shape[0]
     mask = T - 1
     vs = m.voxel_size
     keys = voxel_of(pts, vs)
     center = (keys.astype(pts.dtype) + 0.5) * vs
     d2c = jnp.sum((pts - center) ** 2, axis=-1)
 
-    # neutralize invalid rows so they can't collide with real keys
-    keys = jnp.where(valid[:, None], keys, EMPTY + 1)
+    slot0, checks = _slot_check(keys, mask)
     d2c = jnp.where(valid, d2c, BIG)
 
     # --- in-batch dedup: keep the nearest-to-center point per voxel -----
     order = jnp.lexsort((d2c, keys[:, 0], keys[:, 1], keys[:, 2]))
     keys_s = keys[order]
     pts_s = pts[order]
-    d2c_s = d2c[order]
+    checks_s = checks[order]
     valid_s = valid[order]
     same_as_prev = jnp.all(keys_s == jnp.roll(keys_s, 1, axis=0), axis=-1)
     same_as_prev = same_as_prev.at[0].set(False)
     winner = valid_s & ~same_as_prev
 
-    tk, tp, cnt = m.keys, m.pts, m.count
-    slot = _hash(keys_s, mask)
+    tc, tp, cnt = m.check, m.pts, m.count
+    slot = slot0[order]
     done = ~winner
+    # stored-point distance-to-center vs the inserting point's center
+    center_s = (keys_s.astype(pts.dtype) + 0.5) * vs
+    d2c_s = jnp.sum((pts_s - center_s) ** 2, axis=-1)
     for _ in range(max_probe):
-        cur = tk[slot]
-        is_empty = cur[:, 0] == EMPTY
-        is_mine = jnp.all(cur == keys_s, axis=-1) & ~done
+        cur = tc[slot]
+        is_empty = cur == EMPTY_CHECK
+        is_mine = (cur == checks_s) & ~done
         claim = is_empty & ~done
         claim_idx = jnp.where(claim, slot, T)
-        tk = tk.at[claim_idx].set(keys_s, mode="drop")
-        won = claim & jnp.all(tk[slot] == keys_s, axis=-1)
+        tc = tc.at[claim_idx].set(checks_s, mode="drop")
+        won = claim & (tc[slot] == checks_s)
         # nearest-to-center replacement for existing voxels
         stored = tp[slot]
-        stored_center = (cur.astype(pts.dtype) + 0.5) * vs
-        stored_d2c = jnp.sum((stored - stored_center) ** 2, axis=-1)
+        stored_d2c = jnp.sum((stored - center_s) ** 2, axis=-1)
         write = won | (is_mine & (d2c_s < stored_d2c))
         widx = jnp.where(write, slot, T)
         tp = tp.at[widx].set(pts_s, mode="drop")
         cnt = cnt + jnp.sum(won, dtype=jnp.int32)
         done = done | is_mine | won
         slot = (slot + 1) & mask
-    return VoxelMap(tk, tp, cnt, vs)
+    return VoxelMap(tc, tp, cnt, vs)
 
 
 def _neighbor_offsets(radius: int) -> np.ndarray:
@@ -142,28 +169,29 @@ def knn(
 ):
     """Bounded k-nearest-neighbor over the voxel map.
 
-    For each query, gathers the points stored in the (2*radius+1)^3
-    surrounding voxels and returns the k nearest. This is the TPU-native
-    stand-in for KD_TREE::Nearest_Search (ikd_Tree.cpp:350-380); the LIO
-    gate `sqDist(5th) <= 5 m^2` (laserMapping.cpp:1549) means only
-    near-range neighbors matter, which the bounded neighborhood covers.
+    For each query, probes the (2*radius+1)^3 surrounding voxels (one
+    int32 check gather per probe step), then gathers the resolved points
+    once and returns the k nearest. TPU-native stand-in for
+    KD_TREE::Nearest_Search (ikd_Tree.cpp:350-380); the LIO gate
+    `sqDist(5th) <= 5 m^2` (laserMapping.cpp:1549) means only near-range
+    neighbors matter, which the bounded neighborhood covers.
 
     Returns:
       neigh: (N, k, 3) neighbor points (zeros where invalid)
       d2:    (N, k) squared distances (BIG where invalid)
       nvalid:(N, k) bool
     """
-    T = m.keys.shape[0]
+    T = m.check.shape[0]
     mask = T - 1
     base = voxel_of(queries, m.voxel_size)  # (N, 3)
     offs = jnp.asarray(_neighbor_offsets(radius))  # (M, 3)
     cand = base[:, None, :] + offs[None, :, :]  # (N, M, 3)
-    slot = _hash(cand, mask)
+    slot, qcheck = _slot_check(cand, mask)  # (N, M) each
     found = jnp.zeros(slot.shape, dtype=bool)
     resolved = jnp.full(slot.shape, T, dtype=jnp.int32)
     for _ in range(max_probe):
-        cur = m.keys[slot.reshape(-1)].reshape(cand.shape)
-        hit = jnp.all(cur == cand, axis=-1) & ~found
+        cur = m.check[slot]  # (N, M) single-int32 gather
+        hit = (cur == qcheck) & ~found
         resolved = jnp.where(hit, slot, resolved)
         found = found | hit
         slot = (slot + 1) & mask
@@ -185,18 +213,19 @@ def delete_boxes(m: VoxelMap, boxes_lo: jnp.ndarray, boxes_hi: jnp.ndarray) -> V
 
     boxes_lo/hi: (B, 3); a box with lo > hi is inert (use for padding).
     Equivalent of KD_TREE::Delete_Point_Boxes (ikd_Tree.cpp:501) driven by
-    lasermap_fov_segment (laserMapping.cpp:363-421).
+    lasermap_fov_segment (laserMapping.cpp:363-421). Voxel centers are
+    recomputed from the stored points (each point lies in its voxel).
     """
-    centers = (m.keys.astype(m.pts.dtype) + 0.5) * m.voxel_size  # (T, 3)
-    occupied = m.keys[:, 0] != EMPTY
-    inside_any = jnp.zeros(m.keys.shape[0], dtype=bool)
+    occupied = m.check != EMPTY_CHECK
+    keys = voxel_of(m.pts, m.voxel_size)
+    centers = (keys.astype(m.pts.dtype) + 0.5) * m.voxel_size  # (T, 3)
     ge = jnp.all(centers[:, None, :] >= boxes_lo[None], axis=-1)
     le = jnp.all(centers[:, None, :] <= boxes_hi[None], axis=-1)
     inside_any = jnp.any(ge & le, axis=-1)
     kill = occupied & inside_any
-    keys = jnp.where(kill[:, None], EMPTY, m.keys)
+    check = jnp.where(kill, EMPTY_CHECK, m.check)
     count = m.count - jnp.sum(kill, dtype=jnp.int32)
-    return VoxelMap(keys, m.pts, count, m.voxel_size)
+    return VoxelMap(check, m.pts, count, m.voxel_size)
 
 
 @jax.jit
@@ -207,8 +236,8 @@ def rebuild(m: VoxelMap) -> VoxelMap:
     accumulate after many delete/insert cycles (the batched analogue of
     the ikd-Tree background rebuild, ikd_Tree.cpp:187-301 — but O(T)
     on-device instead of a pthread)."""
-    occupied = m.keys[:, 0] != EMPTY
-    fresh = empty_map(m.keys.shape[0], 1.0, dtype=m.pts.dtype)._replace(
+    occupied = m.check != EMPTY_CHECK
+    fresh = empty_map(m.check.shape[0], 1.0, dtype=m.pts.dtype)._replace(
         voxel_size=m.voxel_size
     )
     return insert(fresh, m.pts, occupied)

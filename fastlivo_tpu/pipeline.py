@@ -67,6 +67,10 @@ class Pipeline:
         self.map = vm.empty_map(cap.map_table_size, cfg.filter_size_map)
         self.map_built = False
         self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length)
+        if vio is None and cfg.img_enable:
+            from .vio import Vio
+
+            vio = Vio(cfg)
         self.vio = vio
 
         self.first_lidar_time: Optional[float] = None

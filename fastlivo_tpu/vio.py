@@ -1,0 +1,638 @@
+"""VIO: sparse-direct photometric iterated-EKF update (the visual half).
+
+TPU-native re-design of the reference `LidarSelector`
+(reference: src/lidar_selection.cpp). Per camera frame (`detect`,
+:1027-1075), four phases, each a batched jitted kernel over the SoA
+visual map (visual_map.py):
+
+  1. `select_tracked` = addFromSparseMap (:346-587): project the last
+     LiDAR frame's world cloud to a sparse depth image, gather visual-map
+     points from the scan's 0.5 m voxels, keep the closest point per
+     40-px grid cell, gate by depth continuity (Δ>1.5 m) and best-view
+     reference observation (cos>0.5), affine-warp the reference patch at
+     3 pyramid levels, photometric outlier gate.
+  2. `select_new_points` = addSparseMap (:142-202): per grid cell, the
+     Shi-Tomasi-max scan point that beats the cell's best map-point
+     score becomes a new map point.
+  3. `photometric_update` = ComputeJ/UpdateState (:743-983):
+     coarse-to-fine (level 2->0) iterated EKF on patch residuals with
+     the reference's chain rule (Jimg·Jdpi·[pf]x -> JdR|Jdt), the
+     error-monotonicity rollback, and P <- (I-G)P at the end.
+  4. `prep_observations` + visual_map.add_observations = addObservation
+     (:913-965) with the posterior pose.
+
+Documented deviations from the reference:
+  - new-point candidates come from the 0.2 m-downsampled cloud (the
+    reference scans the full cloud; per-cell Shi-Tomasi maxima are
+    nearly identical and the candidate batch stays bounded);
+  - reference images live in a bounded ring (visual_map.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera as cam_mod
+from . import visual_map as vmap_mod
+from .config import Config
+from .ops import image as img_ops
+from .ops import linalg as linalg_ops
+from .ops import so3
+from .ops.voxel_filter import voxel_downsample
+from .state import DIM_STATE, NavState
+
+CONV_ROT_DEG = 0.001  # lidar_selection.cpp:885
+CONV_POS_CM = 0.001
+DEPTH_CONT_GATE = 1.5  # :504
+MIN_COS = 0.5  # point.cpp:171
+
+
+class TrackedSet(NamedTuple):
+    """The SubSparseMap equivalent (common_lib.h:263-293): one slot per
+    image grid cell."""
+
+    idx: jnp.ndarray  # (G,) visual-map point index
+    pos: jnp.ndarray  # (G, 3) world position
+    patch: jnp.ndarray  # (G, 3, P, P) warped ref patch pyramid
+    search_level: jnp.ndarray  # (G,) int32
+    valid: jnp.ndarray  # (G,) bool
+    cell_value: jnp.ndarray  # (G,) f32 best map-point score per cell
+    errors: jnp.ndarray  # (G,) f32 photometric error (updated by EKF)
+
+
+def _pack_min(value_bits: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
+    """Pack (positive-f32-bits, row) into int64 for scatter-min argmin."""
+    return (value_bits.astype(jnp.int64) << 20) | row.astype(jnp.int64)
+
+
+def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving int bits of non-negative f32."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_size", "patch_size", "gw", "gh", "ncc_en"),
+)
+def select_tracked(
+    vm: vmap_mod.VisualMap,
+    cam: cam_mod.Camera,
+    rcw: jnp.ndarray,  # (3,3) world->cam (f32)
+    pcw: jnp.ndarray,  # (3,)
+    img: jnp.ndarray,  # (H, W) f32 current grayscale
+    pg: jnp.ndarray,  # (M, 3) downsampled world cloud (0.2 m)
+    pg_mask: jnp.ndarray,  # (M,)
+    vox: jnp.ndarray,  # (Nv, 3) int32 unique scan voxels
+    vox_mask: jnp.ndarray,  # (Nv,)
+    outlier_threshold: float,
+    ncc_thre: float,
+    grid_size: int,
+    patch_size: int,
+    gw: int,
+    gh: int,
+    ncc_en: bool = False,
+) -> TrackedSet:
+    H, W = img.shape
+    G = gw * gh
+    P = patch_size
+    half = P // 2
+    border = (half + 1) * 8  # isInFrame margin (:399, :446)
+    campos = -pcw @ rcw
+
+    # --- phase 1: sparse depth image (:378-411, plain pinhole) ----------
+    pt_c = pg @ rcw.T + pcw
+    z = pt_c[:, 2]
+    u = cam.fx * pt_c[:, 0] / z + cam.cx
+    v = cam.fy * pt_c[:, 1] / z + cam.cy
+    ok_d = pg_mask & (z > 0) & (u >= border) & (u < W - border) & (v >= border) & (v < H - border)
+    rows = jnp.where(ok_d, v.astype(jnp.int32), H)
+    cols = jnp.where(ok_d, u.astype(jnp.int32), W)
+    depth = jnp.zeros((H, W), img.dtype).at[rows, cols].set(
+        jnp.where(ok_d, z, 0.0), mode="drop"
+    )
+
+    # --- phase 2: candidate gather + per-cell closest winner (:423-467) --
+    cidx, cmask = vmap_mod.gather_voxel_points(vm, vox, vox_mask)
+    cidx = cidx.reshape(-1)
+    cmask = cmask.reshape(-1)
+    NC = cidx.shape[0]
+    safe = jnp.clip(cidx, 0, vm.pos.shape[0] - 1)
+    cpos = vm.pos[safe]
+    cvalue = vm.value[safe]
+    c_cam = cpos @ rcw.T + pcw
+    front = c_cam[:, 2] > 0
+    pc = cam_mod.world2cam(cam, c_cam)
+    inf = cam_mod.is_in_frame(cam, pc, border)
+    ok = cmask & front & inf
+    cell = (pc[:, 0] / grid_size).astype(jnp.int32) * gh + (
+        pc[:, 1] / grid_size
+    ).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, G - 1)
+    dist = jnp.linalg.norm(campos[None, :] - cpos, axis=-1)
+    key = _pack_min(_f32_bits(dist), jnp.arange(NC))
+    key = jnp.where(ok, key, jnp.int64(0x7FFFFFFFFFFFFFFF))
+    cell_min = (
+        jnp.full(G, 0x7FFFFFFFFFFFFFFF, jnp.int64)
+        .at[jnp.where(ok, cell, G)]
+        .min(key, mode="drop")
+    )
+    has_map = cell_min < 0x7FFFFFFFFFFFFFFF
+    win_row = (cell_min & jnp.int64(0xFFFFF)).astype(jnp.int32)  # (G,)
+    # best map-point value per cell (map_value, :460-463)
+    cell_value = (
+        jnp.zeros(G, img.dtype)
+        .at[jnp.where(ok, cell, G)]
+        .max(jnp.where(ok, cvalue, 0.0), mode="drop")
+    )
+
+    wsafe = jnp.clip(win_row, 0, NC - 1)
+    widx = cidx[wsafe]
+    wpos = cpos[wsafe]
+    wcam = c_cam[wsafe]
+    wpc = pc[wsafe]
+
+    # --- phase 3: depth-continuity gate (:489-510) ------------------------
+    offs = jnp.arange(-half, half + 1)
+    r0 = wpc[:, 1].astype(jnp.int32)
+    c0 = wpc[:, 0].astype(jnp.int32)
+    rr = jnp.clip(r0[:, None, None] + offs[None, :, None], 0, H - 1)
+    cc = jnp.clip(c0[:, None, None] + offs[None, None, :], 0, W - 1)
+    dwin = depth[rr, cc]  # (G, 2h+1, 2h+1)
+    center = jnp.zeros((2 * half + 1, 2 * half + 1), bool).at[half, half].set(True)
+    broke = (dwin != 0.0) & (~center[None]) & (
+        jnp.abs(wcam[:, 2:3, None] - dwin) > DEPTH_CONT_GATE
+    )
+    depth_ok = ~jnp.any(broke, axis=(1, 2))
+
+    # --- phase 4: reference observation + warp (:518-555) ----------------
+    ref = vmap_mod.close_view_obs(vm, widx, campos)
+    t_ok = has_map & depth_ok & ref["ok"]
+
+    depth_ref = jnp.linalg.norm(ref["campos"] - wpos, axis=-1)
+    f_ref = ref["f"]
+    xyz_ref = f_ref * depth_ref[:, None]
+    # pixel offsets on the ref image (level_ref = 0, pyramid_level = 0)
+    du_px = ref["px"] + jnp.asarray([half, 0.0], img.dtype)
+    dv_px = ref["px"] + jnp.asarray([0.0, half], img.dtype)
+    f_du = cam_mod.cam2world(cam, du_px)
+    f_dv = cam_mod.cam2world(cam, dv_px)
+    xyz_du = f_du * (xyz_ref[:, 2] / f_du[:, 2])[:, None]
+    xyz_dv = f_dv * (xyz_ref[:, 2] / f_dv[:, 2])[:, None]
+    # T_cur_ref
+    R_cr = jnp.einsum("ij,kmj->kim", rcw, ref["rcw"])  # rcw @ ref_rcw^T
+    t_cr = pcw[None, :] - jnp.einsum("kim,km->ki", R_cr, ref["pcw"])
+
+    def proj(x):
+        xc = jnp.einsum("kim,km->ki", R_cr, x) + t_cr
+        return cam_mod.world2cam(cam, xc)
+
+    px_cur = proj(xyz_ref)
+    px_du = proj(xyz_du)
+    px_dv = proj(xyz_dv)
+    A = jnp.stack(
+        [(px_du - px_cur) / half, (px_dv - px_cur) / half], axis=-1
+    )  # (G, 2, 2) columns
+    detA = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    search_level = (detA > 3.0).astype(jnp.int32) + (detA > 12.0).astype(jnp.int32)
+    # A_ref_cur = inv(A)
+    inv_det = 1.0 / jnp.where(jnp.abs(detA) < 1e-12, 1e-12, detA)
+    A_inv = (
+        jnp.stack(
+            [
+                jnp.stack([A[:, 1, 1], -A[:, 0, 1]], -1),
+                jnp.stack([-A[:, 1, 0], A[:, 0, 0]], -1),
+            ],
+            axis=-2,
+        )
+        * inv_det[:, None, None]
+    )
+
+    patches = jnp.stack(
+        [
+            img_ops.affine_warp_patches(
+                vm.imgs, ref["slot"], A_inv, ref["px"], P, search_level, lvl
+            )
+            for lvl in range(3)
+        ],
+        axis=1,
+    )  # (G, 3, P, P)
+
+    # --- phase 5: photometric outlier gate (:557-570) ---------------------
+    cur_patch = img_ops.extract_patches(img, wpc, P, 1)
+    err0 = jnp.sum((patches[:, 0] - cur_patch) ** 2, axis=(-2, -1))
+    t_ok = t_ok & (err0 <= outlier_threshold * P * P)
+    if ncc_en:
+        a = patches[:, 0].reshape(G, -1)
+        b = cur_patch.reshape(G, -1)
+        am = a - a.mean(-1, keepdims=True)
+        bm = b - b.mean(-1, keepdims=True)
+        ncc = jnp.sum(am * bm, -1) / jnp.sqrt(
+            jnp.sum(am * am, -1) * jnp.sum(bm * bm, -1) + 1e-10
+        )
+        t_ok = t_ok & (ncc >= ncc_thre)
+
+    return TrackedSet(
+        idx=widx,
+        pos=wpos,
+        patch=patches,
+        search_level=search_level,
+        valid=t_ok,
+        cell_value=cell_value,
+        errors=err0,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_size", "patch_size", "gw", "gh")
+)
+def select_new_points(
+    cam: cam_mod.Camera,
+    rcw: jnp.ndarray,
+    pcw: jnp.ndarray,
+    img: jnp.ndarray,
+    pg: jnp.ndarray,  # (M, 3) world cloud
+    pg_mask: jnp.ndarray,
+    cell_value: jnp.ndarray,  # (G,) best map-point score per cell
+    grid_size: int,
+    patch_size: int,
+    gw: int,
+    gh: int,
+):
+    """addSparseMap winner selection (:150-167 + :173-195): per cell, the
+    max-Shi-Tomasi scan point; added iff it beats the cell's map score.
+
+    Returns (pos (G,3), px (G,2), f (G,3), score (G,), add_mask (G,))."""
+    H, W = img.shape
+    G = gw * gh
+    half = patch_size // 2
+    border = (half + 1) * 8
+    M = pg.shape[0]
+    p_cam = pg @ rcw.T + pcw
+    z = p_cam[:, 2]
+    pc = cam_mod.world2cam(cam, p_cam)
+    ok = pg_mask & (z > 0) & cam_mod.is_in_frame(cam, pc, border)
+    score = img_ops.shi_tomasi(img, pc)
+    cell = (pc[:, 0] / grid_size).astype(jnp.int32) * gh + (
+        pc[:, 1] / grid_size
+    ).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, G - 1)
+    # argmax by packed scatter-min of (inverted score bits, row)
+    inv_bits = jnp.int32(0x7FFFFFFF) - _f32_bits(jnp.maximum(score, 0.0))
+    key = _pack_min(inv_bits, jnp.arange(M))
+    key = jnp.where(ok, key, jnp.int64(0x7FFFFFFFFFFFFFFF))
+    cell_min = (
+        jnp.full(G, 0x7FFFFFFFFFFFFFFF, jnp.int64)
+        .at[jnp.where(ok, cell, G)]
+        .min(key, mode="drop")
+    )
+    found = cell_min < 0x7FFFFFFFFFFFFFFF
+    row = jnp.clip((cell_min & jnp.int64(0xFFFFF)).astype(jnp.int32), 0, M - 1)
+    wscore = score[row]
+    add = found & (wscore > cell_value)  # beats the map (:160)
+    wpc = pc[row]
+    return pg[row], wpc, cam_mod.cam2world(cam, wpc), wscore, add
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch_size", "level", "max_iter")
+)
+def photometric_update(
+    state: NavState,
+    prior: NavState,
+    cam: cam_mod.Camera,
+    img: jnp.ndarray,
+    tr_pos: jnp.ndarray,  # (G, 3)
+    tr_patch: jnp.ndarray,  # (G, 3, P, P)
+    tr_slevel: jnp.ndarray,  # (G,)
+    tr_valid: jnp.ndarray,  # (G,)
+    Rci: jnp.ndarray,  # (3,3) f32
+    Pci: jnp.ndarray,  # (3,)
+    Jdphi_dR: jnp.ndarray,  # (3,3)
+    Jdp_dR: jnp.ndarray,  # (3,3)
+    img_point_cov: float,
+    patch_size: int,
+    level: int,
+    max_iter: int,
+):
+    """UpdateState for one pyramid level (lidar_selection.cpp:743-902).
+
+    Iterates the photometric EKF with the reference's error-monotonicity
+    protocol: an iteration whose mean patch error increases rolls the
+    state back and stops. Returns (state, G (18,6) f64, per-point errors,
+    mean_error)."""
+    G_, P = tr_pos.shape[0], patch_size
+    dtype = img.dtype
+    f64 = jnp.float64
+    scale = (1 << level) * (2 ** tr_slevel)  # (G,) int
+
+    def compute_err_H(rot, pos):
+        rot32 = rot.astype(dtype)
+        pos32 = pos.astype(dtype)
+        rcw = Rci @ rot32.T
+        pcw = -rcw @ pos32 + Pci
+        Jdp_dt = rcw  # Rci * Rwi^T (:783)
+        pf = tr_pos @ rcw.T + pcw  # (G, 3)
+        front = pf[:, 2] > 1e-6
+        pc = cam_mod.world2cam(cam, pf)
+        val, du, dv = img_ops.patches_and_grads(img, pc, P, scale)
+        res = val - tr_patch[:, level]  # (G, P, P)
+        # Jdpi (G,2,3) (:92-103)
+        zi = 1.0 / jnp.where(front, pf[:, 2], 1.0)
+        zi2 = zi * zi
+        fx, fy = cam.fx, cam.fy
+        Jdpi = jnp.stack(
+            [
+                jnp.stack([fx * zi, jnp.zeros_like(zi), -fx * pf[:, 0] * zi2], -1),
+                jnp.stack([jnp.zeros_like(zi), fy * zi, -fy * pf[:, 1] * zi2], -1),
+            ],
+            axis=-2,
+        )
+        # Jimg (G,P,P,2) -> chain (:826-832)
+        Jimg = jnp.stack([du, dv], axis=-1)
+        JIp = jnp.einsum("gxyc,gcd->gxyd", Jimg, Jdpi)  # (G,P,P,3)
+        p_hat = so3.skew(pf)  # (G,3,3)
+        Jdphi = jnp.einsum("gxyd,gde->gxye", JIp, p_hat)
+        JdR = jnp.einsum("gxye,ef->gxyf", Jdphi, Jdphi_dR) + jnp.einsum(
+            "gxyd,df->gxyf", -JIp, Jdp_dR
+        )
+        Jdt = jnp.einsum("gxyd,df->gxyf", -JIp, Jdp_dt)
+        h = jnp.concatenate([JdR, Jdt], axis=-1)  # (G,P,P,6)
+        w = (tr_valid & front).astype(dtype)[:, None, None]
+        res_w = res * w
+        n_meas = jnp.maximum(jnp.sum(w) * P * P, 1.0)
+        perr = jnp.sum(res_w * res_w, axis=(1, 2))  # (G,)
+        err = jnp.sum(perr) / n_meas
+        hw = (h * w[..., None]).reshape(-1, 6)
+        hf = h.reshape(-1, 6)
+        HTH6 = hw.T @ hf
+        HTz = hw.T @ res.reshape(-1)
+        return err, HTH6, HTz, perr
+
+    def body(carry):
+        (it, rot, pos, vel, bg, ba, grav,
+         o_rot, o_pos, o_vel, o_bg, o_ba, o_grav,
+         last_err, Gmat, perr_out, end) = carry
+        err, HTH6, HTz, perr = compute_err_H(rot, pos)
+        improved = err <= last_err
+
+        P_ = prior.cov.astype(f64) / jnp.asarray(img_point_cov, f64)
+        K16 = linalg_ops.kalman_gain6(P_, HTH6.astype(f64))
+        G_new = K16 @ HTH6.astype(f64)
+        vec = jnp.concatenate(
+            [
+                so3.log(rot.T @ prior.rot),
+                prior.pos - pos,
+                prior.vel - vel,
+                prior.bg - bg,
+                prior.ba - ba,
+                prior.grav - grav,
+            ]
+        )
+        sol = -K16 @ HTz.astype(f64) + vec - G_new @ vec[0:6]
+
+        n_rot = rot @ so3.exp(sol[0:3])
+        n_pos = pos + sol[3:6]
+        n_vel = vel + sol[6:9]
+        n_bg = bg + sol[9:12]
+        n_ba = ba + sol[12:15]
+        n_grav = grav + sol[15:18]
+        conv = (jnp.linalg.norm(sol[0:3]) * 57.3 < CONV_ROT_DEG) & (
+            jnp.linalg.norm(sol[3:6]) * 100.0 < CONV_POS_CM
+        )
+
+        # improved: save current as rollback point, apply solution
+        # not improved: roll back to old state and stop (:889-892)
+        sel = lambda a, b: jnp.where(improved, a, b)
+        rot2 = sel(n_rot, o_rot); pos2 = sel(n_pos, o_pos)
+        vel2 = sel(n_vel, o_vel); bg2 = sel(n_bg, o_bg)
+        ba2 = sel(n_ba, o_ba); grav2 = sel(n_grav, o_grav)
+        o2 = (sel(rot, o_rot), sel(pos, o_pos), sel(vel, o_vel),
+              sel(bg, o_bg), sel(ba, o_ba), sel(grav, o_grav))
+        return (
+            it + 1, rot2, pos2, vel2, bg2, ba2, grav2, *o2,
+            jnp.where(improved, err, last_err),
+            jnp.where(improved, G_new, Gmat),
+            jnp.where(improved, perr, perr_out),
+            end | ~improved | conv,
+        )
+
+    init = (
+        jnp.int32(0),
+        state.rot, state.pos, state.vel, state.bg, state.ba, state.grav,
+        state.rot, state.pos, state.vel, state.bg, state.ba, state.grav,
+        jnp.asarray(1e10, f64),
+        jnp.zeros((DIM_STATE, 6), f64),
+        jnp.full(G_, 1e10, dtype),
+        jnp.bool_(False),
+    )
+    out = jax.lax.while_loop(
+        lambda c: (~c[-1]) & (c[0] < max_iter), body, init
+    )
+    (it, rot, pos, vel, bg, ba, grav, *_rest) = out
+    last_err, Gmat, perr = out[13], out[14], out[15]
+    new_state = NavState(rot, pos, vel, bg, ba, grav, state.cov)
+    return new_state, Gmat, perr, last_err
+
+
+@jax.jit
+def prep_observations(
+    vm: vmap_mod.VisualMap,
+    cam: cam_mod.Camera,
+    rcw: jnp.ndarray,
+    pcw: jnp.ndarray,
+    img: jnp.ndarray,
+    idx: jnp.ndarray,  # (G,) tracked point indices
+    valid: jnp.ndarray,  # (G,)
+):
+    """addObservation conditions vs the most recent observation
+    (lidar_selection.cpp:928-950): add when Δp > 0.5 m, Δθ > 10 (rad —
+    the reference compares radians against 10, kept as-is), or pixel
+    distance > 40. Returns (px, f, score, add_mask)."""
+    NP = vm.pos.shape[0]
+    safe = jnp.clip(idx, 0, NP - 1)
+    pos = vm.pos[safe]
+    pf = pos @ rcw.T + pcw
+    pc = cam_mod.world2cam(cam, pf)
+    fid = vm.obs_fid[safe]  # (G, KO)
+    last = jnp.argmax(fid, axis=-1)  # most recent obs
+    take = lambda a: jnp.take_along_axis(
+        a, last.reshape(-1, *([1] * (a.ndim - 1))), axis=1
+    )[:, 0]
+    ref_rcw = take(vm.obs_rcw[safe])
+    ref_pcw = take(vm.obs_pcw[safe])
+    ref_px = take(vm.obs_px[safe])
+    # delta_pose = T_ref_w * T_w_cur
+    Rd = jnp.einsum("kij,mj->kim", ref_rcw, rcw.T)  # ref_rcw @ rcw^T
+    td = ref_pcw - jnp.einsum("kim,m->ki", Rd, pcw)
+    delta_p = jnp.linalg.norm(td, axis=-1)
+    tr = Rd[:, 0, 0] + Rd[:, 1, 1] + Rd[:, 2, 2]
+    delta_theta = jnp.where(
+        tr > 3.0 - 1e-6, 0.0, jnp.arccos(jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+    )
+    pix_dist = jnp.linalg.norm(pc - ref_px, axis=-1)
+    add = valid & (
+        (delta_p > 0.5) | (delta_theta > 10.0) | (pix_dist > 40.0)
+    )
+    score = img_ops.shi_tomasi(img, pc)
+    f = cam_mod.cam2world(cam, pc)
+    return pc, f, score, add
+
+
+class Vio:
+    """Host-side orchestration of the per-image VIO step (the
+    LidarSelector object, lidar_selection.h:37-171)."""
+
+    def __init__(self, cfg: Config):
+        cap = cfg.capacity
+        self.cfg = cfg
+        self.cam = cam_mod.from_config(cfg.camera)
+        self.grid_size = cfg.grid_size
+        self.patch_size = cfg.patch_size
+        self.gw = cfg.camera.width // cfg.grid_size
+        self.gh = cfg.camera.height // cfg.grid_size
+        # extrinsics (lidar_selection.cpp:35-52): Rli/Pli are IMU->lidar
+        R_li = cfg.extrinsic_R  # lidar -> IMU
+        t_li = cfg.extrinsic_T
+        Rli = R_li.T
+        Pli = -R_li.T @ t_li
+        Rcl, Pcl = cfg.Rcl_mat, cfg.Pcl_vec
+        Rci = Rcl @ Rli
+        Pci = Rcl @ Pli + Pcl
+        Pic = -Rci.T @ Pci
+        self.Rci = jnp.asarray(Rci, jnp.float32)
+        self.Pci = jnp.asarray(Pci, jnp.float32)
+        self.Jdphi_dR = jnp.asarray(Rci, jnp.float32)
+        skew_pic = np.array(
+            [[0, -Pic[2], Pic[1]], [Pic[2], 0, -Pic[0]], [-Pic[1], Pic[0], 0]]
+        )
+        self.Jdp_dR = jnp.asarray(-Rci @ skew_pic, jnp.float32)
+
+        self.vmap = vmap_mod.empty_visual_map(
+            n_points=cap.vmap_points,
+            n_obs=cap.vmap_obs,
+            table_size=cap.vmap_table_size,
+            voxel_cap=cap.vmap_voxel_cap,
+            ring=cap.frame_ring,
+            height=cfg.camera.height,
+            width=cfg.camera.width,
+        )
+        self.fid = 0
+        self.last_cloud: Optional[np.ndarray] = None
+        self.max_pg = cap.max_cands
+        self.max_vox = 2048
+        self.last_stats = {}
+
+    def set_last_cloud(self, pts_world: Optional[np.ndarray]):
+        if pts_world is not None:
+            self.last_cloud = pts_world
+
+    # -----------------------------------------------------------------
+    def _to_gray(self, img: np.ndarray) -> np.ndarray:
+        if img.ndim == 3:  # BGR -> gray (detect :1037)
+            img = 0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
+        img = np.asarray(img, np.float32)
+        H, W = self.cam.height, self.cam.width
+        if img.shape != (H, W):  # resize-to-half path (:1029-1034)
+            sy, sx = img.shape[0] // H, img.shape[1] // W
+            img = img[::sy, ::sx][:H, :W]
+        return img
+
+    def update(self, state: NavState, prior: NavState, img: np.ndarray) -> NavState:
+        """The `detect` entry (lidar_selection.cpp:1027-1075)."""
+        cfg = self.cfg
+        gray = jnp.asarray(self._to_gray(img))
+        fid = jnp.int32(self.fid)
+        self.vmap = vmap_mod.push_image(self.vmap, gray, fid)
+
+        rot32 = np.asarray(state.rot, np.float32)
+        pos32 = np.asarray(state.pos, np.float32)
+        rcw = np.asarray(self.Rci) @ rot32.T
+        pcw = -rcw @ pos32 + np.asarray(self.Pci)
+        rcw_j = jnp.asarray(rcw)
+        pcw_j = jnp.asarray(pcw)
+
+        if self.last_cloud is None or len(self.last_cloud) < 10:
+            self.fid += 1
+            return state
+
+        pg_down, pg_mask = voxel_downsample(
+            self.last_cloud, 0.2, max_out=self.max_pg
+        )
+        vox_np = np.unique(
+            np.floor(pg_down[pg_mask] / vmap_mod.VOXEL_SIZE).astype(np.int32),
+            axis=0,
+        )
+        nv = min(len(vox_np), self.max_vox)
+        vox = np.zeros((self.max_vox, 3), np.int32)
+        vox[:nv] = vox_np[:nv]
+        vox_mask = np.zeros(self.max_vox, bool)
+        vox_mask[:nv] = True
+
+        n_pts = int(self.vmap.n_pts)
+        stats = {"tracked": 0, "added": 0, "err": 0.0}
+        tracked = None
+        if n_pts > 0:
+            tracked = select_tracked(
+                self.vmap, self.cam, rcw_j, pcw_j, gray,
+                jnp.asarray(pg_down), jnp.asarray(pg_mask),
+                jnp.asarray(vox), jnp.asarray(vox_mask),
+                outlier_threshold=cfg.outlier_threshold,
+                ncc_thre=cfg.ncc_thre,
+                grid_size=self.grid_size, patch_size=self.patch_size,
+                gw=self.gw, gh=self.gh, ncc_en=cfg.ncc_en,
+            )
+            stats["tracked"] = int(jnp.sum(tracked.valid))
+            cell_value = tracked.cell_value
+        else:
+            cell_value = jnp.zeros(self.gw * self.gh, jnp.float32)
+
+        # --- addSparseMap with the PRIOR pose (:1054 runs before ComputeJ)
+        npos, npx, nf, nscore, nadd = select_new_points(
+            self.cam, rcw_j, pcw_j, gray,
+            jnp.asarray(pg_down), jnp.asarray(pg_mask), cell_value,
+            grid_size=self.grid_size, patch_size=self.patch_size,
+            gw=self.gw, gh=self.gh,
+        )
+
+        # --- iterated photometric EKF, coarse to fine (:967-983) ---------
+        if tracked is not None and stats["tracked"] > 0:
+            Gmat = None
+            for level in (2, 1, 0):
+                state, Gmat, perr, err = photometric_update(
+                    state, prior, self.cam, gray,
+                    tracked.pos, tracked.patch, tracked.search_level,
+                    tracked.valid,
+                    self.Rci, self.Pci, self.Jdphi_dR, self.Jdp_dR,
+                    img_point_cov=cfg.img_point_cov,
+                    patch_size=self.patch_size, level=level,
+                    max_iter=cfg.max_iteration,
+                )
+            stats["err"] = float(err)
+            # cov <- cov - G cov (:980)
+            cov = state.cov - Gmat @ state.cov[0:6, :]
+            state = state._replace(cov=cov)
+
+            # --- addObservation with the POSTERIOR pose (:1064) ----------
+            rcw2 = np.asarray(self.Rci) @ np.asarray(state.rot, np.float32).T
+            pcw2 = -rcw2 @ np.asarray(state.pos, np.float32) + np.asarray(self.Pci)
+            opc, of, oscore, oadd = prep_observations(
+                self.vmap, self.cam, jnp.asarray(rcw2), jnp.asarray(pcw2),
+                gray, tracked.idx, tracked.valid,
+            )
+            self.vmap = vmap_mod.add_observations(
+                self.vmap, tracked.idx, opc, of, jnp.asarray(rcw2),
+                jnp.asarray(pcw2), oscore, fid, tracked.search_level, oadd,
+            )
+
+        # new map points carry the prior-pose first observation (:178-190)
+        self.vmap = vmap_mod.add_points(
+            self.vmap, npos, npx, nf, rcw_j, pcw_j, nscore, fid, nadd
+        )
+        stats["added"] = int(jnp.sum(nadd))
+        self.last_stats = stats
+        self.fid += 1
+        return state

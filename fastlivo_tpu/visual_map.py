@@ -1,0 +1,328 @@
+"""SoA visual sparse map: points, observation rings, voxel index, image ring.
+
+TPU-native redesign of the reference's pointer-based visual map
+(reference: `feat_map` voxel hash of `VOXEL_POINTS*` lidar_selection.h:118
++ common_lib.h:80-146; `Point` with a list of `Feature*` observations
+point.h:30-107, feature.h:27-63). The OO pointer graph becomes
+fixed-capacity arrays with int32 indices (SURVEY.md §7):
+
+  - points: positions + Shi-Tomasi value + per-point observation ring
+    of up to KO=20 entries (cap semantics of lidar_selection.cpp:944-951);
+  - observations store everything a `Feature` carries: pixel, bearing,
+    world->camera pose at capture, camera center, pyramid level, plus an
+    int32 slot into the reference-image ring;
+  - the reference keeps every observing image alive via shared_ptr
+    (unbounded memory); here images live in a bounded ring of R slots
+    and an observation whose slot has been overwritten is masked out of
+    `close_view_obs` (documented deviation: obs older than R frames lose
+    their reference image);
+  - `feat_map` becomes an open-addressing voxel hash whose slots hold up
+    to VC point indices (0.5 m voxels, AddPoint lidar_selection.cpp:
+    204-230); a full voxel drops further inserts (the reference grows
+    the per-voxel vector unboundedly).
+
+All mutation ops are batched masked scatters with static shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VOXEL_SIZE = 0.5  # lidar_selection.cpp:210
+EMPTY = jnp.int32(-2147483648)
+_H1 = jnp.int32(73856093)
+_H2 = jnp.int32(19349663)
+_H3 = jnp.int32(83492791)
+
+
+class VisualMap(NamedTuple):
+    # points
+    pos: jnp.ndarray  # (NP, 3) f32 world position
+    value: jnp.ndarray  # (NP,) f32 Shi-Tomasi score
+    n_obs: jnp.ndarray  # (NP,) i32
+    n_pts: jnp.ndarray  # () i32 allocation cursor
+    # observation rings
+    obs_px: jnp.ndarray  # (NP, KO, 2) f32
+    obs_f: jnp.ndarray  # (NP, KO, 3) f32 camera-frame bearing
+    obs_rcw: jnp.ndarray  # (NP, KO, 3, 3) f32 world->cam rotation
+    obs_pcw: jnp.ndarray  # (NP, KO, 3) f32 world->cam translation
+    obs_campos: jnp.ndarray  # (NP, KO, 3) f32 camera center in world
+    obs_slot: jnp.ndarray  # (NP, KO) i32 image ring slot
+    obs_fid: jnp.ndarray  # (NP, KO) i32 frame id (-1 empty)
+    obs_level: jnp.ndarray  # (NP, KO) i32 feature level
+    # voxel hash
+    vox_keys: jnp.ndarray  # (T, 3) i32
+    vox_count: jnp.ndarray  # (T,) i32
+    vox_idx: jnp.ndarray  # (T, VC) i32 point indices
+    # reference image ring
+    imgs: jnp.ndarray  # (R, H, W) f32
+    img_fid: jnp.ndarray  # (R,) i32 frame id stored in slot (-1 empty)
+
+
+def empty_visual_map(
+    n_points: int = 1 << 16,
+    n_obs: int = 20,
+    table_size: int = 1 << 18,
+    voxel_cap: int = 16,
+    ring: int = 64,
+    height: int = 512,
+    width: int = 640,
+    dtype=jnp.float32,
+) -> VisualMap:
+    assert table_size & (table_size - 1) == 0
+    NP, KO, T, VC, R = n_points, n_obs, table_size, voxel_cap, ring
+    return VisualMap(
+        pos=jnp.zeros((NP, 3), dtype),
+        value=jnp.zeros(NP, dtype),
+        n_obs=jnp.zeros(NP, jnp.int32),
+        n_pts=jnp.int32(0),
+        obs_px=jnp.zeros((NP, KO, 2), dtype),
+        obs_f=jnp.zeros((NP, KO, 3), dtype),
+        obs_rcw=jnp.zeros((NP, KO, 3, 3), dtype),
+        obs_pcw=jnp.zeros((NP, KO, 3), dtype),
+        obs_campos=jnp.zeros((NP, KO, 3), dtype),
+        obs_slot=jnp.zeros((NP, KO), jnp.int32),
+        obs_fid=jnp.full((NP, KO), -1, jnp.int32),
+        obs_level=jnp.zeros((NP, KO), jnp.int32),
+        vox_keys=jnp.full((T, 3), EMPTY, jnp.int32),
+        vox_count=jnp.zeros(T, jnp.int32),
+        vox_idx=jnp.zeros((T, VC), jnp.int32),
+        imgs=jnp.zeros((R, height, width), dtype),
+        img_fid=jnp.full(R, -1, jnp.int32),
+    )
+
+
+def voxel_of(p: jnp.ndarray) -> jnp.ndarray:
+    return jnp.floor(p / VOXEL_SIZE).astype(jnp.int32)
+
+
+def _hash(keys: jnp.ndarray, mask: int) -> jnp.ndarray:
+    h = keys[..., 0] * _H1 ^ keys[..., 1] * _H2 ^ keys[..., 2] * _H3
+    return h & jnp.int32(mask)
+
+
+@jax.jit
+def push_image(m: VisualMap, img: jnp.ndarray, fid: jnp.ndarray) -> VisualMap:
+    """Store the frame's grayscale image in ring slot fid % R."""
+    R = m.imgs.shape[0]
+    slot = fid % R
+    return m._replace(
+        imgs=m.imgs.at[slot].set(img.astype(m.imgs.dtype)),
+        img_fid=m.img_fid.at[slot].set(fid),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_probe",))
+def add_points(
+    m: VisualMap,
+    pts: jnp.ndarray,  # (B, 3) world positions
+    px: jnp.ndarray,  # (B, 2) pixel of first observation
+    f: jnp.ndarray,  # (B, 3) bearing
+    rcw: jnp.ndarray,  # (3, 3) current world->cam rotation
+    pcw: jnp.ndarray,  # (3,) current world->cam translation
+    value: jnp.ndarray,  # (B,) Shi-Tomasi scores
+    fid: jnp.ndarray,  # () frame id
+    mask: jnp.ndarray,  # (B,) bool
+    max_probe: int = 12,
+) -> VisualMap:
+    """Batched AddPoint (lidar_selection.cpp:204-230) + addFrameRef with
+    the creation Feature (addSparseMap :178-190, level=0)."""
+    NP = m.pos.shape[0]
+    B = pts.shape[0]
+    T = m.vox_keys.shape[0]
+    VC = m.vox_idx.shape[1]
+    tmask = T - 1
+
+    # --- allocate point indices -----------------------------------------
+    mask = mask & (m.n_pts + jnp.cumsum(mask.astype(jnp.int32)) <= NP)
+    order_idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.where(mask, m.n_pts + order_idx, NP)  # NP = dropped
+    n_new = jnp.sum(mask, dtype=jnp.int32)
+
+    campos = -pcw @ rcw  # R^T(-p): camera center in world
+
+    mm = m._replace(
+        pos=m.pos.at[idx].set(pts, mode="drop"),
+        value=m.value.at[idx].set(value, mode="drop"),
+        n_obs=m.n_obs.at[idx].set(1, mode="drop"),
+        n_pts=m.n_pts + n_new,
+        obs_px=m.obs_px.at[idx, 0].set(px, mode="drop"),
+        obs_f=m.obs_f.at[idx, 0].set(f, mode="drop"),
+        obs_rcw=m.obs_rcw.at[idx, 0].set(rcw, mode="drop"),
+        obs_pcw=m.obs_pcw.at[idx, 0].set(pcw, mode="drop"),
+        obs_campos=m.obs_campos.at[idx, 0].set(campos, mode="drop"),
+        obs_slot=m.obs_slot.at[idx, 0].set(fid % m.imgs.shape[0], mode="drop"),
+        obs_fid=m.obs_fid.at[idx, 0].set(fid, mode="drop"),
+        obs_level=m.obs_level.at[idx, 0].set(0, mode="drop"),
+    )
+
+    # --- voxel-hash insert ----------------------------------------------
+    keys = voxel_of(pts)
+    keys = jnp.where(mask[:, None], keys, EMPTY + 1)
+    # rank of each point within its voxel (stable in-batch ordering)
+    ord_ = jnp.lexsort((jnp.arange(B), keys[:, 0], keys[:, 1], keys[:, 2]))
+    ks = keys[ord_]
+    same = jnp.all(ks == jnp.roll(ks, 1, axis=0), axis=-1)
+    same = same.at[0].set(False)
+    # rank via segmented cumsum
+    seg_start = ~same
+    grp = jnp.cumsum(seg_start) - 1
+    pos_in_batch = jnp.arange(B)
+    first_of_grp = (
+        jnp.full(B, B, jnp.int32).at[grp].min(pos_in_batch.astype(jnp.int32))
+    )
+    rank = pos_in_batch.astype(jnp.int32) - first_of_grp[grp]
+    is_leader = seg_start & mask[ord_]
+
+    vk, vc, vi = mm.vox_keys, mm.vox_count, mm.vox_idx
+    slot = _hash(ks, tmask)
+    done = ~mask[ord_]
+    resolved = jnp.full(B, T, jnp.int32)
+    for _ in range(max_probe):
+        cur = vk[slot]
+        is_empty = cur[:, 0] == EMPTY
+        is_mine = jnp.all(cur == ks, axis=-1) & ~done
+        claim = is_empty & is_leader & ~done
+        claim_idx = jnp.where(claim, slot, T)
+        vk = vk.at[claim_idx].set(ks, mode="drop")
+        won = claim & jnp.all(vk[slot] == ks, axis=-1)
+        hit = is_mine | won
+        resolved = jnp.where(hit & (resolved == T), slot, resolved)
+        done = done | hit
+        slot = (slot + 1) & tmask
+    # followers share the leader's resolved slot
+    lead_res = jnp.full(B, T, jnp.int32).at[grp].min(resolved)
+    res_all = lead_res[grp]
+    write_pos = vc[jnp.minimum(res_all, T - 1)] + rank
+    ok = (res_all < T) & mask[ord_] & (write_pos < VC)
+    w_slot = jnp.where(ok, res_all, T)
+    vi = vi.at[w_slot, jnp.minimum(write_pos, VC - 1)].set(
+        idx[ord_], mode="drop"
+    )
+    # per-voxel count increment: number of accepted rows per group,
+    # applied once at each group's leader row
+    inc = jnp.zeros(B, jnp.int32).at[grp].add(ok.astype(jnp.int32))
+    vc = vc.at[jnp.where(is_leader, res_all, T)].add(inc[grp], mode="drop")
+    return mm._replace(vox_keys=vk, vox_count=vc, vox_idx=vi)
+
+
+@functools.partial(jax.jit, static_argnames=("max_probe",))
+def gather_voxel_points(
+    m: VisualMap, vox: jnp.ndarray, vmask: jnp.ndarray, max_probe: int = 12
+):
+    """feat_map lookup for a batch of voxel keys (addFromSparseMap
+    :423-447): (Nv, 3) int voxel coords -> (Nv, VC) point indices +
+    validity."""
+    T = m.vox_keys.shape[0]
+    VC = m.vox_idx.shape[1]
+    tmask = T - 1
+    keys = jnp.where(vmask[:, None], vox, EMPTY + 1)
+    slot = _hash(keys, tmask)
+    resolved = jnp.full(keys.shape[0], T, jnp.int32)
+    found = jnp.zeros(keys.shape[0], bool)
+    for _ in range(max_probe):
+        cur = m.vox_keys[slot]
+        hit = jnp.all(cur == keys, axis=-1) & ~found
+        resolved = jnp.where(hit, slot, resolved)
+        found = found | hit
+        slot = (slot + 1) & tmask
+    safe = jnp.minimum(resolved, T - 1)
+    idx = m.vox_idx[safe]  # (Nv, VC)
+    cnt = jnp.where(found, m.vox_count[safe], 0)
+    valid = jnp.arange(VC)[None, :] < cnt[:, None]
+    return idx, valid
+
+
+@jax.jit
+def close_view_obs(m: VisualMap, idx: jnp.ndarray, campos: jnp.ndarray):
+    """Point::getCloseViewObs (point.cpp:141-178) batched over point
+    indices (K,): pick the observation whose viewing ray has max cosine
+    to the current one; reject below cos 60 deg.
+
+    Returns dict of ref-obs fields + ok (K,) (False also when the obs
+    image slot was recycled)."""
+    K = idx.shape[0]
+    R = m.imgs.shape[0]
+    safe = jnp.clip(idx, 0, m.pos.shape[0] - 1)
+    pos = m.pos[safe]  # (K, 3)
+    obs_dir = campos[None, :] - pos
+    obs_dir = obs_dir / (jnp.linalg.norm(obs_dir, axis=-1, keepdims=True) + 1e-12)
+    dirs = m.obs_campos[safe] - pos[:, None, :]  # (K, KO, 3)
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    cos = jnp.einsum("kj,koj->ko", obs_dir, dirs)
+    fid = m.obs_fid[safe]  # (K, KO)
+    valid = fid >= 0
+    # image still in ring?
+    slot = m.obs_slot[safe]
+    img_ok = m.img_fid[jnp.clip(slot, 0, R - 1)] == fid
+    usable = valid & img_ok
+    cos = jnp.where(usable, cos, -2.0)
+    best = jnp.argmax(cos, axis=-1)  # (K,)
+    best_cos = jnp.take_along_axis(cos, best[:, None], axis=1)[:, 0]
+    ok = best_cos > 0.5
+
+    def take(a):
+        return jnp.take_along_axis(
+            a, best.reshape(K, *([1] * (a.ndim - 1))), axis=1
+        )[:, 0]
+
+    return {
+        "px": take(m.obs_px[safe]),
+        "f": take(m.obs_f[safe]),
+        "rcw": take(m.obs_rcw[safe]),
+        "pcw": take(m.obs_pcw[safe]),
+        "campos": take(m.obs_campos[safe]),
+        "slot": take(m.obs_slot[safe]),
+        "fid": take(fid),
+        "level": take(m.obs_level[safe]),
+        "cos": best_cos,
+        "ok": ok,
+    }
+
+
+@jax.jit
+def add_observations(
+    m: VisualMap,
+    idx: jnp.ndarray,  # (K,) point indices (unique)
+    px: jnp.ndarray,  # (K, 2)
+    f: jnp.ndarray,  # (K, 3)
+    rcw: jnp.ndarray,  # (3, 3)
+    pcw: jnp.ndarray,  # (3,)
+    value: jnp.ndarray,  # (K,) new Shi-Tomasi values
+    fid: jnp.ndarray,  # ()
+    level: jnp.ndarray,  # (K,) search levels
+    mask: jnp.ndarray,  # (K,) bool add_flag
+) -> VisualMap:
+    """Batched addObservation append (lidar_selection.cpp:913-965): when
+    the ring is full, overwrite the furthest-view observation
+    (getFurthestViewObs eviction, point.cpp:219-247)."""
+    KO = m.obs_px.shape[1]
+    NP = m.pos.shape[0]
+    safe = jnp.clip(idx, 0, NP - 1)
+    campos = -pcw @ rcw
+    n = m.n_obs[safe]
+    full = n >= KO
+    dist = jnp.linalg.norm(
+        m.obs_campos[safe] - campos[None, None, :], axis=-1
+    )  # (K, KO)
+    dist = jnp.where(m.obs_fid[safe] >= 0, dist, -1.0)
+    evict = jnp.argmax(dist, axis=-1)
+    w = jnp.where(full, evict, jnp.minimum(n, KO - 1))  # (K,)
+    widx = jnp.where(mask, safe, NP)
+    slot = fid % m.imgs.shape[0]
+    return m._replace(
+        value=m.value.at[widx].set(value, mode="drop"),
+        n_obs=m.n_obs.at[widx].set(jnp.minimum(n + 1, KO), mode="drop"),
+        obs_px=m.obs_px.at[widx, w].set(px, mode="drop"),
+        obs_f=m.obs_f.at[widx, w].set(f, mode="drop"),
+        obs_rcw=m.obs_rcw.at[widx, w].set(rcw, mode="drop"),
+        obs_pcw=m.obs_pcw.at[widx, w].set(pcw, mode="drop"),
+        obs_campos=m.obs_campos.at[widx, w].set(campos, mode="drop"),
+        obs_slot=m.obs_slot.at[widx, w].set(slot, mode="drop"),
+        obs_fid=m.obs_fid.at[widx, w].set(fid, mode="drop"),
+        obs_level=m.obs_level.at[widx, w].set(level, mode="drop"),
+    )

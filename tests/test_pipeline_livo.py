@@ -1,0 +1,92 @@
+"""Full LIVO (LIO + VIO) end-to-end pipeline test on synthetic data.
+
+The camera looks horizontally (+x in the body frame) at the textured
+room walls; image groups interleave with scan-end groups exactly as in
+the reference's sync (laserMapping.cpp:520-690), exercising segmented
+IMU propagation, mid-scan VIO updates, and the merged-pose-table
+undistortion."""
+import numpy as np
+import pytest
+
+from fastlivo_tpu.config import CameraConfig, CapacityConfig, Config
+from fastlivo_tpu.io.synthetic import SyntheticDataset
+from fastlivo_tpu.pipeline import Pipeline
+
+W, H, F = 320, 256, 200.0
+# camera: z forward = body +x, x right = body -y, y down = body -z
+RCL = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+
+
+def livo_config():
+    cfg = Config()
+    cfg.img_enable = True
+    cfg.lidar_enable = True
+    cfg.max_iteration = 6
+    cfg.filter_size_surf = 0.3
+    cfg.filter_size_map = 0.3
+    cfg.grid_size = 32
+    cfg.patch_size = 8
+    cfg.outlier_threshold = 300.0
+    cfg.img_point_cov = 100.0
+    cfg.camera = CameraConfig(
+        width=W, height=H, fx=F, fy=F, cx=(W - 1) / 2.0, cy=(H - 1) / 2.0,
+        d=[0.0, 0.0, 0.0, 0.0],
+    )
+    cfg.Rcl = RCL.ravel().tolist()
+    cfg.Pcl = [0.0, 0.0, 0.0]
+    cfg.capacity = CapacityConfig(
+        map_table_size=1 << 17,
+        max_points=4096,
+        max_raw_points=8192,
+        max_imu_per_group=64,
+        vmap_points=8192,
+        vmap_table_size=1 << 15,
+        vmap_voxel_cap=8,
+        frame_ring=16,
+        max_cands=4096,
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def livo_run():
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=5,
+        cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL,
+    )
+    pipe = Pipeline(livo_config())
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    for t, img in ds.images():
+        pipe.push_img(t, img)
+    outs = pipe.spin()
+    return ds, pipe, outs
+
+
+def test_livo_runs_and_tracks(livo_run):
+    ds, pipe, outs = livo_run
+    assert len(outs) >= 40
+    assert pipe.vio is not None
+    assert int(pipe.vio.vmap.n_pts) > 50  # visual map populated
+    assert pipe.vio.last_stats.get("tracked", 0) > 5  # tracking alive
+
+
+def test_livo_trajectory_ate(livo_run):
+    ds, pipe, outs = livo_run
+    base = ds.traj.base_pos
+    errs = []
+    for o in outs:
+        if o.t < ds.traj.t_static + 0.5:
+            continue
+        _, pos_gt = ds.traj.pose(o.t)
+        errs.append(np.linalg.norm(o.pos - (pos_gt - base)))
+    ate = np.sqrt(np.mean(np.square(errs)))
+    assert ate < 0.06, f"LIVO ATE {ate:.4f} m"
+
+
+def test_livo_image_groups_interleaved(livo_run):
+    ds, pipe, outs = livo_run
+    # sync must have produced image groups (VIO frames processed)
+    assert pipe.vio.fid > 30

@@ -1,0 +1,130 @@
+"""SoA visual map tests: point/obs lifecycle, voxel index, ref selection."""
+import numpy as np
+import jax.numpy as jnp
+
+from fastlivo_tpu import visual_map as vmap
+
+
+def small_map():
+    return vmap.empty_visual_map(
+        n_points=256, n_obs=4, table_size=1 << 10, voxel_cap=4, ring=4,
+        height=32, width=40,
+    )
+
+
+def id_pose():
+    return jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+
+
+def test_add_points_and_voxel_lookup():
+    m = small_map()
+    pts = jnp.asarray([
+        [0.1, 0.1, 0.1],
+        [0.2, 0.2, 0.2],   # same 0.5-voxel
+        [3.0, 3.0, 3.0],   # different voxel
+        [9.9, 9.9, 9.9],   # masked out
+    ], jnp.float32)
+    rcw, pcw = id_pose()
+    m = vmap.add_points(
+        m, pts, jnp.zeros((4, 2)), jnp.tile(jnp.asarray([0., 0., 1.]), (4, 1)),
+        rcw, pcw, jnp.asarray([5., 6., 7., 8.]), jnp.int32(0),
+        jnp.asarray([True, True, True, False]),
+    )
+    assert int(m.n_pts) == 3
+    np.testing.assert_allclose(np.asarray(m.pos[:3]), np.asarray(pts[:3]))
+    idx, valid = vmap.gather_voxel_points(
+        m, jnp.asarray([[0, 0, 0], [6, 6, 6], [9, 9, 9]], jnp.int32),
+        jnp.ones(3, bool),
+    )
+    # voxel (0,0,0) holds points 0 and 1
+    got0 = set(np.asarray(idx[0])[np.asarray(valid[0])].tolist())
+    assert got0 == {0, 1}
+    got1 = set(np.asarray(idx[1])[np.asarray(valid[1])].tolist())
+    assert got1 == {2}
+    assert not np.any(np.asarray(valid[2]))  # empty voxel
+
+
+def test_add_points_capacity_drop():
+    m = small_map()
+    rcw, pcw = id_pose()
+    B = 300  # exceeds NP=256
+    pts = jnp.asarray(np.random.default_rng(0).uniform(0, 50, (B, 3)), jnp.float32)
+    m = vmap.add_points(
+        m, pts, jnp.zeros((B, 2)), jnp.zeros((B, 3)), rcw, pcw,
+        jnp.zeros(B), jnp.int32(0), jnp.ones(B, bool),
+    )
+    assert int(m.n_pts) == 256
+
+
+def test_observation_ring_and_eviction():
+    m = small_map()
+    rcw, pcw = id_pose()
+    pts = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+    m = vmap.add_points(
+        m, pts, jnp.zeros((1, 2)), jnp.asarray([[0., 0., 1.]]), rcw, pcw,
+        jnp.asarray([5.0]), jnp.int32(0), jnp.ones(1, bool),
+    )
+    # add 5 more obs from different camera positions (ring cap 4)
+    for k in range(1, 6):
+        pcw_k = jnp.asarray([-float(k), 0.0, 0.0], jnp.float32)  # campos (k,0,0)
+        m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
+        m = vmap.add_observations(
+            m, jnp.asarray([0], jnp.int32), jnp.asarray([[k * 2.0, 0.0]]),
+            jnp.asarray([[0., 0., 1.]]), rcw, pcw_k, jnp.asarray([9.0]),
+            jnp.int32(k), jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+        )
+    assert int(m.n_obs[0]) == 4  # capped
+    # newest obs (fid=5) must be present
+    assert 5 in np.asarray(m.obs_fid[0]).tolist()
+
+
+def test_close_view_obs_picks_best_angle():
+    m = small_map()
+    rcw, _ = id_pose()
+    pt = jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32)
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(0))
+    # first obs from camera at origin (dir (0,0,-1) from point)
+    m = vmap.add_points(
+        m, pt, jnp.zeros((1, 2)), jnp.asarray([[0., 0., 1.]]), rcw,
+        jnp.zeros(3, jnp.float32), jnp.asarray([1.0]), jnp.int32(0),
+        jnp.ones(1, bool),
+    )
+    # second obs from the side (campos (4, 0, 5)): dir (1,0,0)
+    rcw2 = jnp.eye(3, dtype=jnp.float32)
+    pcw2 = -(rcw2 @ jnp.asarray([4.0, 0.0, 5.0], jnp.float32))
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(1))
+    m = vmap.add_observations(
+        m, jnp.asarray([0], jnp.int32), jnp.asarray([[7.0, 8.0]]),
+        jnp.asarray([[0., 0., 1.]]), rcw2, pcw2, jnp.asarray([2.0]),
+        jnp.int32(1), jnp.ones(1, jnp.int32), jnp.ones(1, bool),
+    )
+    # current camera near origin -> first obs is closest in angle
+    ref = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
+                              jnp.asarray([0.5, 0.0, 0.1], jnp.float32))
+    assert bool(ref["ok"][0])
+    assert int(ref["fid"][0]) == 0
+    # current camera from the side -> second obs wins
+    ref2 = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
+                               jnp.asarray([4.0, 0.2, 5.0], jnp.float32))
+    assert int(ref2["fid"][0]) == 1
+    # perpendicular view (> 60 deg from both) -> rejected
+    ref3 = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
+                               jnp.asarray([0.0, 6.0, 5.0], jnp.float32))
+    assert not bool(ref3["ok"][0])
+
+
+def test_recycled_image_slot_invalidates_obs():
+    m = small_map()  # ring of 4
+    rcw, pcw = id_pose()
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(0))
+    m = vmap.add_points(
+        m, jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32), jnp.zeros((1, 2)),
+        jnp.asarray([[0., 0., 1.]]), rcw, pcw, jnp.asarray([1.0]),
+        jnp.int32(0), jnp.ones(1, bool),
+    )
+    # push 4 more images: slot 0 (fid 0) is recycled by fid 4
+    for k in range(1, 5):
+        m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
+    ref = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
+                              jnp.asarray([0.0, 0.0, 0.0], jnp.float32))
+    assert not bool(ref["ok"][0])

@@ -26,7 +26,7 @@ def test_downsample_keeps_nearest_to_center():
     pts = np.array([[0.9, 0.9, 0.9], [0.6, 0.5, 0.5]], dtype=np.float32)
     m = _insert(m, pts)
     assert int(m.count) == 1
-    stored = np.asarray(m.pts)[np.asarray(m.keys[:, 0]) != -2147483648]
+    stored = np.asarray(m.pts)[np.asarray(m.check) != -2147483648]
     np.testing.assert_allclose(stored[0], [0.6, 0.5, 0.5])
 
 
@@ -36,7 +36,7 @@ def test_downsample_across_batches():
     m = _insert(m, np.array([[0.45, 0.55, 0.5]]))  # nearer center, replaces
     m = _insert(m, np.array([[0.99, 0.01, 0.01]]))  # farther, ignored
     assert int(m.count) == 1
-    stored = np.asarray(m.pts)[np.asarray(m.keys[:, 0]) != -2147483648]
+    stored = np.asarray(m.pts)[np.asarray(m.check) != -2147483648]
     np.testing.assert_allclose(stored[0], [0.45, 0.55, 0.5])
 
 
@@ -44,7 +44,7 @@ def test_knn_matches_bruteforce():
     m = vm.empty_map(TBL, 0.4)
     pts = rng.uniform(-4, 4, size=(800, 3)).astype(np.float32)
     m = _insert(m, pts)
-    occ = np.asarray(m.keys[:, 0]) != -2147483648
+    occ = np.asarray(m.check) != -2147483648
     stored = np.asarray(m.pts)[occ]
     q = rng.uniform(-3, 3, size=(64, 3)).astype(np.float32)
     neigh, d2, nvalid = vm.knn(m, jnp.asarray(q), k=5, radius=2)
@@ -76,7 +76,7 @@ def test_delete_boxes():
     lo = jnp.asarray(np.array([[-10, -10, -10]], dtype=np.float32))
     hi = jnp.asarray(np.array([[0, 10, 10]], dtype=np.float32))
     m2 = vm.delete_boxes(m, lo, hi)
-    occ = np.asarray(m2.keys[:, 0]) != -2147483648
+    occ = np.asarray(m2.check) != -2147483648
     stored = np.asarray(m2.pts)[occ]
     # every surviving voxel center is x > 0
     assert np.all(stored[:, 0] > -0.5)
@@ -89,8 +89,8 @@ def test_rebuild_preserves_points():
     m = _insert(m, pts)
     m2 = vm.rebuild(m)
     assert int(m2.count) == int(m.count)
-    occ1 = np.asarray(m.keys[:, 0]) != -2147483648
-    occ2 = np.asarray(m2.keys[:, 0]) != -2147483648
+    occ1 = np.asarray(m.check) != -2147483648
+    occ2 = np.asarray(m2.check) != -2147483648
     s1 = np.asarray(m.pts)[occ1]
     s2 = np.asarray(m2.pts)[occ2]
     s1 = s1[np.lexsort(s1.T)]
