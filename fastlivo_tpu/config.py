@@ -98,6 +98,10 @@ class Config:
     pose_output_en: bool = False
     pcd_save_en: bool = False
     delta_time: float = 0.0
+    # topics (common.lid_topic / common.imu_topic / camera.img_topic)
+    lid_topic: str = "/livox/lidar"
+    imu_topic: str = "/livox/imu"
+    img_topic: str = "/left_camera/image"
 
     preprocess: PreprocessConfig = dataclasses.field(default_factory=PreprocessConfig)
     mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
@@ -170,13 +174,24 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
         extrinsic_T=list(_get(mp, "extrinsic_T", [0.0, 0.0, 0.0])),
         extrinsic_R=list(_get(mp, "extrinsic_R", [1, 0, 0, 0, 1, 0, 0, 0, 1])),
     )
+    common = raw.get("common", {})
+    cfg.lid_topic = str(_get(common, "lid_topic", cfg.lid_topic))
+    cfg.imu_topic = str(_get(common, "imu_topic", cfg.imu_topic))
     cam_block = raw.get("camera", {})
     if "Rcl" in cam_block:
         cfg.Rcl = list(cam_block["Rcl"])
     if "Pcl" in cam_block:
         cfg.Pcl = list(cam_block["Pcl"])
+    if "img_topic" in cam_block:
+        cfg.img_topic = str(cam_block["img_topic"])
     pcd = raw.get("pcd_save", {})
     cfg.pcd_save_en = bool(_get(pcd, "pcd_save_en", False))
+    cap = raw.get("capacity", {})  # TPU static-shape knobs (ours, optional)
+    if cap:
+        fields = {f.name for f in dataclasses.fields(CapacityConfig)}
+        cfg.capacity = CapacityConfig(
+            **{k: int(v) for k, v in cap.items() if k in fields}
+        )
 
     if camera_yaml is not None:
         with open(camera_yaml) as f:

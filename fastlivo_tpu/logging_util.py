@@ -1,0 +1,121 @@
+"""State-trace logging and trajectory export (the Log/ subsystem).
+
+Mirrors the reference's observability surface (SURVEY.md §5):
+  - `TraceLogger` writes `mat_pre.txt` / `mat_out.txt` rows — time,
+    euler(deg), position, velocity, gyro bias, accel bias, gravity —
+    exactly the columns `fout_pre`/`fout_out` emit
+    (reference: src/laserMapping.cpp:1449-1453, 1810-1815), and an
+    `imu.txt` stream (IMU_Processing.cpp:681), so the reference's
+    `Log/plot.py` workflow applies unchanged.
+  - `write_tum` exports `t x y z qx qy qz qw` rows
+    (laserMapping.cpp:1738-1748) for evo-style ATE evaluation.
+  - `plot_traces` renders the pre/post overlay plots (Log/plot.py:7-46)
+    when matplotlib is importable.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def _euler_deg(R: np.ndarray) -> np.ndarray:
+    """RotMtoEuler (so3_math.h:83-103) in degrees."""
+    sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
+    if sy > 1e-6:
+        e = [np.arctan2(R[2, 1], R[2, 2]), np.arctan2(-R[2, 0], sy),
+             np.arctan2(R[1, 0], R[0, 0])]
+    else:
+        e = [np.arctan2(-R[1, 2], R[1, 1]), np.arctan2(-R[2, 0], sy), 0.0]
+    return np.degrees(e)
+
+
+class TraceLogger:
+    def __init__(self, log_dir: str | Path):
+        self.dir = Path(log_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._pre = open(self.dir / "mat_pre.txt", "w")
+        self._out = open(self.dir / "mat_out.txt", "w")
+        self._imu = open(self.dir / "imu.txt", "w")
+
+    def _row(self, f, t, state):
+        R = np.asarray(state.rot, np.float64)
+        row = np.concatenate(
+            [
+                _euler_deg(R),
+                np.asarray(state.pos, np.float64),
+                np.asarray(state.vel, np.float64),
+                np.asarray(state.bg, np.float64),
+                np.asarray(state.ba, np.float64),
+                np.asarray(state.grav, np.float64),
+            ]
+        )
+        f.write("%20.8f " % t + " ".join("%.8f" % v for v in row) + "\n")
+
+    def log_pre(self, t, state):
+        self._row(self._pre, t, state)
+
+    def log_post(self, t, state):
+        self._row(self._out, t, state)
+
+    def log_imu(self, t, acc, gyr):
+        vals = list(np.asarray(gyr, np.float64)) + list(np.asarray(acc, np.float64))
+        self._imu.write("%.8f " % t + " ".join("%.6f" % v for v in vals) + "\n")
+
+    def close(self):
+        for f in (self._pre, self._out, self._imu):
+            f.close()
+
+
+def write_tum(path: str | Path, rows: np.ndarray):
+    """rows: (T, 8) [t x y z qx qy qz qw]."""
+    with open(path, "w") as f:
+        for r in np.asarray(rows):
+            f.write(" ".join("%.9f" % v for v in r) + "\n")
+
+
+def load_tum(path: str | Path) -> np.ndarray:
+    return np.loadtxt(path).reshape(-1, 8)
+
+
+def ate_rmse(est: np.ndarray, gt: np.ndarray, assoc_tol: float = 0.02):
+    """Absolute trajectory error (translation RMSE) after timestamp
+    association and SE(3)-free comparison (frames already share origin)."""
+    errs = []
+    gt_t = gt[:, 0]
+    for r in est:
+        i = np.argmin(np.abs(gt_t - r[0]))
+        if abs(gt_t[i] - r[0]) <= assoc_tol:
+            errs.append(np.linalg.norm(r[1:4] - gt[i, 1:4]))
+    if not errs:
+        return np.nan
+    return float(np.sqrt(np.mean(np.square(errs))))
+
+
+def plot_traces(log_dir: str | Path, out_png: Optional[str | Path] = None):
+    """The Log/plot.py overlay (reference plot.py:7-28): pre vs post
+    attitude / position / velocity / biases / gravity."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    d = Path(log_dir)
+    pre = np.loadtxt(d / "mat_pre.txt")
+    post = np.loadtxt(d / "mat_out.txt")
+    lab = ["att(deg)", "pos(m)", "vel(m/s)", "bg", "ba", "grav"]
+    fig, axs = plt.subplots(3, 2, figsize=(14, 10))
+    for blk in range(6):
+        ax = axs[blk // 2][blk % 2]
+        for j in range(3):
+            c = 1 + blk * 3 + j
+            ax.plot(pre[:, 0], pre[:, c], "--", lw=0.8)
+            ax.plot(post[:, 0], post[:, c], lw=0.8)
+        ax.set_title(lab[blk])
+        ax.grid(True)
+    fig.tight_layout()
+    out = out_png or (d / "traces.png")
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    return out

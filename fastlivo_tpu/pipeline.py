@@ -56,8 +56,13 @@ class FrameOutput:
 
 
 class Pipeline:
-    def __init__(self, cfg: Config, vio=None):
+    def __init__(self, cfg: Config, vio=None, log_dir=None):
         self.cfg = cfg
+        self.logger = None
+        if log_dir is not None:
+            from .logging_util import TraceLogger
+
+            self.logger = TraceLogger(log_dir)
         cap = cfg.capacity
         self.sync = Synchronizer(img_enable=cfg.img_enable)
         self.initializer = imu_mod.ImuInitializer()
@@ -221,6 +226,8 @@ class Pipeline:
             return None
 
         # ---- lidar-end frame: undistort whole scan ----------------------
+        if self.logger is not None:
+            self.logger.log_pre(scan.end_time, self.state)
         pose_table = self._merged_pose_table()
         cap = self.cfg.capacity
         N = len(scan.pts)
@@ -301,6 +308,8 @@ class Pipeline:
         self.map = vm.insert(self.map, world, jnp.asarray(dmask))
         t_map = time.perf_counter()
 
+        if self.logger is not None:
+            self.logger.log_post(scan.end_time, self.state)
         rot_np = np.asarray(self.state.rot, np.float64)
         pos_np = np.asarray(self.state.pos, np.float64)
         from .io.synthetic import _rot_to_quat

@@ -1,0 +1,170 @@
+"""Per-vendor LiDAR decode + decimation (host side, vectorized numpy).
+
+Re-implements the reference `Preprocess` handlers
+(reference: src/preprocess.cpp) without ROS/PCL: each decoder takes
+plain numpy field arrays (as produced by io/rosbag.py or any loader) and
+returns `(pts (N,4) [x y z intensity] f32, t_rel (N,) f64 seconds)`
+sorted in arrival order, with the vendor's gating applied:
+
+  - AVIA (avia_handler :73-162): tag-bit filter ((tag & 0x30) in
+    {0x00, 0x10}), line < N_SCANS, 1-in-`point_filter_num` decimation of
+    the tag-valid stream, near-duplicate drop vs the previous raw point,
+    blind-zone cull; per-point offset_time ns -> s.
+  - VELO16 (velodyne_handler :259-431): uses per-point `time` when the
+    scan provides it, otherwise reconstructs per-ring offsets from yaw
+    at 10 Hz (omega = 3.61 deg/ms) exactly like :321-347.
+  - OUST64 (oust64_handler :164-257): t ns -> s, stride + blind cull.
+  - XT32 (xt32_handler :432-465): absolute per-point `timestamp` seconds
+    -> offsets from the first point; stride; the reference compares
+    squared range against un-squared `blind` (:459) — kept as-is.
+
+The LOAM-style plane/edge feature extraction (`give_feature`,
+preprocess.cpp:466-935) is OFF in every shipped config
+(feature_extract_enable: false in config/*.yaml); `decode` raises if
+enabled.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .config import AVIA, OUST64, VELO16, XT32, PreprocessConfig
+
+
+def _stride_mask(valid: np.ndarray, n: int) -> np.ndarray:
+    """Keep every n-th element of the valid-stream (valid_num % n == 0
+    semantics, 1-indexed count like the reference :144-146)."""
+    cnt = np.cumsum(valid)
+    return valid & (cnt % n == 0)
+
+
+def decode_avia(
+    xyz: np.ndarray,  # (N, 3)
+    reflectivity: np.ndarray,  # (N,)
+    tag: np.ndarray,  # (N,) uint8
+    line: np.ndarray,  # (N,) uint8
+    offset_time_ns: np.ndarray,  # (N,)
+    cfg: PreprocessConfig,
+):
+    xyz = np.asarray(xyz, np.float64)
+    tag = np.asarray(tag)
+    t30 = tag & 0x30
+    ok = (np.asarray(line) < cfg.n_scans) & ((t30 == 0x10) | (t30 == 0x00))
+    ok[0] = False  # loop starts at i=1 (:139)
+    keep = _stride_mask(ok, cfg.point_filter_num)
+    # near-duplicate + blind gates (:151-155)
+    prev = np.roll(xyz, 1, axis=0)
+    dedup = np.any(np.abs(xyz - prev) > 1e-7, axis=1)
+    r2 = np.sum(xyz * xyz, axis=1)
+    keep &= dedup & (r2 > cfg.blind * cfg.blind)
+    pts = np.concatenate(
+        [xyz[keep], np.asarray(reflectivity, np.float64)[keep, None]], axis=1
+    ).astype(np.float32)
+    t_rel = np.asarray(offset_time_ns, np.float64)[keep] * 1e-9
+    return pts, t_rel
+
+
+def decode_velodyne(
+    xyz: np.ndarray,
+    intensity: np.ndarray,
+    time_s: np.ndarray,  # per-point offset seconds (or zeros)
+    ring: np.ndarray,
+    cfg: PreprocessConfig,
+):
+    xyz = np.asarray(xyz, np.float64)
+    N = len(xyz)
+    t = np.asarray(time_s, np.float64).copy()
+    ring = np.asarray(ring)
+    consumed = np.zeros(N, bool)  # first point per ring is consumed (:335)
+    if not (N and t[-1] > 0):  # offsets not given: yaw reconstruction
+        omega = 0.361 * 10  # deg/ms (:271)
+        yaw = np.degrees(np.arctan2(xyz[:, 1], xyz[:, 0]))
+        for layer in range(cfg.n_scans):
+            m = np.where(ring == layer)[0]
+            if len(m) == 0:
+                continue
+            yf = yaw[m[0]]
+            off = np.where(yaw[m] <= yf, (yf - yaw[m]) / omega,
+                           (yf - yaw[m] + 360.0) / omega)
+            # monotonicity fix (:345): each decrease is one yaw wrap, and
+            # the running `time_last` comparison makes wraps cumulative
+            wraps = np.concatenate([[0.0], np.cumsum(np.diff(off) < 0)])
+            off = off + wraps * (360.0 / omega)
+            off[0] = 0.0
+            t[m] = off * 1e-3  # ms -> s
+            consumed[m[0]] = True
+    ok = (ring < cfg.n_scans) & ~consumed
+    keep = _stride_mask(ok, cfg.point_filter_num)
+    r2 = np.sum(xyz * xyz, axis=1)
+    keep &= r2 > cfg.blind * cfg.blind
+    pts = np.concatenate(
+        [xyz[keep], np.asarray(intensity, np.float64)[keep, None]], axis=1
+    ).astype(np.float32)
+    return pts, t[keep]
+
+
+def decode_ouster(
+    xyz: np.ndarray,
+    intensity: np.ndarray,
+    t_ns: np.ndarray,
+    ring: np.ndarray,
+    cfg: PreprocessConfig,
+):
+    xyz = np.asarray(xyz, np.float64)
+    r2 = np.sum(xyz * xyz, axis=1)
+    ok = np.ones(len(xyz), bool)
+    keep = _stride_mask(ok, cfg.point_filter_num)
+    keep &= r2 > cfg.blind * cfg.blind
+    pts = np.concatenate(
+        [xyz[keep], np.asarray(intensity, np.float64)[keep, None]], axis=1
+    ).astype(np.float32)
+    return pts, np.asarray(t_ns, np.float64)[keep] * 1e-9
+
+
+def decode_xt32(
+    xyz: np.ndarray,
+    intensity: np.ndarray,
+    timestamp_s: np.ndarray,  # absolute per-point seconds
+    cfg: PreprocessConfig,
+):
+    xyz = np.asarray(xyz, np.float64)
+    ts = np.asarray(timestamp_s, np.float64)
+    t_rel = ts - (ts[0] if len(ts) else 0.0)
+    r2 = np.sum(xyz * xyz, axis=1)
+    keep = _stride_mask(np.ones(len(xyz), bool), cfg.point_filter_num)
+    keep &= r2 > cfg.blind  # un-squared blind, reference quirk (:459)
+    pts = np.concatenate(
+        [xyz[keep], np.asarray(intensity, np.float64)[keep, None]], axis=1
+    ).astype(np.float32)
+    return pts, t_rel[keep]
+
+
+def decode(fields: dict, cfg: PreprocessConfig):
+    """Dispatch by cfg.lidar_type (Preprocess::process, :43-70).
+
+    `fields` carries vendor-specific numpy arrays, keys as in the
+    decode_* signatures."""
+    if cfg.feature_extract_enable:
+        raise NotImplementedError(
+            "LOAM feature extraction (give_feature) is disabled in every "
+            "shipped reference config and not implemented"
+        )
+    if cfg.lidar_type == AVIA:
+        return decode_avia(
+            fields["xyz"], fields["reflectivity"], fields["tag"],
+            fields["line"], fields["offset_time_ns"], cfg,
+        )
+    if cfg.lidar_type == VELO16:
+        return decode_velodyne(
+            fields["xyz"], fields["intensity"], fields["time_s"],
+            fields["ring"], cfg,
+        )
+    if cfg.lidar_type == OUST64:
+        return decode_ouster(
+            fields["xyz"], fields["intensity"], fields["t_ns"],
+            fields.get("ring"), cfg,
+        )
+    if cfg.lidar_type == XT32:
+        return decode_xt32(
+            fields["xyz"], fields["intensity"], fields["timestamp_s"], cfg
+        )
+    raise ValueError(f"unknown lidar_type {cfg.lidar_type}")

@@ -1,0 +1,182 @@
+"""CLI runner: replay a rosbag (or a synthetic dataset) through the pipeline.
+
+The process entry replacing the reference's ROS node + launch files
+(reference: src/laserMapping.cpp:1139-1862, launch/mapping_*.launch):
+
+    python -m fastlivo_tpu.run --config /path/avia.yaml \\
+        --camera /path/camera_pinhole.yaml --bag run.bag --out traj.txt
+
+    python -m fastlivo_tpu.run --config /path/avia.yaml --synthetic \\
+        --duration 8 --out traj.txt
+
+Outputs a TUM trajectory (t x y z qx qy qz qw, laserMapping.cpp:
+1738-1748), optional `Log/` state traces (--log-dir), an optional
+accumulated world-cloud PCD (--pcd-out, gated like pcd_save_en),
+and per-stage timing statistics.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .config import AVIA, OUST64, VELO16, XT32, load_config
+from .logging_util import write_tum
+from .pipeline import Pipeline
+from . import preprocess as pp
+
+
+def _lidar_fields(msg_type: str, msg: dict, lidar_type: int) -> dict:
+    if msg_type == "livox_ros_driver/CustomMsg":
+        p = msg["points"]
+        return {
+            "xyz": np.stack([p["x"], p["y"], p["z"]], 1),
+            "reflectivity": p["reflectivity"].astype(np.float32),
+            "tag": p["tag"],
+            "line": p["line"],
+            "offset_time_ns": p["offset_time"].astype(np.float64),
+        }
+    p = msg["points"]
+    names = p.dtype.names
+    xyz = np.stack([p["x"], p["y"], p["z"]], 1)
+    if lidar_type == VELO16:
+        return {
+            "xyz": xyz,
+            "intensity": p["intensity"] if "intensity" in names else np.zeros(len(p)),
+            "time_s": p["time"] if "time" in names else np.zeros(len(p)),
+            "ring": p["ring"] if "ring" in names else np.zeros(len(p), np.int32),
+        }
+    if lidar_type == OUST64:
+        return {
+            "xyz": xyz,
+            "intensity": p["intensity"] if "intensity" in names else np.zeros(len(p)),
+            "t_ns": p["t"] if "t" in names else np.zeros(len(p)),
+            "ring": p["ring"] if "ring" in names else np.zeros(len(p), np.int32),
+        }
+    if lidar_type == XT32:
+        return {
+            "xyz": xyz,
+            "intensity": p["intensity"] if "intensity" in names else np.zeros(len(p)),
+            "timestamp_s": p["timestamp"] if "timestamp" in names else np.zeros(len(p)),
+        }
+    raise ValueError(f"unsupported lidar_type {lidar_type} for {msg_type}")
+
+
+def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None):
+    from .io.rosbag import read_bag
+
+    cfg = pipe.cfg
+    topics = {cfg.lid_topic, cfg.imu_topic}
+    if cfg.img_enable:
+        topics.add(cfg.img_topic)
+    n_frames = 0
+    for topic, mtype, stamp, msg in read_bag(bag_path, topics):
+        if topic == cfg.imu_topic:
+            pipe.push_imu(msg["stamp"], msg["acc"], msg["gyr"])
+        elif topic == cfg.lid_topic:
+            fields = _lidar_fields(mtype, msg, cfg.preprocess.lidar_type)
+            pts, t_rel = pp.decode(fields, cfg.preprocess)
+            if len(pts) > 1:
+                pipe.push_lidar(msg["stamp"], pts, t_rel)
+        elif topic == cfg.img_topic:
+            img = msg["image"]
+            pipe.push_img(msg["stamp"] + cfg.delta_time, img)
+        outs = pipe.spin()
+        n_frames += len(outs)
+        if max_frames and n_frames >= max_frames:
+            break
+    return n_frames
+
+
+def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool):
+    from .io.synthetic import SyntheticDataset
+
+    cam = pipe.cfg.camera
+    ds = SyntheticDataset(
+        duration=duration,
+        points_per_scan=8192,
+        lidar_noise=0.004,
+        cam_hz=10.0 if with_cam else 0.0,
+        cam_size=(cam.width, cam.height),
+        cam_f=cam.fx,
+        Rcl=pipe.cfg.Rcl_mat,
+        Pcl=pipe.cfg.Pcl_vec,
+        lid_rot=pipe.cfg.extrinsic_R,
+        lid_off=pipe.cfg.extrinsic_T,
+    )
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    for t, img in ds.images():
+        pipe.push_img(t, img)
+    outs = pipe.spin()
+    return len(outs), ds
+
+
+def save_pcd(path: str, pts: np.ndarray):
+    """Minimal ASCII PCD writer (pcd_save_en path, laserMapping.cpp:
+    1839-1855)."""
+    with open(path, "w") as f:
+        f.write(
+            "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+            "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {len(pts)}\nDATA ascii\n"
+        )
+        np.savetxt(f, pts[:, :3], fmt="%.4f")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--camera", default=None, help="camera intrinsics YAML")
+    ap.add_argument("--bag", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--duration", type=float, default=8.0)
+    ap.add_argument("--out", default="trajectory.txt")
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--pcd-out", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--no-img", action="store_true", help="force LIO-only")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config, args.camera)
+    if args.no_img or (cfg.img_enable and args.camera is None and not args.synthetic):
+        cfg.img_enable = False
+    pipe = Pipeline(cfg, log_dir=args.log_dir)
+
+    t0 = time.perf_counter()
+    if args.bag:
+        n = run_bag(pipe, args.bag, args.max_frames)
+    elif args.synthetic:
+        n, _ = run_synthetic(pipe, args.duration, cfg.img_enable)
+    else:
+        ap.error("need --bag or --synthetic")
+    wall = time.perf_counter() - t0
+
+    traj = pipe.tum_trajectory()
+    if len(traj):
+        write_tum(args.out, traj)
+    if args.pcd_out and pipe.outputs:
+        clouds = [o.pts_world for o in pipe.outputs if o.pts_world is not None]
+        if clouds:
+            save_pcd(args.pcd_out, np.concatenate(clouds))
+    tm = {}
+    if pipe.outputs:
+        tm = {
+            k: float(np.mean([o.timing[k] for o in pipe.outputs])) * 1e3
+            for k in pipe.outputs[0].timing
+        }
+    print(
+        f"frames={n} wall={wall:.1f}s "
+        + " ".join(f"{k}={v:.1f}ms" for k, v in tm.items())
+    )
+    print(f"trajectory: {args.out} ({len(traj)} poses)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,223 @@
+"""rosbag reader + vendor preprocessing tests (self-built bag fixtures)."""
+import bz2
+import struct
+
+import numpy as np
+import pytest
+
+from fastlivo_tpu.config import AVIA, OUST64, VELO16, XT32, PreprocessConfig
+from fastlivo_tpu.io import rosbag as rb
+from fastlivo_tpu import preprocess as pp
+
+
+# --- tiny rosbag writer (test fixture only) ------------------------------
+
+def _field(k: bytes, v: bytes) -> bytes:
+    f = k + b"=" + v
+    return struct.pack("<I", len(f)) + f
+
+
+def _record(fields: dict, data: bytes) -> bytes:
+    hdr = b"".join(_field(k, v) for k, v in fields.items())
+    return struct.pack("<I", len(hdr)) + hdr + struct.pack("<I", len(data)) + data
+
+
+def _ros_string(s: bytes) -> bytes:
+    return struct.pack("<I", len(s)) + s
+
+
+def _ros_header(stamp: float) -> bytes:
+    secs = int(stamp)
+    nsecs = int((stamp - secs) * 1e9)
+    return struct.pack("<III", 7, secs, nsecs) + _ros_string(b"frame")
+
+
+def make_imu_msg(stamp, acc, gyr) -> bytes:
+    out = _ros_header(stamp)
+    out += np.zeros(4).tobytes() + np.zeros(9).tobytes()
+    out += np.asarray(gyr, np.float64).tobytes() + np.zeros(9).tobytes()
+    out += np.asarray(acc, np.float64).tobytes() + np.zeros(9).tobytes()
+    return out
+
+
+def make_livox_msg(stamp, pts) -> bytes:
+    """pts: structured array with offset_time/x/y/z/reflectivity/tag/line."""
+    out = _ros_header(stamp)
+    out += struct.pack("<QIB3B", int(stamp * 1e9), len(pts), 0, 0, 0, 0)
+    out += struct.pack("<I", len(pts))
+    for p in pts:
+        out += struct.pack(
+            "<Ifff3B", int(p["offset_time"]), p["x"], p["y"], p["z"],
+            int(p["reflectivity"]), int(p["tag"]), int(p["line"]),
+        )
+    return out
+
+
+def make_pc2_msg(stamp, xyz, intensity, t_off, ring) -> bytes:
+    n = len(xyz)
+    out = _ros_header(stamp)
+    out += struct.pack("<II", 1, n)
+    fields = [
+        (b"x", 0, 7, 1), (b"y", 4, 7, 1), (b"z", 8, 7, 1),
+        (b"intensity", 12, 7, 1), (b"time", 16, 7, 1), (b"ring", 20, 4, 1),
+    ]
+    out += struct.pack("<I", len(fields))
+    for name, off, dt, cnt in fields:
+        out += _ros_string(name) + struct.pack("<IBI", off, dt, cnt)
+    point_step = 22
+    out += struct.pack("<BII", 0, point_step, point_step * n)
+    raw = bytearray()
+    for i in range(n):
+        raw += struct.pack(
+            "<fffffH", xyz[i, 0], xyz[i, 1], xyz[i, 2],
+            intensity[i], t_off[i], ring[i],
+        )
+    out += struct.pack("<I", len(raw)) + bytes(raw)
+    out += struct.pack("<B", 1)
+    return out
+
+
+def build_bag(path, chunks):
+    """chunks: list of (compression, [(conn_id, topic, type, stamp, raw)])."""
+    blob = rb.MAGIC
+    blob += _record(
+        {b"op": b"\x03", b"index_pos": struct.pack("<Q", 0),
+         b"conn_count": struct.pack("<I", 9), b"chunk_count": struct.pack("<I", len(chunks))},
+        b"",
+    )
+    seen = set()
+    for comp, msgs in chunks:
+        inner = b""
+        for cid, topic, mtype, stamp, raw in msgs:
+            if cid not in seen:
+                seen.add(cid)
+                conn_hdr = (
+                    _field(b"type", mtype.encode())
+                    + _field(b"md5sum", b"x")
+                    + _field(b"message_definition", b"")
+                )
+                inner += _record(
+                    {b"op": b"\x07", b"conn": struct.pack("<I", cid),
+                     b"topic": topic.encode()},
+                    conn_hdr,
+                )
+            secs = int(stamp)
+            nsecs = int((stamp - secs) * 1e9)
+            inner += _record(
+                {b"op": b"\x02", b"conn": struct.pack("<I", cid),
+                 b"time": struct.pack("<II", secs, nsecs)},
+                raw,
+            )
+        data = bz2.compress(inner) if comp == "bz2" else inner
+        blob += _record(
+            {b"op": b"\x05", b"compression": comp.encode(),
+             b"size": struct.pack("<I", len(inner))},
+            data,
+        )
+    path.write_bytes(blob)
+
+
+def test_roundtrip_bag(tmp_path):
+    pts = np.zeros(4, dtype=[("offset_time", "u4"), ("x", "f4"), ("y", "f4"),
+                             ("z", "f4"), ("reflectivity", "u1"),
+                             ("tag", "u1"), ("line", "u1")])
+    pts["x"] = [1, 2, 3, 4]
+    pts["y"] = [0.5, 0.5, 0.5, 0.5]
+    pts["offset_time"] = [0, 1000, 2000, 3000]
+    pts["tag"] = 0x10
+    xyz = np.array([[1.0, 0, 0], [0, 2, 0], [0, 0, 3]], np.float32)
+    bag = tmp_path / "t.bag"
+    build_bag(bag, [
+        ("none", [
+            (0, "/livox/imu", "sensor_msgs/Imu", 10.0,
+             make_imu_msg(10.0, [0, 0, 9.81], [0.01, 0, 0])),
+            (1, "/livox/lidar", "livox_ros_driver/CustomMsg", 10.05,
+             make_livox_msg(10.05, pts)),
+        ]),
+        ("bz2", [
+            (2, "/velodyne_points", "sensor_msgs/PointCloud2", 10.1,
+             make_pc2_msg(10.1, xyz, np.array([1., 2, 3]),
+                          np.array([0.0, 0.01, 0.02]), np.array([0, 1, 2]))),
+        ]),
+    ])
+    got = list(rb.read_bag(bag))
+    assert len(got) == 3
+    (t0, ty0, s0, m0), (t1, ty1, s1, m1), (t2, ty2, s2, m2) = got
+    assert ty0 == "sensor_msgs/Imu" and abs(m0["stamp"] - 10.0) < 1e-6
+    np.testing.assert_allclose(m0["acc"], [0, 0, 9.81])
+    np.testing.assert_allclose(m0["gyr"], [0.01, 0, 0])
+    assert ty1 == "livox_ros_driver/CustomMsg"
+    np.testing.assert_allclose(m1["points"]["x"], [1, 2, 3, 4])
+    assert m1["points"]["offset_time"][2] == 2000
+    assert ty2 == "sensor_msgs/PointCloud2"
+    np.testing.assert_allclose(m2["points"]["x"], [1, 0, 0])
+    np.testing.assert_allclose(m2["points"]["time"], [0, 0.01, 0.02], atol=1e-8)
+    assert m2["points"]["ring"].tolist() == [0, 1, 2]
+
+
+def test_decode_avia_gates():
+    cfg = PreprocessConfig(lidar_type=AVIA, n_scans=6, blind=0.5,
+                           point_filter_num=1)
+    N = 8
+    xyz = np.tile(np.array([[2.0, 0.0, 0.0]]), (N, 1))
+    xyz += np.arange(N)[:, None] * [[0.1, 0.0, 0.0]]
+    tag = np.full(N, 0x10, np.uint8)
+    tag[3] = 0x20  # filtered by tag
+    line = np.zeros(N, np.uint8)
+    line[4] = 10  # filtered by line
+    refl = np.arange(N, dtype=np.float32)
+    offs = np.arange(N) * 1e4  # ns
+    pts, t = pp.decode_avia(xyz, refl, tag, line, offs, cfg)
+    # index 0 always dropped, 3 (tag), 4 (line) dropped
+    assert len(pts) == 5
+    np.testing.assert_allclose(t, offs[[1, 2, 5, 6, 7]] * 1e-9)
+    np.testing.assert_allclose(pts[:, 3], refl[[1, 2, 5, 6, 7]])
+
+
+def test_decode_avia_stride_and_blind():
+    cfg = PreprocessConfig(lidar_type=AVIA, n_scans=6, blind=1.0,
+                           point_filter_num=2)
+    N = 11
+    xyz = np.stack([np.linspace(0.1, 5.0, N), np.zeros(N), np.zeros(N)], 1)
+    pts, t = pp.decode_avia(
+        xyz, np.zeros(N), np.full(N, 0x10, np.uint8), np.zeros(N, np.uint8),
+        np.zeros(N), cfg,
+    )
+    # stride keeps every 2nd valid (indices 2,4,6,8,10), then blind>1.0
+    kept_x = pts[:, 0]
+    assert np.all(kept_x > 1.0)
+    assert len(kept_x) <= 5
+
+
+def test_decode_velodyne_yaw_reconstruction():
+    cfg = PreprocessConfig(lidar_type=VELO16, n_scans=2, blind=0.1,
+                           point_filter_num=1)
+    # one ring sweeping clockwise (decreasing yaw = increasing offset)
+    ang = np.linspace(0, -350, 36) * np.pi / 180
+    xyz = np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], 1) * 5
+    ring = np.zeros(36, np.int32)
+    t0 = np.zeros(36)  # not given -> reconstruct
+    pts, t = pp.decode_velodyne(xyz, np.zeros(36), t0, ring, cfg)
+    assert len(t) == 35  # first point consumed
+    assert np.all(np.diff(t) > -1e-9)  # monotone offsets
+    assert t[-1] < 0.11  # a ~350deg sweep at 10Hz is < 100ms + slack
+
+
+def test_decode_xt32_offsets():
+    cfg = PreprocessConfig(lidar_type=XT32, n_scans=32, blind=0.5,
+                           point_filter_num=1)
+    xyz = np.tile([[3.0, 0, 0]], (5, 1))
+    ts = 100.0 + np.arange(5) * 0.001
+    pts, t = pp.decode_xt32(xyz, np.zeros(5), ts, cfg)
+    np.testing.assert_allclose(t, np.arange(5) * 0.001, atol=1e-9)
+
+
+def test_decode_ouster():
+    cfg = PreprocessConfig(lidar_type=OUST64, n_scans=64, blind=1.0,
+                           point_filter_num=3)
+    N = 9
+    xyz = np.tile([[2.0, 0, 0]], (N, 1))
+    t_ns = np.arange(N) * 1e6
+    pts, t = pp.decode_ouster(xyz, np.zeros(N), t_ns, np.zeros(N), cfg)
+    assert len(pts) == 3  # stride 3
+    np.testing.assert_allclose(t, [0.002, 0.005, 0.008])

@@ -1,0 +1,81 @@
+"""CLI runner tests: synthetic replay and bag replay end-to-end."""
+import numpy as np
+import yaml
+
+from fastlivo_tpu import run as run_mod
+from fastlivo_tpu.logging_util import ate_rmse, load_tum
+
+
+def small_yaml(tmp_path, img_enable=0):
+    cfg = {
+        "img_enable": img_enable, "lidar_enable": 1, "max_iteration": 5,
+        "filter_size_surf": 0.3, "filter_size_map": 0.3,
+        "laser_point_cov": 0.001, "point_filter_num": 1,
+        "common": {"lid_topic": "/lidar", "imu_topic": "/imu"},
+        "preprocess": {"lidar_type": 1, "scan_line": 6, "blind": 0.1},
+        "mapping": {"acc_cov_scale": 1.0, "gyr_cov_scale": 1.0,
+                    "extrinsic_T": [0.0, 0.0, 0.0],
+                    "extrinsic_R": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+        "capacity": {"map_table_size": 1 << 16, "max_points": 4096,
+                     "max_raw_points": 8192, "max_imu_per_group": 64},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+def test_cli_synthetic_lio(tmp_path):
+    cfg = small_yaml(tmp_path)
+    out = tmp_path / "traj.txt"
+    rc = run_mod.main([
+        "--config", str(cfg), "--synthetic", "--duration", "4",
+        "--no-img", "--out", str(out), "--log-dir", str(tmp_path / "Log"),
+    ])
+    assert rc == 0
+    traj = load_tum(out)
+    assert len(traj) > 15
+    assert (tmp_path / "Log" / "mat_out.txt").exists()
+    # static phase: position near origin
+    assert np.linalg.norm(traj[0, 1:4]) < 0.01
+
+
+def test_cli_bag_replay(tmp_path):
+    """Build a small synthetic avia-format bag and replay it."""
+    from test_rosbag_preprocess import build_bag, make_imu_msg, make_livox_msg
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(duration=3.5, points_per_scan=2048, seed=9)
+    msgs = []
+    for t, acc, gyr in ds.imu_stream():
+        msgs.append((0, "/imu", "sensor_msgs/Imu", 100.0 + t,
+                     make_imu_msg(100.0 + t, acc, gyr)))
+    pdtype = np.dtype([("offset_time", "u4"), ("x", "f4"), ("y", "f4"),
+                       ("z", "f4"), ("reflectivity", "u1"), ("tag", "u1"),
+                       ("line", "u1")])
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        arr = np.zeros(len(pts), pdtype)
+        arr["x"], arr["y"], arr["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+        arr["offset_time"] = (t_rel * 1e9).astype(np.uint64)
+        arr["tag"] = 0x10
+        msgs.append((1, "/lidar", "livox_ros_driver/CustomMsg", 100.0 + beg,
+                     make_livox_msg(100.0 + beg, arr)))
+    msgs.sort(key=lambda m: m[3])
+    bag = tmp_path / "synth.bag"
+    build_bag(bag, [("none", msgs)])
+
+    cfg = small_yaml(tmp_path)
+    out = tmp_path / "traj.txt"
+    rc = run_mod.main([
+        "--config", str(cfg), "--bag", str(bag), "--out", str(out),
+    ])
+    assert rc == 0
+    traj = load_tum(out)
+    assert len(traj) > 10
+    # trajectory follows ground truth (bag stamps offset by 100s)
+    base = ds.traj.base_pos
+    gt = []
+    for r in traj:
+        _, pos = ds.traj.pose(r[0] - 100.0)
+        gt.append([r[0], *(pos - base)])
+    ate = ate_rmse(traj, np.concatenate([np.asarray(gt), np.zeros((len(gt), 4))], 1))
+    assert ate < 0.05, f"bag-replay ATE {ate}"
