@@ -27,7 +27,30 @@ from fastlivo_tpu import lio as lio_mod
 from fastlivo_tpu.ops import voxel_map as vm
 from fastlivo_tpu.state import identity_state
 
-BASELINE_CPP_POINTS_PER_SEC = 50_000.0  # single-core C++ estimate (BASELINE.md)
+BASELINE_CPP_POINTS_PER_SEC = 50_000.0  # fallback when native bench unavailable
+
+
+def measured_cpp_baseline(n_scan: int) -> float:
+    """Build + run the single-core C++ baseline (native/baseline_bench.cpp)
+    on this host and return its points/sec; falls back to the documented
+    constant if the toolchain is unavailable."""
+    import subprocess
+    from pathlib import Path
+
+    d = Path(__file__).resolve().parent / "native"
+    exe = d / "baseline_bench"
+    try:
+        if not exe.exists():
+            subprocess.run(["make", "-C", str(d), "baseline_bench"],
+                           capture_output=True, timeout=180, check=True)
+        out = subprocess.run([str(exe), str(n_scan)], capture_output=True,
+                             timeout=300, check=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("points_per_sec"):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return BASELINE_CPP_POINTS_PER_SEC
 
 N_SCAN = 16384
 MAP_TABLE = 1 << 20
@@ -93,13 +116,14 @@ def main():
     dt = (time.perf_counter() - t0) / REPS
 
     pts_per_sec = N_SCAN / dt
+    baseline = measured_cpp_baseline(N_SCAN)
     print(
         json.dumps(
             {
                 "metric": "lio_scan_update_points_per_sec",
                 "value": round(pts_per_sec, 1),
                 "unit": "points/s",
-                "vs_baseline": round(pts_per_sec / BASELINE_CPP_POINTS_PER_SEC, 2),
+                "vs_baseline": round(pts_per_sec / baseline, 2),
             }
         )
     )

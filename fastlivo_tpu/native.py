@@ -1,0 +1,97 @@
+"""ctypes bindings for the native host-runtime library (native/ingest.cpp).
+
+The reference's host runtime is C++ (decoders in preprocess.cpp, scan
+filters via pcl::VoxelGrid); this module exposes the equivalent native
+kernels with graceful fallback to the numpy implementations when the
+shared library hasn't been built. Build with `make -C native` (g++ only,
+no external deps); `load()` attempts that automatically once.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
+_LIB_PATH = _NATIVE_DIR / "libfastlivo_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None on failure."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR), "libfastlivo_native.so"],
+                capture_output=True, timeout=120, check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.decode_avia.restype = ctypes.c_int
+    lib.decode_avia.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.voxel_downsample_f32.restype = ctypes.c_int
+    lib.voxel_downsample_f32.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    _lib = lib
+    return _lib
+
+
+def decode_avia_native(points: np.ndarray, n_scans: int, blind: float,
+                       point_filter_num: int):
+    """points: structured array with the livox CustomPoint layout
+    (offset_time u4, x/y/z f4, reflectivity/tag/line u1). Returns
+    (xyzi (M,4) f32, t_rel (M,) f64) or None if the library is absent."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(points)
+    assert buf.dtype.itemsize == 19, buf.dtype
+    n = len(buf)
+    out_xyzi = np.empty((n, 4), np.float32)
+    out_t = np.empty(n, np.float64)
+    m = lib.decode_avia(
+        buf.ctypes.data, n, n_scans, blind, point_filter_num,
+        out_xyzi.ctypes.data, out_t.ctypes.data,
+    )
+    return out_xyzi[:m], out_t[:m]
+
+
+def voxel_downsample_native(pts: np.ndarray, leaf: float,
+                            max_out: int | None = None):
+    """Centroid voxel filter; same contract as
+    ops.voxel_filter.voxel_downsample. None if the library is absent."""
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    n, cols = pts.shape
+    cap = n if max_out is None else max(n, max_out)
+    out = np.empty((cap, cols), np.float32)
+    m = lib.voxel_downsample_f32(
+        pts.ctypes.data, n, cols, leaf, out.ctypes.data, cap
+    )
+    if max_out is None:
+        return out[:m], np.ones(m, bool)
+    buf = np.zeros((max_out, cols), np.float32)
+    k = min(m, max_out)
+    buf[:k] = out[:k]
+    mask = np.zeros(max_out, bool)
+    mask[:k] = True
+    return buf, mask

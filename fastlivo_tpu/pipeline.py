@@ -268,10 +268,18 @@ class Pipeline:
             hi = np.asarray([b[1] for b in boxes], np.float32)
             self.map = vm.delete_boxes(self.map, jnp.asarray(lo), jnp.asarray(hi))
 
-        # ---- scan downsample --------------------------------------------
-        down, dmask = voxel_downsample(
+        # ---- scan downsample (native C++ filter when built) --------------
+        from . import native as native_mod
+
+        got = native_mod.voxel_downsample_native(
             feats_undistort, self.cfg.filter_size_surf, max_out=cap.max_points
         )
+        if got is not None:
+            down, dmask = got
+        else:
+            down, dmask = voxel_downsample(
+                feats_undistort, self.cfg.filter_size_surf, max_out=cap.max_points
+            )
         n_down = int(dmask.sum())
         t_down = time.perf_counter()
 
