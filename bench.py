@@ -3,16 +3,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: points/second through the full LIO iterated-EKF scan
-update (6 iterations incl. 3 kNN re-searches, 16k-point scans, 1M-slot
-map) — the reference's hottest path (laserMapping.cpp:1506-1732, OpenMP
-loop :1516).
+Headline metric: points/second through the FULL fused lidar frame step
+(frame_step.lidar_frame_step): motion undistortion + device voxel filter
++ iterated point-to-plane EKF (6 iterations incl. 3 kNN re-searches)
++ map insertion, on 16k-point scans against a 1M-slot map — the
+reference's entire per-scan hot path (laserMapping.cpp:1395-1760).
 
-vs_baseline: ratio to the single-core C++ reference estimate
-(BASELINE.md): the reference processes ~1.5-2k downsampled points per
-~20 ms LIO stage on 4 OpenMP threads => ~25k points/s/core. Until a
-measured in-container C++ microbenchmark replaces it, the baseline
-constant is 50_000 points/s (deliberately generous to the reference).
+vs_baseline: ratio against the single-core C++ baseline measured on this
+host (native/baseline_bench.cpp: kd-tree 5-NN + plane fit + Jacobian +
+18x18 solve; it omits undistortion and map insertion, which favors the
+baseline). Falls back to a 50k points/s constant if the toolchain is
+missing.
+
+NOTE: through the axon TPU relay every dispatch carries a multi-ms
+session overhead once map-update executables have run (documented in
+ops/voxel_map.py); the fused single-dispatch-per-frame design bounds
+that cost at one per frame.
 """
 import json
 import time
@@ -94,20 +100,41 @@ def main():
     s = identity_state()._replace(
         pos=jnp.asarray(pos0 + [0.03, -0.02, 0.01])
     )
-    args = (
-        jnp.asarray(scan), jnp.ones(N_SCAN, bool),
-        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+    from fastlivo_tpu import imu as imu_mod
+    from fastlivo_tpu.frame_step import lidar_frame_step
+
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0),
+        cov_acc=jnp.full(3, 0.01, jnp.float32),
+        cov_gyr=jnp.full(3, 0.001, jnp.float32),
+        cov_bias_acc=jnp.full(3, 1e-5, jnp.float32),
+        cov_bias_gyr=jnp.full(3, 1e-5, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
     )
+    P = 32  # imu-rate pose rows across the scan
+    pose = imu_mod.PoseTable(
+        offs=jnp.asarray(np.linspace(0, 0.1, P, dtype=np.float32)),
+        rot=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (P, 1, 1)),
+        pos=jnp.zeros((P, 3), jnp.float32),
+        vel=jnp.tile(jnp.asarray([1.0, 0.5, 0.0], jnp.float32), (P, 1)),
+        acc=jnp.zeros((P, 3), jnp.float32),
+        gyr=jnp.zeros((P, 3), jnp.float32),
+    )
+    t_rel = jnp.asarray(rng.uniform(0, 0.1, N_SCAN).astype(np.float32))
+    rmask = jnp.ones(N_SCAN, bool)
 
     def run():
-        return lio_mod.lio_update(
-            s, m, *args, laser_point_cov=0.001, max_iter=MAX_ITER,
-            knn_radius=1, max_probe=8,
+        return lidar_frame_step(
+            s, m, pose, calib, jnp.asarray(scan), t_rel, rmask,
+            jnp.float32(0.5), laser_point_cov=0.001,
+            max_points=N_SCAN, max_iter=MAX_ITER,
+            knn_radius=1, max_probe=8, dense_out=False,
         )
 
     res = run()
     jax.block_until_ready(res)  # compile + warmup
-    n_act = int(res.n_active)
+    n_act = int(res[4])
 
     t0 = time.perf_counter()
     for _ in range(REPS):
@@ -120,7 +147,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "lio_scan_update_points_per_sec",
+                "metric": "lidar_frame_step_points_per_sec",
                 "value": round(pts_per_sec, 1),
                 "unit": "points/s",
                 "vs_baseline": round(pts_per_sec / baseline, 2),

@@ -29,4 +29,14 @@ import jax as _jax
 # array is created, hence here at package import.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: compiles through the axon remote-compile
+# relay cost 30-180 s each; cache them across processes.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "FASTLIVO_JAX_CACHE", _os.path.expanduser("~/.cache/fastlivo_jax")
+)
+_jax.config.update("jax_compilation_cache_dir", _cache_dir)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 __version__ = "0.1.0"

@@ -1,0 +1,74 @@
+"""Fused per-scan device step: one dispatch per lidar frame.
+
+Chains undistortion (imu.undistort) -> device voxel filter
+(ops.voxel_filter.voxel_downsample_device) -> iterated EKF
+(lio.lio_update) -> map insertion (ops.voxel_map.insert) inside a single
+jit, so the steady-state lidar frame costs one host->device dispatch and
+returns only small outputs (state, counts). This matters twice over: it
+amortizes per-dispatch overhead (severe through the axon relay,
+nontrivial anywhere), and it lets XLA overlap the stages.
+
+The bootstrap paths (IMU init, first-map build, pre-EKF warm-up) stay on
+the unfused pipeline path — they run a handful of times per session.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import imu as imu_mod
+from . import lio as lio_mod
+from .ops import voxel_filter as vf
+from .ops import voxel_map as vm
+from .state import NavState
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_points", "max_iter", "knn_radius", "max_probe", "dense_out"
+    ),
+)
+def lidar_frame_step(
+    state: NavState,  # propagated prior at scan end
+    m: vm.VoxelMap,
+    pose: imu_mod.PoseTable,  # merged per-scan table
+    calib: imu_mod.ImuCalib,
+    pts_raw: jnp.ndarray,  # (R, 3) raw lidar-frame points
+    t_rel: jnp.ndarray,  # (R,)
+    rmask: jnp.ndarray,  # (R,)
+    filter_size_surf,
+    laser_point_cov: float,
+    max_points: int,
+    max_iter: int,
+    knn_radius: int,
+    max_probe: int,
+    dense_out: bool = True,
+):
+    """Returns (posterior state, new map, down (max_points,3), dmask,
+    n_active, iters, pts_world_dense (R,3) | zeros)."""
+    und = imu_mod.undistort(state, pose, pts_raw, t_rel, rmask, calib)
+    down, dmask = vf.voxel_downsample_device(
+        und, rmask, filter_size_surf, max_points
+    )
+    res = lio_mod.lio_update(
+        state, m, down, dmask, calib.lid_rot, calib.lid_off,
+        laser_point_cov=laser_point_cov, max_iter=max_iter,
+        knn_radius=knn_radius, max_probe=max_probe,
+    )
+    # map insert at the posterior (map_incremental, laserMapping.cpp:692)
+    rot32 = res.state.rot.astype(down.dtype)
+    pos32 = res.state.pos.astype(down.dtype)
+    p_imu = down @ calib.lid_rot.T + calib.lid_off
+    world = p_imu @ rot32.T + pos32
+    m2 = vm.insert(m, world, dmask, max_probe=max_probe)
+    if dense_out:
+        dense_world = (
+            und @ calib.lid_rot.T + calib.lid_off
+        ) @ rot32.T + pos32
+        dense_world = jnp.where(rmask[:, None], dense_world, 0.0)
+    else:
+        dense_world = jnp.zeros((1, 3), down.dtype)
+    return res.state, m2, down, dmask, res.n_active, res.iters, dense_world

@@ -10,7 +10,52 @@ pipeline keeps static shapes.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def voxel_downsample_device(
+    pts: jnp.ndarray, valid: jnp.ndarray, leaf, max_out: int
+):
+    """Device-side centroid voxel filter with a fixed output capacity.
+
+    Same centroid-per-voxel semantics as `voxel_downsample` but fully
+    on-device (sort + segmented mean + masked scatter), so the scan can
+    flow undistort -> downsample -> EKF without a host roundtrip.
+    Output order is sorted-voxel-key order (the host version keeps scan
+    order; downstream code never relies on order). Voxels beyond
+    `max_out` are dropped.
+
+    Args:   pts (N, C>=3); valid (N,) bool; leaf: scalar.
+    Returns (out (max_out, C), mask (max_out,)).
+    """
+    N, C = pts.shape
+    keys = jnp.floor(pts[:, :3] / leaf).astype(jnp.int32)
+    INVALID = jnp.int32(1 << 24)
+    keys = jnp.where(valid[:, None], keys, INVALID)
+    order = jnp.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    ks = keys[order]
+    ps = pts[order]
+    vs = valid[order]
+    start = jnp.any(ks != jnp.roll(ks, 1, axis=0), axis=-1)
+    start = start.at[0].set(True)
+    start = start & vs
+    seg = jnp.cumsum(start.astype(jnp.int32)) - 1  # (N,)
+    seg = jnp.where(vs, seg, max_out)  # invalid rows dropped
+    seg = jnp.minimum(seg, max_out)  # overflow dropped
+    sums = jnp.zeros((max_out, C), pts.dtype).at[seg].add(
+        jnp.where(vs[:, None], ps, 0.0), mode="drop"
+    )
+    cnt = jnp.zeros(max_out, pts.dtype).at[seg].add(
+        vs.astype(pts.dtype), mode="drop"
+    )
+    mask = cnt > 0
+    out = sums / jnp.maximum(cnt, 1.0)[:, None]
+    return jnp.where(mask[:, None], out, 0.0), mask
 
 
 def voxel_downsample(

@@ -246,12 +246,6 @@ class Pipeline:
         trel[:N] = t_rel_np
         pmask = np.zeros(rawcap, bool)
         pmask[:N] = True
-        und = imu_mod.undistort(
-            self.state, pose_table, jnp.asarray(buf), jnp.asarray(trel),
-            jnp.asarray(pmask), self.calib,
-        )
-        feats_undistort = np.asarray(und)[:N]
-        t_undistort = time.perf_counter()
 
         if not self.ready:
             self.ready = True
@@ -268,53 +262,81 @@ class Pipeline:
             hi = np.asarray([b[1] for b in boxes], np.float32)
             self.map = vm.delete_boxes(self.map, jnp.asarray(lo), jnp.asarray(hi))
 
-        # ---- scan downsample (native C++ filter when built) --------------
-        from . import native as native_mod
-
-        got = native_mod.voxel_downsample_native(
-            feats_undistort, self.cfg.filter_size_surf, max_out=cap.max_points
-        )
-        if got is not None:
-            down, dmask = got
-        else:
-            down, dmask = voxel_downsample(
-                feats_undistort, self.cfg.filter_size_surf, max_out=cap.max_points
-            )
-        n_down = int(dmask.sum())
-        t_down = time.perf_counter()
-
         lid_rot = jnp.asarray(self.cfg.extrinsic_R, jnp.float32)
         lid_off = jnp.asarray(self.cfg.extrinsic_T, jnp.float32)
+        fused = (
+            self.map_built and ekf_inited and self.cfg.lidar_enable
+        )
+        dense_world = None
+        if fused:
+            # ---- steady state: one fused dispatch per frame --------------
+            from .frame_step import lidar_frame_step
 
-        # ---- first frame: build the map and return -----------------------
-        if not self.map_built:
-            if n_down > 5:
-                world = self._to_world(down, dmask, lid_rot, lid_off)
-                self.map = vm.insert(self.map, world, jnp.asarray(dmask))
-                self.map_built = True
-            return None
-
-        # ---- iterated EKF -----------------------------------------------
-        iters = 0
-        n_active = 0
-        if self.cfg.lidar_enable and ekf_inited:
-            res = lio_mod.lio_update(
-                self.state, self.map, jnp.asarray(down), jnp.asarray(dmask),
-                lid_rot, lid_off,
+            (st, m2, down_j, dmask_j, n_act_j, iters_j,
+             dense_j) = lidar_frame_step(
+                self.state, self.map, pose_table, self.calib,
+                jnp.asarray(buf), jnp.asarray(trel), jnp.asarray(pmask),
+                jnp.float32(self.cfg.filter_size_surf),
                 laser_point_cov=self.cfg.laser_point_cov,
+                max_points=cap.max_points,
                 max_iter=self.cfg.max_iteration,
                 knn_radius=cap.knn_voxel_radius,
                 max_probe=cap.max_probe,
+                dense_out=self.cfg.dense_map_enable,
             )
-            self.state = res.state
-            iters = int(res.iters)
-            n_active = int(res.n_active)
-        t_ekf = time.perf_counter()
+            self.state = st
+            self.map = m2
+            n_down = int(jnp.sum(dmask_j))
+            n_active = int(n_act_j)
+            iters = int(iters_j)
+            if self.cfg.dense_map_enable:
+                dense_world = np.asarray(dense_j)[:N]
+            t_undistort = t_down = t_ekf = time.perf_counter()
+            t_map = t_ekf
+        else:
+            # ---- bootstrap path (first frames): staged -------------------
+            und = imu_mod.undistort(
+                self.state, pose_table, jnp.asarray(buf), jnp.asarray(trel),
+                jnp.asarray(pmask), self.calib,
+            )
+            feats_undistort = np.asarray(und)[:N]
+            t_undistort = time.perf_counter()
 
-        # ---- map insert (map_incremental) -------------------------------
-        world = self._to_world(down, dmask, lid_rot, lid_off)
-        self.map = vm.insert(self.map, world, jnp.asarray(dmask))
-        t_map = time.perf_counter()
+            from . import native as native_mod
+
+            got = native_mod.voxel_downsample_native(
+                feats_undistort, self.cfg.filter_size_surf, max_out=cap.max_points
+            )
+            if got is not None:
+                down, dmask = got
+            else:
+                down, dmask = voxel_downsample(
+                    feats_undistort, self.cfg.filter_size_surf,
+                    max_out=cap.max_points,
+                )
+            n_down = int(dmask.sum())
+            t_down = time.perf_counter()
+
+            # first frame: build the map and return (laserMapping.cpp:1411)
+            if not self.map_built:
+                if n_down > 5:
+                    world = self._to_world(down, dmask, lid_rot, lid_off)
+                    self.map = vm.insert(self.map, world, jnp.asarray(dmask))
+                    self.map_built = True
+                return None
+
+            iters = 0
+            n_active = 0
+            t_ekf = time.perf_counter()
+            world = self._to_world(down, dmask, lid_rot, lid_off)
+            self.map = vm.insert(self.map, world, jnp.asarray(dmask))
+            t_map = time.perf_counter()
+            if self.cfg.dense_map_enable:
+                rot_tmp = np.asarray(self.state.rot, np.float64)
+                pos_tmp = np.asarray(self.state.pos, np.float64)
+                R_wl = rot_tmp @ self.cfg.extrinsic_R
+                t_wl = rot_tmp @ self.cfg.extrinsic_T + pos_tmp
+                dense_world = feats_undistort @ R_wl.T + t_wl
 
         if self.logger is not None:
             self.logger.log_post(scan.end_time, self.state)
@@ -339,12 +361,10 @@ class Pipeline:
                 "total": t_map - t0,
             },
         )
-        if self.cfg.dense_map_enable:
+        if self.cfg.dense_map_enable and dense_world is not None:
             # world-frame dense cloud at the posterior (pcl_wait_pub,
             # laserMapping.cpp:1764-1772) — feeds the VIO depth pipeline
-            R_wl = rot_np @ self.cfg.extrinsic_R
-            t_wl = rot_np @ self.cfg.extrinsic_T + pos_np
-            out.pts_world = feats_undistort @ R_wl.T + t_wl
+            out.pts_world = dense_world
         self.outputs.append(out)
         self.trajectory.append(
             np.array([out.t, *pos_np, quat[1], quat[2], quat[3], quat[0]])

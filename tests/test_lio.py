@@ -181,3 +181,34 @@ def test_local_map_tracker():
     # moving +x deletes the trailing (-x) slab: [vmin, vmin+mov]
     assert lo[0] == -1000.0 and hi[0] == -1000.0 + (2000.0 - 2 * 450.0) * 0.5 * 0.9
     assert t.vmax[0] > 1000.0 and t.vmin[0] > -1000.0  # window advanced
+
+
+def test_voxel_downsample_device_matches_host():
+    import jax.numpy as jnp
+    from fastlivo_tpu.ops.voxel_filter import voxel_downsample_device
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-4, 4, (3000, 3)).astype(np.float32)
+    host, _ = voxel_downsample(pts, 0.4)
+    dev, dmask = voxel_downsample_device(
+        jnp.asarray(pts), jnp.ones(3000, bool), 0.4, 4096
+    )
+    dev = np.asarray(dev)[np.asarray(dmask)]
+    assert len(dev) == len(host)
+    # same centroid sets (order differs: device is key-sorted)
+    hs = host[np.lexsort(host.T)]
+    ds = dev[np.lexsort(dev.T)]
+    np.testing.assert_allclose(ds, hs, atol=1e-4)
+
+
+def test_voxel_downsample_device_masks_invalid():
+    import jax.numpy as jnp
+    from fastlivo_tpu.ops.voxel_filter import voxel_downsample_device
+
+    pts = np.array([[0.1, 0.1, 0.1], [5.0, 5.0, 5.0]], np.float32)
+    out, mask = voxel_downsample_device(
+        jnp.asarray(pts), jnp.asarray([True, False]), 0.5, 8
+    )
+    assert int(mask.sum()) == 1
+    np.testing.assert_allclose(np.asarray(out)[np.asarray(mask)][0],
+                               [0.1, 0.1, 0.1], atol=1e-6)
