@@ -232,7 +232,15 @@ class LocalMapTracker:
     """Host-side sliding local-map bookkeeping (lasermap_fov_segment,
     laserMapping.cpp:363-421). Tracks the axis-aligned local cube and
     emits world-frame delete boxes when the sensor nears an edge; the
-    actual deletion is the device-side `voxel_map.delete_boxes`."""
+    actual deletion is the device-side `voxel_map.delete_boxes`.
+
+    Faithfully reproduced reference quirk: with cube_side_length far
+    below 2*MOV_THRESHOLD*DET_RANGE = 900 m (e.g. avia.yaml's 20 m),
+    need_move fires every frame, the window slides mov_dist=150 m per
+    frame in every near-edge axis and runs away from the trajectory
+    within a few frames — after which the emitted delete boxes contain
+    no points and the map effectively never slides. Configs meant to
+    actually bound the map need cube_side_length > 900 m."""
 
     DET_RANGE = 300.0  # laserMapping.cpp:83
     MOV_THRESHOLD = 1.5  # :90

@@ -79,3 +79,76 @@ def test_cli_bag_replay(tmp_path):
         gt.append([r[0], *(pos - base)])
     ate = ate_rmse(traj, np.concatenate([np.asarray(gt), np.zeros((len(gt), 4))], 1))
     assert ate < 0.05, f"bag-replay ATE {ate}"
+
+
+def make_ouster_pc2_msg(stamp, xyz, intensity, t_ns, ring):
+    """sensor_msgs/PointCloud2 with the ouster field layout (t: uint32 ns)."""
+    import struct
+    from test_rosbag_preprocess import _ros_header, _ros_string
+
+    n = len(xyz)
+    out = _ros_header(stamp)
+    out += struct.pack("<II", 1, n)
+    fields = [
+        (b"x", 0, 7, 1), (b"y", 4, 7, 1), (b"z", 8, 7, 1),
+        (b"intensity", 12, 7, 1), (b"t", 16, 6, 1), (b"ring", 20, 4, 1),
+    ]
+    out += struct.pack("<I", len(fields))
+    for name, off, dt, cnt in fields:
+        out += _ros_string(name) + struct.pack("<IBI", off, dt, cnt)
+    point_step = 22
+    out += struct.pack("<BII", 0, point_step, point_step * n)
+    raw = bytearray()
+    for i in range(n):
+        raw += struct.pack("<ffffIH", xyz[i, 0], xyz[i, 1], xyz[i, 2],
+                           intensity[i], int(t_ns[i]), int(ring[i]))
+    out += struct.pack("<I", len(raw)) + bytes(raw)
+    out += struct.pack("<B", 1)
+    return out
+
+
+def test_cli_ouster_bag_replay(tmp_path):
+    """NTU-VIRAL-style rig: ouster PointCloud2 through the full stack."""
+    import yaml
+    from test_rosbag_preprocess import build_bag, make_imu_msg
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(duration=3.5, points_per_scan=2048, seed=11)
+    msgs = []
+    for t, acc, gyr in ds.imu_stream():
+        msgs.append((0, "/os/imu", "sensor_msgs/Imu", 50.0 + t,
+                     make_imu_msg(50.0 + t, acc, gyr)))
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        msgs.append((1, "/os/points", "sensor_msgs/PointCloud2", 50.0 + beg,
+                     make_ouster_pc2_msg(
+                         50.0 + beg, pts, np.zeros(len(pts)),
+                         (t_rel * 1e9).astype(np.uint64),
+                         np.zeros(len(pts), np.int32))))
+    msgs.sort(key=lambda m: m[3])
+    bag = tmp_path / "oust.bag"
+    build_bag(bag, [("bz2", msgs)])
+
+    cfg = {
+        "img_enable": 0, "lidar_enable": 1, "max_iteration": 5,
+        "filter_size_surf": 0.3, "filter_size_map": 0.3, "point_filter_num": 1,
+        "common": {"lid_topic": "/os/points", "imu_topic": "/os/imu"},
+        "preprocess": {"lidar_type": 3, "scan_line": 16, "blind": 0.1},
+        "mapping": {"acc_cov_scale": 1.0, "gyr_cov_scale": 1.0,
+                    "extrinsic_T": [0, 0, 0],
+                    "extrinsic_R": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+        "capacity": {"map_table_size": 1 << 16, "max_points": 4096,
+                     "max_raw_points": 4096, "max_imu_per_group": 64},
+    }
+    p = tmp_path / "oust.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "traj.txt"
+    rc = run_mod.main(["--config", str(p), "--bag", str(bag), "--out", str(out)])
+    assert rc == 0
+    traj = load_tum(out)
+    assert len(traj) > 10
+    base = ds.traj.base_pos
+    errs = []
+    for r in traj:
+        _, pos = ds.traj.pose(r[0] - 50.0)
+        errs.append(np.linalg.norm(r[1:4] - (pos - base)))
+    assert np.sqrt(np.mean(np.square(errs))) < 0.05
