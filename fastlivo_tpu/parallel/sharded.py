@@ -152,3 +152,53 @@ def sharded_scan_step(
     )
     return fn(state, m, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
               acc_s_last, angvel_last, pts_body, t_rel, pmask)
+
+
+def sharded_photometric_update(
+    mesh: Mesh,
+    state,
+    prior,
+    cam,
+    img,
+    tr_pos, tr_patch, tr_slevel, tr_valid,
+    Rci, Pci, Jdphi_dR, Jdp_dR,
+    img_point_cov: float,
+    patch_size: int,
+    level: int,
+    max_iter: int,
+    axis: str = "dp",
+):
+    """vio.photometric_update with the tracked set row-partitioned over
+    `axis` (image and state replicated): each device assembles its
+    patch-residual block; HtH/Htz and the error norm are psum-reduced,
+    so the coarse-to-fine iterated update stays lockstep."""
+    from .. import vio as vio_mod
+
+    def local(state, prior, cam, img, tp, tpa, tsl, tv):
+        return vio_mod.photometric_update(
+            state, prior, cam, img, tp, tpa, tsl, tv,
+            Rci, Pci, Jdphi_dR, Jdp_dR,
+            img_point_cov=img_point_cov, patch_size=patch_size,
+            level=level, max_iter=max_iter, axis_name=axis,
+        )
+
+    rep = P()
+    shd = P(axis)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: rep, state),
+            jax.tree.map(lambda _: rep, prior),
+            jax.tree.map(lambda _: rep, cam),
+            rep, shd, shd, shd, shd,
+        ),
+        out_specs=(
+            jax.tree.map(lambda _: rep, state),
+            rep,  # G (18,6)
+            shd,  # per-point errors
+            rep,  # mean error
+        ),
+        check_vma=False,
+    )
+    return fn(state, prior, cam, img, tr_pos, tr_patch, tr_slevel, tr_valid)

@@ -298,7 +298,8 @@ def select_new_points(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("patch_size", "level", "max_iter")
+    jax.jit,
+    static_argnames=("patch_size", "level", "max_iter", "axis_name"),
 )
 def photometric_update(
     state: NavState,
@@ -317,13 +318,18 @@ def photometric_update(
     patch_size: int,
     level: int,
     max_iter: int,
+    axis_name: str | None = None,
 ):
     """UpdateState for one pyramid level (lidar_selection.cpp:743-902).
 
     Iterates the photometric EKF with the reference's error-monotonicity
     protocol: an iteration whose mean patch error increases rolls the
     state back and stops. Returns (state, G (18,6) f64, per-point errors,
-    mean_error)."""
+    mean_error).
+
+    Multi-chip: with the tracked set row-partitioned over `axis_name`
+    (image + map replicated), the HtH/Htz partials and the error
+    normalization are psum-all-reduced, mirroring lio.lio_update."""
     G_, P = tr_pos.shape[0], patch_size
     dtype = img.dtype
     f64 = jnp.float64
@@ -370,6 +376,12 @@ def photometric_update(
         hf = h.reshape(-1, 6)
         HTH6 = hw.T @ hf
         HTz = hw.T @ res.reshape(-1)
+        if axis_name is not None:
+            HTH6 = jax.lax.psum(HTH6, axis_name)
+            HTz = jax.lax.psum(HTz, axis_name)
+            err_num = jax.lax.psum(jnp.sum(perr), axis_name)
+            n_all = jax.lax.psum(n_meas, axis_name)
+            err = err_num / jnp.maximum(n_all, 1.0)
         return err, HTH6, HTz, perr
 
     def body(carry):

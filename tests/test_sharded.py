@@ -95,3 +95,69 @@ def test_full_scan_step_under_mesh(room):
     assert int(n_act) > N // 2
     assert np.all(np.isfinite(np.asarray(st.pos)))
     assert int(m2.count) >= int(m.count)
+
+
+def test_sharded_vio_update_matches_single_device():
+    """Photometric update: 8-way row partition == single device."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_vio import make_cfg, ds as _dsfix  # fixture funcs
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+    from fastlivo_tpu import vio as vio_mod
+    from fastlivo_tpu.vio import photometric_update, select_tracked, Vio
+    from fastlivo_tpu.state import identity_state
+    from fastlivo_tpu.ops import so3
+
+    W, H, F = 320, 256, 200.0
+    dsx = SyntheticDataset(cam_size=(W, H), cam_f=F, cam_hz=10.0)
+    cfg = make_cfg()
+    v = Vio(cfg)
+    rng = np.random.default_rng(0)
+    v.set_last_cloud(dsx.room.sample_surface(6000, rng).astype(np.float32))
+    rot, pos = dsx.traj.pose(2.0)
+    s0 = identity_state()._replace(rot=jnp.asarray(rot), pos=jnp.asarray(pos))
+    v.update(s0, s0, dsx.render_image(2.0))
+    # second frame with perturbed prior
+    rot1, pos1 = dsx.traj.pose(2.05)
+    s1 = identity_state()._replace(
+        rot=jnp.asarray(rot1) @ so3.exp(jnp.asarray([0.004, -0.003, 0.005])),
+        pos=jnp.asarray(pos1) + jnp.asarray([0.02, -0.01, 0.015]),
+    )
+    img = jnp.asarray(v._to_gray(dsx.render_image(2.05)))
+    fid = jnp.int32(v.fid)
+    import fastlivo_tpu.visual_map as vmap_mod
+    v.vmap = vmap_mod.push_image(v.vmap, img, fid)
+    rcw = np.asarray(v.Rci) @ np.asarray(s1.rot, np.float32).T
+    pcw = -rcw @ np.asarray(s1.pos, np.float32) + np.asarray(v.Pci)
+    from fastlivo_tpu.ops.voxel_filter import voxel_downsample
+    pg, pgm = voxel_downsample(v.last_cloud, 0.2, max_out=v.max_pg)
+    vox_np = np.unique(np.floor(pg[pgm] / 0.5).astype(np.int32), axis=0)
+    vox = np.zeros((v.max_vox, 3), np.int32); vox[: len(vox_np)] = vox_np[: v.max_vox]
+    vmask = np.zeros(v.max_vox, bool); vmask[: len(vox_np)] = True
+    tr = select_tracked(
+        v.vmap, v.cam, jnp.asarray(rcw), jnp.asarray(pcw), img,
+        jnp.asarray(pg), jnp.asarray(pgm), jnp.asarray(vox), jnp.asarray(vmask),
+        outlier_threshold=cfg.outlier_threshold, ncc_thre=cfg.ncc_thre,
+        grid_size=v.grid_size, patch_size=v.patch_size, gw=v.gw, gh=v.gh,
+    )
+    assert int(jnp.sum(tr.valid)) > 8
+
+    ref_state, ref_G, _, ref_err = photometric_update(
+        s1, s1, v.cam, img, tr.pos, tr.patch, tr.search_level, tr.valid,
+        v.Rci, v.Pci, v.Jdphi_dR, v.Jdp_dR,
+        img_point_cov=cfg.img_point_cov, patch_size=v.patch_size,
+        level=0, max_iter=4,
+    )
+    mesh = sharded.make_mesh(8)
+    got_state, got_G, _, got_err = sharded.sharded_photometric_update(
+        mesh, s1, s1, v.cam, img, tr.pos, tr.patch, tr.search_level, tr.valid,
+        v.Rci, v.Pci, v.Jdphi_dR, v.Jdp_dR,
+        img_point_cov=cfg.img_point_cov, patch_size=v.patch_size,
+        level=0, max_iter=4,
+    )
+    # f32 patch partial sums reduce in different orders across shards
+    np.testing.assert_allclose(np.asarray(got_state.pos),
+                               np.asarray(ref_state.pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_state.rot),
+                               np.asarray(ref_state.rot), atol=1e-5)
+    np.testing.assert_allclose(float(got_err), float(ref_err), rtol=1e-3)
