@@ -143,3 +143,24 @@ def test_affine_warp_identity():
                 np.testing.assert_allclose(
                     np.asarray(got)[i, yy, xx], float(exp), rtol=1e-4, atol=1e-2
                 )
+
+
+def test_pallas_patches_and_grads_interpret():
+    """Pallas kernel (interpret mode) == XLA reference implementation."""
+    from fastlivo_tpu.ops.pallas_image import patches_and_grads_pallas
+
+    img = _texture()
+    rng = np.random.default_rng(0)
+    K = 16
+    pcs = np.stack([rng.uniform(45, 115, K), rng.uniform(45, 83, K)], 1).astype(np.float32)
+    scales = rng.choice([1, 2, 4], K).astype(np.int32)
+    val, du, dv = patches_and_grads_pallas(
+        jnp.asarray(img), jnp.asarray(pcs), jnp.asarray(scales), 8,
+        interpret=True,
+    )
+    rv, rdu, rdv = img_ops.patches_and_grads(
+        jnp.asarray(img), jnp.asarray(pcs), 8, jnp.asarray(scales)
+    )
+    np.testing.assert_allclose(np.asarray(val), np.asarray(rv), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(rdu), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-3)
