@@ -494,6 +494,31 @@ def prep_observations(
     return pc, f, score, add
 
 
+def render_overlay(gray: np.ndarray, px: np.ndarray, errors: np.ndarray,
+                   valid: np.ndarray, radius: int = 6) -> np.ndarray:
+    """display_keypatch parity (lidar_selection.cpp:985-1005): RGB image
+    with filled circles at tracked points — green where the photometric
+    error < 8000, blue otherwise."""
+    H, W = gray.shape
+    rgb = np.stack([gray] * 3, -1).astype(np.uint8)
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disk = (yy * yy + xx * xx) <= radius * radius
+    for (u, v), e, ok in zip(px, errors, valid):
+        if not ok:
+            continue
+        r0, c0 = int(v) - radius, int(u) - radius
+        r1, c1 = r0 + disk.shape[0], c0 + disk.shape[1]
+        rr0, cc0 = max(r0, 0), max(c0, 0)
+        rr1, cc1 = min(r1, H), min(c1, W)
+        if rr1 <= rr0 or cc1 <= cc0:
+            continue
+        sub = disk[rr0 - r0:rr1 - r0, cc0 - c0:cc1 - c0]
+        color = (0, 255, 0) if e < 8000 else (0, 0, 255)
+        for ch in range(3):
+            rgb[rr0:rr1, cc0:cc1, ch][sub] = color[ch]
+    return rgb
+
+
 class Vio:
     """Host-side orchestration of the per-image VIO step (the
     LidarSelector object, lidar_selection.h:37-171)."""
@@ -537,6 +562,7 @@ class Vio:
         self.max_pg = cap.max_cands
         self.max_vox = 2048
         self.last_stats = {}
+        self.last_overlay = None  # /rgb_img equivalent when cfg.debug
 
     def set_last_cloud(self, pts_world: Optional[np.ndarray]):
         if pts_world is not None:
@@ -639,6 +665,11 @@ class Vio:
                 self.vmap, tracked.idx, opc, of, jnp.asarray(rcw2),
                 jnp.asarray(pcw2), oscore, fid, tracked.search_level, oadd,
             )
+            if self.cfg.debug:
+                self.last_overlay = render_overlay(
+                    np.asarray(gray), np.asarray(opc), np.asarray(perr),
+                    np.asarray(tracked.valid),
+                )
 
         # new map points carry the prior-pose first observation (:178-190)
         self.vmap = vmap_mod.add_points(

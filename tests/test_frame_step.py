@@ -1,0 +1,77 @@
+"""Fused lidar_frame_step == the staged undistort/filter/EKF/insert path."""
+import numpy as np
+import jax.numpy as jnp
+
+from fastlivo_tpu import imu as imu_mod
+from fastlivo_tpu import lio as lio_mod
+from fastlivo_tpu.frame_step import lidar_frame_step
+from fastlivo_tpu.ops import voxel_filter as vf
+from fastlivo_tpu.ops import voxel_map as vm
+from fastlivo_tpu.state import identity_state
+
+from test_lio import build_map, make_room_points, scan_from_pose
+
+
+def test_fused_equals_staged():
+    world = make_room_points(step=0.15)
+    m = build_map(world, voxel=0.3, table=1 << 16)
+    rng = np.random.default_rng(4)
+    N = 4096
+    pos0 = np.array([0.3, -0.2, 1.1])
+    scan = scan_from_pose(world, np.eye(3), pos0, n=N, rng=rng, noise=0.003)
+    t_rel = jnp.asarray(np.sort(rng.uniform(0, 0.1, N)).astype(np.float32))
+    rmask = jnp.ones(N, bool)
+    s = identity_state()._replace(
+        pos=jnp.asarray(pos0 + [0.03, -0.02, 0.01]),
+        grav=jnp.asarray([0.0, 0.0, -9.81]),
+    )
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0),
+        cov_acc=jnp.full(3, 0.01, jnp.float32),
+        cov_gyr=jnp.full(3, 0.001, jnp.float32),
+        cov_bias_acc=jnp.full(3, 1e-5, jnp.float32),
+        cov_bias_gyr=jnp.full(3, 1e-5, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
+    )
+    P = 16
+    pose = imu_mod.PoseTable(
+        offs=jnp.asarray(np.linspace(0, 0.1, P).astype(np.float32)),
+        rot=jnp.tile(jnp.asarray(s.rot, jnp.float32)[None], (P, 1, 1)),
+        pos=jnp.tile(jnp.asarray(s.pos, jnp.float32)[None], (P, 1)),
+        vel=jnp.tile(jnp.asarray([0.4, -0.2, 0.1], jnp.float32), (P, 1)),
+        acc=jnp.zeros((P, 3), jnp.float32),
+        gyr=jnp.tile(jnp.asarray([0.05, 0.02, -0.1], jnp.float32), (P, 1)),
+    )
+    kwargs = dict(laser_point_cov=0.001, max_iter=5, knn_radius=1, max_probe=8)
+
+    st_f, m_f, down_f, dmask_f, nact_f, it_f, dense_f = lidar_frame_step(
+        s, m, pose, calib, jnp.asarray(scan), t_rel, rmask,
+        jnp.float32(0.3), max_points=4096, dense_out=True, **kwargs,
+    )
+
+    # staged
+    und = imu_mod.undistort(s, pose, jnp.asarray(scan), t_rel, rmask, calib)
+    down, dmask = vf.voxel_downsample_device(und, rmask, jnp.float32(0.3), 4096)
+    res = lio_mod.lio_update(
+        s, m, down, dmask, calib.lid_rot, calib.lid_off, **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(st_f.pos), np.asarray(res.state.pos),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_f.rot), np.asarray(res.state.rot),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_f.cov), np.asarray(res.state.cov),
+                               atol=1e-12)
+    assert int(nact_f) == int(res.n_active)
+    assert int(it_f) == int(res.iters)
+    # the fused map insert used the posterior pose
+    rot32 = res.state.rot.astype(jnp.float32)
+    pos32 = res.state.pos.astype(jnp.float32)
+    world_pts = (down @ calib.lid_rot.T + calib.lid_off) @ rot32.T + pos32
+    m2 = vm.insert(m, world_pts, dmask)
+    assert int(m_f.count) == int(m2.count)
+    # dense output is at the posterior too
+    dw = np.asarray(dense_f)[np.asarray(rmask)]
+    und_np = np.asarray(und)
+    exp = und_np @ np.asarray(rot32).T + np.asarray(pos32)
+    np.testing.assert_allclose(dw, exp[np.asarray(rmask)], atol=1e-5)

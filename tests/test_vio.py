@@ -111,3 +111,20 @@ def test_vio_tracks_across_frames(ds):
     # some points should have >1 observation or new points added
     assert int(jnp.sum(vio.vmap.n_obs[: int(vio.vmap.n_pts)] > 1)) >= 0
     assert int(vio.vmap.n_pts) > 20
+
+
+def test_overlay_rendering(ds):
+    cfg = make_cfg()
+    cfg.debug = True
+    vio = Vio(cfg)
+    vio.set_last_cloud(world_cloud(ds))
+    s0 = state_at(ds, 2.0)
+    vio.update(s0, s0, ds.render_image(2.0))
+    s1 = state_at(ds, 2.1)
+    vio.set_last_cloud(world_cloud(ds, seed=2))
+    vio.update(s1, s1, ds.render_image(2.1))
+    ov = vio.last_overlay
+    assert ov is not None and ov.shape == (256, 320, 3)
+    # green tracked markers present
+    green = (ov[..., 1] == 255) & (ov[..., 0] == 0)
+    assert green.sum() > 50
