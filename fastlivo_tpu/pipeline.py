@@ -291,8 +291,9 @@ class Pipeline:
             iters = int(iters_j)
             if self.cfg.dense_map_enable:
                 dense_world = np.asarray(dense_j)[:N]
-            t_undistort = t_down = t_ekf = time.perf_counter()
-            t_map = t_ekf
+            # one fused dispatch: attribute the whole span to "ekf"
+            t_undistort = t_down = t0
+            t_ekf = t_map = time.perf_counter()
         else:
             # ---- bootstrap path (first frames): staged -------------------
             und = imu_mod.undistort(
