@@ -242,4 +242,6 @@ def rebuild(m: VoxelMap) -> VoxelMap:
     fresh = empty_map(m.check.shape[0], 1.0, dtype=m.pts.dtype)._replace(
         voxel_size=m.voxel_size
     )
-    return insert(fresh, m.pts, occupied)
+    # deeper probe budget than the per-frame insert: rebuild runs rarely
+    # and must not drop entries even at high load factors
+    return insert(fresh, m.pts, occupied, max_probe=32)
