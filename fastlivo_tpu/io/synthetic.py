@@ -162,6 +162,9 @@ class SyntheticDataset:
     points_per_scan: int = 8192
     cam_size: Tuple[int, int] = (320, 256)  # (W, H)
     cam_f: float = 200.0
+    cam_d: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(4)
+    )  # radtan [k1, k2, p1, p2]; rendering honors it
     gyro_bias: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.002, -0.0015, 0.001])
     )
@@ -249,15 +252,33 @@ class SyntheticDataset:
         t_wc = t_wl - R_wc @ self.Pcl
         return R_wc, t_wc
 
+    def _undistort_np(self, xd: np.ndarray, iters: int = 8) -> np.ndarray:
+        """Numpy twin of camera.undistort (fixed-point radtan inverse)."""
+        k1, k2, p1, p2 = self.cam_d
+        xn = xd.copy()
+        for _ in range(iters):
+            x, y = xn[:, 0], xn[:, 1]
+            r2 = x * x + y * y
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2
+            dx = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) - x
+            dy = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y - y
+            xn = xd - np.stack([dx, dy], -1)
+        return xn
+
     def render_image(self, t: float) -> np.ndarray:
-        """Ray-cast grayscale image (H, W) uint8 at time t."""
+        """Ray-cast grayscale image (H, W) uint8 at time t. When cam_d is
+        nonzero the rendered image matches the distorted pinhole model
+        (each pixel's ray comes from the undistorted normalized coords)."""
         W, H = self.cam_size
         f = self.cam_f
         cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
         u, v = np.meshgrid(np.arange(W), np.arange(H))
-        d_cam = np.stack(
-            [(u - cx) / f, (v - cy) / f, np.ones_like(u, dtype=np.float64)], -1
-        ).reshape(-1, 3)
+        xd = np.stack([(u - cx) / f, (v - cy) / f], -1).reshape(-1, 2)
+        if np.any(np.abs(self.cam_d) > 1e-12):
+            xn = self._undistort_np(xd)
+        else:
+            xn = xd
+        d_cam = np.concatenate([xn, np.ones((len(xn), 1))], -1)
         R_wc, t_wc = self.cam_pose(t)
         d_w = d_cam @ R_wc.T
         hits = self.room.ray_hit(t_wc, d_w)

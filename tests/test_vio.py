@@ -128,3 +128,34 @@ def test_overlay_rendering(ds):
     # green tracked markers present
     green = (ov[..., 1] == 255) & (ov[..., 0] == 0)
     assert green.sum() > 50
+
+
+def test_vio_with_distorted_camera():
+    """Real avia.yaml-style radtan distortion: render and track through
+    the distorted model; alignment must still reduce pose error."""
+    D = [-0.0944, 0.0947, -0.00808, 8.07e-05]
+    cfg = make_cfg()
+    cfg.camera = CameraConfig(
+        width=W, height=H, fx=F, fy=F, cx=(W - 1) / 2.0, cy=(H - 1) / 2.0,
+        d=D,
+    )
+    dsd = SyntheticDataset(cam_size=(W, H), cam_f=F, cam_hz=10.0,
+                           cam_d=np.asarray(D))
+    vio = Vio(cfg)
+    vio.set_last_cloud(world_cloud(dsd))
+    t0, t1 = 2.0, 2.05
+    s0 = state_at(dsd, t0)
+    vio.update(s0, s0, dsd.render_image(t0))
+    assert int(vio.vmap.n_pts) > 20
+    s1_true = state_at(dsd, t1)
+    drot = so3.exp(jnp.asarray([0.004, -0.005, 0.007]))
+    s1_bad = s1_true._replace(
+        rot=s1_true.rot @ drot,
+        pos=s1_true.pos + jnp.asarray([0.02, -0.025, 0.012]),
+    )
+    vio.set_last_cloud(world_cloud(dsd, seed=1))
+    out = vio.update(s1_bad, s1_bad, dsd.render_image(t1))
+    err_before = np.linalg.norm(np.asarray(s1_bad.pos - s1_true.pos))
+    err_after = np.linalg.norm(np.asarray(out.pos - s1_true.pos))
+    assert vio.last_stats["tracked"] > 10, vio.last_stats
+    assert err_after < 0.7 * err_before, (err_before, err_after)
