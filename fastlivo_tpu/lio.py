@@ -58,10 +58,6 @@ class LioResult(NamedTuple):
     iters: jnp.ndarray  # () int32 iterations executed
 
 
-def _state_vec(rot, pos, vel, bg, ba, grav):
-    return NavState(rot, pos, vel, bg, ba, grav, jnp.zeros(()))
-
-
 def _apply_sol(rot, pos, vel, bg, ba, grav, sol):
     """StatesGroup::operator+= (common_lib.h:343-352)."""
     return (

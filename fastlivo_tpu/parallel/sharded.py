@@ -20,8 +20,6 @@ follow-up for maps that outgrow one chip's HBM.)
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -33,10 +33,10 @@ import numpy as np
 from . import imu as imu_mod
 from . import lio as lio_mod
 from .config import Config
-from .ops import so3, voxel_map as vm
+from .ops import voxel_map as vm
 from .ops.voxel_filter import voxel_downsample
 from .state import NavState, identity_state
-from .sync import MeasureGroup, ScanBundle, Synchronizer
+from .sync import MeasureGroup, Synchronizer
 
 INIT_TIME = 0.5  # seconds before the EKF activates (laserMapping.cpp:79)
 MAX_SCAN_POSES = 512  # merged per-scan pose-table capacity
