@@ -48,8 +48,7 @@ def _parse_header(buf: bytes) -> dict:
     return out
 
 
-def _records(buf: bytes) -> Iterator[Tuple[dict, bytes]]:
-    i = 0
+def _records(buf, i: int = 0) -> Iterator[Tuple[dict, bytes]]:
     L = len(buf)
     while i + 8 <= L:
         (hlen,) = struct.unpack_from("<I", buf, i)
@@ -223,10 +222,18 @@ def read_bag(
 ) -> Iterator[Tuple[str, str, float, dict]]:
     """Yield (topic, msg_type, receive_stamp, decoded) in file order.
 
-    Messages without a registered decoder are skipped.
+    Messages without a registered decoder are skipped. The file is
+    memory-mapped, not loaded: multi-GB dataset bags stream without
+    resident memory cost (decoders copy out only what they keep).
     """
-    data = Path(path).read_bytes()
-    if not data.startswith(MAGIC):
+    import mmap
+
+    f = open(path, "rb")
+    try:
+        data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except (ValueError, OSError):  # empty file or mmap-less fs
+        data = f.read()
+    if not data[: len(MAGIC)] == MAGIC:
         raise ValueError(f"{path}: not a rosbag v2.0 file")
     conns: dict[int, tuple[str, str]] = {}  # conn id -> (topic, type)
 
@@ -247,7 +254,7 @@ def read_bag(
             if dec is not None:
                 yield topic, mtype, secs + nsecs * 1e-9, dec(rec)
 
-    for hdr, rec in _records(data[len(MAGIC):]):
+    for hdr, rec in _records(data, len(MAGIC)):
         op = hdr["op"][0]
         if op == OP_CHUNK:
             comp = hdr.get("compression", b"none").decode()
