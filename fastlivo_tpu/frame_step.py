@@ -48,7 +48,11 @@ def lidar_frame_step(
     dense_out: bool = True,
 ):
     """Returns (posterior state, new map, down (max_points,3), dmask,
-    n_active, iters, pts_world_dense (R,3) | zeros)."""
+    n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,)).
+
+    `active` marks the downsampled points whose point-to-plane residual
+    fed the final update — the /cloud_effected observability surface
+    (publish_effect_world, laserMapping.cpp:871-885)."""
     und = imu_mod.undistort(state, pose, pts_raw, t_rel, rmask, calib)
     down, dmask = vf.voxel_downsample_device(
         und, rmask, filter_size_surf, max_points
@@ -71,4 +75,5 @@ def lidar_frame_step(
         dense_world = jnp.where(rmask[:, None], dense_world, 0.0)
     else:
         dense_world = jnp.zeros((1, 3), down.dtype)
-    return res.state, m2, down, dmask, res.n_active, res.iters, dense_world
+    return (res.state, m2, down, dmask, res.n_active, res.iters,
+            dense_world, res.active)

@@ -89,6 +89,8 @@ class Pipeline:
         self._scan_id = None
         self.outputs: List[FrameOutput] = []
         self.trajectory: List[np.ndarray] = []  # TUM rows
+        # /cloud_effected parity: (down_pts, active_mask) of the last frame
+        self.last_effect = None
 
     # --- ingestion passthrough ------------------------------------------
     def push_lidar(self, stamp, pts, t_rel):
@@ -273,7 +275,7 @@ class Pipeline:
             from .frame_step import lidar_frame_step
 
             (st, m2, down_j, dmask_j, n_act_j, iters_j,
-             dense_j) = lidar_frame_step(
+             dense_j, active_j) = lidar_frame_step(
                 self.state, self.map, pose_table, self.calib,
                 jnp.asarray(buf), jnp.asarray(trel), jnp.asarray(pmask),
                 jnp.float32(self.cfg.filter_size_surf),
@@ -291,6 +293,7 @@ class Pipeline:
             iters = int(iters_j)
             if self.cfg.dense_map_enable:
                 dense_world = np.asarray(dense_j)[:N]
+            self.last_effect = (np.asarray(down_j), np.asarray(active_j))
             # one fused dispatch: attribute the whole span to "ekf"
             t_undistort = t_down = t0
             t_ekf = t_map = time.perf_counter()

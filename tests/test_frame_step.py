@@ -45,7 +45,8 @@ def test_fused_equals_staged():
     )
     kwargs = dict(laser_point_cov=0.001, max_iter=5, knn_radius=1, max_probe=8)
 
-    st_f, m_f, down_f, dmask_f, nact_f, it_f, dense_f = lidar_frame_step(
+    (st_f, m_f, down_f, dmask_f, nact_f, it_f, dense_f,
+     active_f) = lidar_frame_step(
         s, m, pose, calib, jnp.asarray(scan), t_rel, rmask,
         jnp.float32(0.3), max_points=4096, dense_out=True, **kwargs,
     )
@@ -63,6 +64,7 @@ def test_fused_equals_staged():
     np.testing.assert_allclose(np.asarray(st_f.cov), np.asarray(res.state.cov),
                                atol=1e-12)
     assert int(nact_f) == int(res.n_active)
+    np.testing.assert_array_equal(np.asarray(active_f), np.asarray(res.active))
     assert int(it_f) == int(res.iters)
     # the fused map insert used the posterior pose
     rot32 = res.state.rot.astype(jnp.float32)
