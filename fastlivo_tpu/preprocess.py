@@ -19,9 +19,8 @@ sorted in arrival order, with the vendor's gating applied:
     squared range against un-squared `blind` (:459) — kept as-is.
 
 The LOAM-style plane/edge feature extraction (`give_feature`,
-preprocess.cpp:466-935) is OFF in every shipped config
-(feature_extract_enable: false in config/*.yaml); `decode` raises if
-enabled.
+preprocess.cpp:466-935) lives in features.py; `decode` routes through it
+when `feature_extract_enable` is set (OFF in every shipped config).
 """
 from __future__ import annotations
 
@@ -144,10 +143,7 @@ def decode(fields: dict, cfg: PreprocessConfig):
     `fields` carries vendor-specific numpy arrays, keys as in the
     decode_* signatures."""
     if cfg.feature_extract_enable:
-        raise NotImplementedError(
-            "LOAM feature extraction (give_feature) is disabled in every "
-            "shipped reference config and not implemented"
-        )
+        return decode_features(fields, cfg)
     if cfg.lidar_type == AVIA:
         return decode_avia(
             fields["xyz"], fields["reflectivity"], fields["tag"],
@@ -168,3 +164,48 @@ def decode(fields: dict, cfg: PreprocessConfig):
             fields["xyz"], fields["intensity"], fields["timestamp_s"], cfg
         )
     raise ValueError(f"unknown lidar_type {cfg.lidar_type}")
+
+
+def decode_features(fields: dict, cfg: PreprocessConfig):
+    """Feature-extraction path (handlers' `feature_enabled` branches):
+    per-ring LOAM classification via features.give_feature; the surf set
+    becomes the scan fed to the pipeline (matching the reference, whose
+    downstream consumes pl_surf either way)."""
+    from .features import extract_features_rings
+
+    xyz = np.asarray(fields["xyz"], np.float64)
+    if cfg.lidar_type == AVIA:
+        tag = np.asarray(fields["tag"])
+        line = np.asarray(fields["line"])
+        # feature path accepts ONLY (tag & 0x30) == 0x10 (:101) and
+        # applies the dedup + squared-radius blind gate (:96-100)
+        prev = np.roll(xyz, 1, axis=0)
+        dedup = np.any(np.abs(xyz - prev) >= 1e-8, axis=1)
+        dedup[0] = False
+        r2 = xyz[:, 0] ** 2 + xyz[:, 1] ** 2
+        ok = ((tag & 0x30) == 0x10) & (line <= cfg.n_scans) & dedup & (r2 >= cfg.blind)
+        t_ms = np.asarray(fields["offset_time_ns"], np.float64) * 1e-6
+        ring = line
+    elif cfg.lidar_type == OUST64:
+        r2 = np.sum(xyz * xyz, axis=1)
+        ok = r2 >= cfg.blind * cfg.blind
+        t_ms = np.asarray(fields["t_ns"], np.float64) * 1e-6
+        ring = np.asarray(fields["ring"])
+    elif cfg.lidar_type == VELO16:
+        ok = np.ones(len(xyz), bool)
+        t_ms = np.asarray(fields["time_s"], np.float64) * 1e3
+        ring = np.asarray(fields["ring"])
+    else:
+        raise ValueError(
+            f"feature extraction unsupported for lidar_type {cfg.lidar_type}"
+        )
+    surf, corn = extract_features_rings(
+        xyz[ok], t_ms[ok], ring[ok], cfg.blind, cfg.point_filter_num,
+        cfg.n_scans, cfg.lidar_type,
+    )
+    pts = np.concatenate(
+        [surf[:, :3], np.zeros((len(surf), 1))], axis=1
+    ).astype(np.float32)
+    t_rel = surf[:, 3] * 1e-3  # ms -> s
+    order = np.argsort(t_rel, kind="stable")
+    return pts[order], t_rel[order]
