@@ -61,6 +61,8 @@ class CapacityConfig:
     equivalent (the reference uses dynamic containers). All shapes inside
     jit are padded to these."""
 
+    map_backend: str = "hash"  # "hash" (sparse, long-range) | "dense"
+    dense_dims: tuple = (256, 256, 64)  # rolling-grid dims (powers of two)
     map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
     max_probe: int = 16  # open-addressing probe depth
     knn_voxel_radius: int = 2  # 5x5x5 neighborhood for 5-NN gather
@@ -189,9 +191,17 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
     cap = raw.get("capacity", {})  # TPU static-shape knobs (ours, optional)
     if cap:
         fields = {f.name for f in dataclasses.fields(CapacityConfig)}
-        cfg.capacity = CapacityConfig(
-            **{k: int(v) for k, v in cap.items() if k in fields}
-        )
+        kw = {}
+        for k, v in cap.items():
+            if k not in fields:
+                continue
+            if k == "map_backend":
+                kw[k] = str(v)
+            elif k == "dense_dims":
+                kw[k] = tuple(int(x) for x in v)
+            else:
+                kw[k] = int(v)
+        cfg.capacity = CapacityConfig(**kw)
 
     if camera_yaml is not None:
         with open(camera_yaml) as f:

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from . import imu as imu_mod
 from . import lio as lio_mod
+from .ops import dense_map as dm
 from .ops import voxel_filter as vf
 from .ops import voxel_map as vm
 from .state import NavState
@@ -67,7 +68,10 @@ def lidar_frame_step(
     pos32 = res.state.pos.astype(down.dtype)
     p_imu = down @ calib.lid_rot.T + calib.lid_off
     world = p_imu @ rot32.T + pos32
-    m2 = vm.insert(m, world, dmask, max_probe=max_probe)
+    if isinstance(m, dm.DenseMap):
+        m2 = dm.insert(m, world, dmask)
+    else:
+        m2 = vm.insert(m, world, dmask, max_probe=max_probe)
     if dense_out:
         dense_world = (
             und @ calib.lid_rot.T + calib.lid_off

@@ -35,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .ops import dense_map as dm
 from .ops import linalg as linalg_ops
 from .ops import plane as plane_ops
 from .ops import so3
@@ -122,9 +123,11 @@ def lio_update(
         # point batch stays f32; the f64 pose casts down at the boundary
         return p_imu @ rot.astype(dtype).T + pos.astype(dtype)
 
+    map_mod = dm if isinstance(m, dm.DenseMap) else vm
+
     def do_search(rot, pos):
         pw = world_pts(rot, pos)
-        neigh, nd2, _ = vm.knn(
+        neigh, nd2, _ = map_mod.knn(
             m, pw, k=5, radius=knn_radius, max_probe=max_probe
         )
         sel = (nd2[:, -1] <= SQ_DIST_GATE) & pmask

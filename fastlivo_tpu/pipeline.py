@@ -69,7 +69,14 @@ class Pipeline:
         self.init_done = False
         self.calib: Optional[imu_mod.ImuCalib] = None
         self.state: NavState = identity_state()
-        self.map = vm.empty_map(cap.map_table_size, cfg.filter_size_map)
+        if cap.map_backend == "dense":
+            from .ops import dense_map as dm
+
+            self.map = dm.empty_dense_map(cap.dense_dims, cfg.filter_size_map)
+            self._map_mod = dm
+        else:
+            self.map = vm.empty_map(cap.map_table_size, cfg.filter_size_map)
+            self._map_mod = vm
         self.map_built = False
         self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length)
         if vio is None and cfg.img_enable:
@@ -262,7 +269,9 @@ class Pipeline:
         if boxes and self.map_built:
             lo = np.asarray([b[0] for b in boxes], np.float32)
             hi = np.asarray([b[1] for b in boxes], np.float32)
-            self.map = vm.delete_boxes(self.map, jnp.asarray(lo), jnp.asarray(hi))
+            self.map = self._map_mod.delete_boxes(
+                self.map, jnp.asarray(lo), jnp.asarray(hi)
+            )
 
         lid_rot = jnp.asarray(self.cfg.extrinsic_R, jnp.float32)
         lid_off = jnp.asarray(self.cfg.extrinsic_T, jnp.float32)
@@ -325,7 +334,9 @@ class Pipeline:
             if not self.map_built:
                 if n_down > 5:
                     world = self._to_world(down, dmask, lid_rot, lid_off)
-                    self.map = vm.insert(self.map, world, jnp.asarray(dmask))
+                    self.map = self._map_mod.insert(
+                        self.map, world, jnp.asarray(dmask)
+                    )
                     self.map_built = True
                 return None
 
@@ -333,7 +344,7 @@ class Pipeline:
             n_active = 0
             t_ekf = time.perf_counter()
             world = self._to_world(down, dmask, lid_rot, lid_off)
-            self.map = vm.insert(self.map, world, jnp.asarray(dmask))
+            self.map = self._map_mod.insert(self.map, world, jnp.asarray(dmask))
             t_map = time.perf_counter()
             if self.cfg.dense_map_enable:
                 rot_tmp = np.asarray(self.state.rot, np.float64)

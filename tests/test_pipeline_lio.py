@@ -87,3 +87,23 @@ def test_active_points(lio_run):
     late = [o for o in outs if o.t > ds.traj.t_static + 0.5]
     frac = np.mean([o.n_active / max(o.n_points, 1) for o in late])
     assert frac > 0.7, f"only {frac:.2%} of points matched"
+
+
+def test_pipeline_with_dense_backend():
+    """End-to-end LIO with the rolling-grid map backend."""
+    ds = SyntheticDataset(duration=4.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=13)
+    cfg = small_config()
+    cfg.capacity.map_backend = "dense"
+    cfg.capacity.dense_dims = (128, 128, 32)
+    pipe = Pipeline(cfg)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    outs = pipe.spin()
+    base = ds.traj.base_pos
+    errs = [np.linalg.norm(o.pos - (ds.traj.pose(o.t)[1] - base))
+            for o in outs if o.t > 2.5]
+    ate = np.sqrt(np.mean(np.square(errs)))
+    assert ate < 0.05, f"dense-backend ATE {ate:.4f}"
