@@ -82,7 +82,11 @@ def build_world(n, seed=0):
 
 def main():
     world = build_world(400_000)
-    m = vm.empty_map(MAP_TABLE, 0.5)
+    # dense rolling-grid backend: the faster map for bounded-extent rigs
+    # (covers the 40x40x8 m bench world with margin)
+    from fastlivo_tpu.ops import dense_map as dmod
+
+    m = dmod.empty_dense_map((256, 256, 64), 0.5)
     B = 65536
     for i in range(0, len(world), B):
         chunk = np.zeros((B, 3), np.float32)
@@ -90,7 +94,7 @@ def main():
         chunk[:k] = world[i : i + k]
         mask = np.zeros(B, bool)
         mask[:k] = True
-        m = vm.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
+        m = dmod.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
 
     rng = np.random.default_rng(1)
     idx = rng.choice(len(world), N_SCAN, replace=False)
