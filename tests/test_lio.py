@@ -212,3 +212,21 @@ def test_voxel_downsample_device_masks_invalid():
     assert int(mask.sum()) == 1
     np.testing.assert_allclose(np.asarray(out)[np.asarray(mask)][0],
                                [0.1, 0.1, 0.1], atol=1e-6)
+
+
+def test_voxel_downsample_scatter_matches_host():
+    import jax.numpy as jnp
+    from fastlivo_tpu.ops.voxel_filter import voxel_downsample_scatter
+
+    rng2 = np.random.default_rng(9)
+    pts = rng2.uniform(-6, 6, (4000, 3)).astype(np.float32)
+    host, _ = voxel_downsample(pts, 0.4)
+    dev, dmask = voxel_downsample_scatter(
+        jnp.asarray(pts), jnp.ones(4000, bool), 0.4, 4096
+    )
+    dev = np.asarray(dev)[np.asarray(dmask)]
+    # grid is large enough that no aliasing occurs: exact centroid sets
+    assert len(dev) == len(host)
+    hs = host[np.lexsort(host.T)]
+    ds_ = dev[np.lexsort(dev.T)]
+    np.testing.assert_allclose(ds_, hs, atol=1e-4)
