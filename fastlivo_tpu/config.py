@@ -64,8 +64,9 @@ class CapacityConfig:
     map_backend: str = "hash"  # "hash" (sparse, long-range) | "dense"
     dense_dims: tuple = (256, 256, 64)  # rolling-grid dims (powers of two)
     map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
-    max_probe: int = 16  # open-addressing probe depth
-    knn_voxel_radius: int = 2  # 5x5x5 neighborhood for 5-NN gather
+    max_probe: int = 12  # open-addressing probe depth (= insert's depth)
+    knn_voxel_radius: int = 1  # 3x3x3 neighborhood for the 5-NN gather;
+    # 2 widens to 5x5x5 for very sparse maps (voxel >> point spacing)
     max_points: int = 16384  # padded scan size fed to the LIO update
     max_raw_points: int = 32768  # padded raw scan size for undistortion
     max_imu_per_group: int = 64  # padded IMU samples per measurement group
