@@ -34,9 +34,6 @@ import numpy as np
 
 VOXEL_SIZE = 0.5  # lidar_selection.cpp:210
 EMPTY = jnp.int32(-2147483648)
-_H1 = jnp.int32(73856093)
-_H2 = jnp.int32(19349663)
-_H3 = jnp.int32(83492791)
 
 
 class VisualMap(NamedTuple):
@@ -54,8 +51,8 @@ class VisualMap(NamedTuple):
     obs_slot: jnp.ndarray  # (NP, KO) i32 image ring slot
     obs_fid: jnp.ndarray  # (NP, KO) i32 frame id (-1 empty)
     obs_level: jnp.ndarray  # (NP, KO) i32 feature level
-    # voxel hash
-    vox_keys: jnp.ndarray  # (T, 3) i32
+    # voxel hash (slot/check scheme, see ops/voxel_map.py)
+    vox_keys: jnp.ndarray  # (T,) i32 31-bit verify hash; EMPTY = free
     vox_count: jnp.ndarray  # (T,) i32
     vox_idx: jnp.ndarray  # (T, VC) i32 point indices
     # reference image ring
@@ -88,7 +85,7 @@ def empty_visual_map(
         obs_slot=jnp.zeros((NP, KO), jnp.int32),
         obs_fid=jnp.full((NP, KO), -1, jnp.int32),
         obs_level=jnp.zeros((NP, KO), jnp.int32),
-        vox_keys=jnp.full((T, 3), EMPTY, jnp.int32),
+        vox_keys=jnp.full(T, EMPTY, jnp.int32),
         vox_count=jnp.zeros(T, jnp.int32),
         vox_idx=jnp.zeros((T, VC), jnp.int32),
         imgs=jnp.zeros((R, height, width), dtype),
@@ -100,9 +97,10 @@ def voxel_of(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(p / VOXEL_SIZE).astype(jnp.int32)
 
 
-def _hash(keys: jnp.ndarray, mask: int) -> jnp.ndarray:
-    h = keys[..., 0] * _H1 ^ keys[..., 1] * _H2 ^ keys[..., 2] * _H3
-    return h & jnp.int32(mask)
+def _slot_check(keys: jnp.ndarray, mask: int):
+    from .ops.voxel_map import _slot_check as sc
+
+    return sc(keys, mask)
 
 
 @jax.jit
@@ -162,10 +160,14 @@ def add_points(
 
     # --- voxel-hash insert ----------------------------------------------
     keys = voxel_of(pts)
+    # invalid rows get a shared sentinel key so they can't sit inside (and
+    # block) a real voxel's sorted group
     keys = jnp.where(mask[:, None], keys, EMPTY + 1)
+    slot0, checks = _slot_check(keys, tmask)
     # rank of each point within its voxel (stable in-batch ordering)
     ord_ = jnp.lexsort((jnp.arange(B), keys[:, 0], keys[:, 1], keys[:, 2]))
     ks = keys[ord_]
+    checks_s = checks[ord_]
     same = jnp.all(ks == jnp.roll(ks, 1, axis=0), axis=-1)
     same = same.at[0].set(False)
     # rank via segmented cumsum
@@ -179,17 +181,17 @@ def add_points(
     is_leader = seg_start & mask[ord_]
 
     vk, vc, vi = mm.vox_keys, mm.vox_count, mm.vox_idx
-    slot = _hash(ks, tmask)
+    slot = slot0[ord_]
     done = ~mask[ord_]
     resolved = jnp.full(B, T, jnp.int32)
     for _ in range(max_probe):
         cur = vk[slot]
-        is_empty = cur[:, 0] == EMPTY
-        is_mine = jnp.all(cur == ks, axis=-1) & ~done
+        is_empty = cur == EMPTY
+        is_mine = (cur == checks_s) & ~done
         claim = is_empty & is_leader & ~done
         claim_idx = jnp.where(claim, slot, T)
-        vk = vk.at[claim_idx].set(ks, mode="drop")
-        won = claim & jnp.all(vk[slot] == ks, axis=-1)
+        vk = vk.at[claim_idx].set(checks_s, mode="drop")
+        won = claim & (vk[slot] == checks_s)
         hit = is_mine | won
         resolved = jnp.where(hit & (resolved == T), slot, resolved)
         done = done | hit
@@ -220,13 +222,13 @@ def gather_voxel_points(
     T = m.vox_keys.shape[0]
     VC = m.vox_idx.shape[1]
     tmask = T - 1
-    keys = jnp.where(vmask[:, None], vox, EMPTY + 1)
-    slot = _hash(keys, tmask)
-    resolved = jnp.full(keys.shape[0], T, jnp.int32)
-    found = jnp.zeros(keys.shape[0], bool)
+    slot, qcheck = _slot_check(vox, tmask)
+    qcheck = jnp.where(vmask, qcheck, EMPTY + 1)
+    resolved = jnp.full(vox.shape[0], T, jnp.int32)
+    found = jnp.zeros(vox.shape[0], bool)
     for _ in range(max_probe):
         cur = m.vox_keys[slot]
-        hit = jnp.all(cur == keys, axis=-1) & ~found
+        hit = (cur == qcheck) & ~found
         resolved = jnp.where(hit, slot, resolved)
         found = found | hit
         slot = (slot + 1) & tmask
