@@ -1,10 +1,13 @@
 """LIO iterated-EKF update tests against synthetic geometry.
 
-Strategy (SURVEY.md §4): no golden C++ traces exist in-container, so the
-update is validated the way the reference is validated empirically —
-convergence to a known ground-truth pose against known planar geometry,
-plus invariants of the reference's iteration protocol
-(laserMapping.cpp:1506-1732)."""
+Strategy (SURVEY.md §4): the update step has no golden per-iteration C++
+dump to diff against (the reference's /root/reference/Log traces cover
+the IMU *propagation* between updates — validated bit-for-bit in
+tests/test_golden_traces.py — but only pre/post states around the
+update, with an unknown map), so the update is validated the way the
+reference is validated empirically — convergence to a known
+ground-truth pose against known planar geometry, plus invariants of the
+reference's iteration protocol (laserMapping.cpp:1506-1732)."""
 import numpy as np
 import jax.numpy as jnp
 import pytest
