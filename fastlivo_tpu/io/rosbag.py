@@ -192,6 +192,21 @@ def decode_image(data: bytes) -> dict:
     return {"stamp": stamp, "image": img, "encoding": enc}
 
 
+def bgr_normalize(img: np.ndarray, encoding: str) -> np.ndarray:
+    """Reorder a decoded image to the BGR channel order the pipeline
+    assumes (the reference receives BGR via cv_bridge before
+    cv::cvtColor(CV_BGR2GRAY), lidar_selection.cpp:1037). Honors the ROS
+    'encoding' field: rgb8/rgba8 sources get their channels swapped,
+    alpha is dropped, mono passes through."""
+    enc = (encoding or "").lower()
+    if img.ndim == 3 and img.shape[2] >= 3:
+        if img.shape[2] == 4:
+            img = img[..., :3]
+        if enc.startswith("rgb"):
+            img = img[..., ::-1]
+    return img
+
+
 def decode_compressed_image(data: bytes) -> dict:
     import io as _io
 

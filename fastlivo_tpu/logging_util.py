@@ -31,6 +31,31 @@ def _euler_deg(R: np.ndarray) -> np.ndarray:
     return np.degrees(e)
 
 
+def rot_to_quat_xyzw(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion [x, y, z, w] (Eigen::Quaterniond
+    constructor convention used by the fout_tum writer,
+    laserMapping.cpp:1740-1746)."""
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2
+        q = np.zeros(3)
+        q[i] = 0.25 * s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        w = (R[k, j] - R[j, k]) / s
+        x, y, z = q
+    return np.array([x, y, z, w])
+
+
 class TraceLogger:
     def __init__(self, log_dir: str | Path):
         self.dir = Path(log_dir)
@@ -38,6 +63,7 @@ class TraceLogger:
         self._pre = open(self.dir / "mat_pre.txt", "w")
         self._out = open(self.dir / "mat_out.txt", "w")
         self._imu = open(self.dir / "imu.txt", "w")
+        self._tum = None  # camera_pose.txt, opened on first use
 
     def _row(self, f, t, state):
         R = np.asarray(state.rot, np.float64)
@@ -63,9 +89,21 @@ class TraceLogger:
         vals = list(np.asarray(gyr, np.float64)) + list(np.asarray(acc, np.float64))
         self._imu.write("%.8f " % t + " ".join("%.6f" % v for v in vals) + "\n")
 
+    def log_camera_pose(self, t: float, rcw: np.ndarray, pcw: np.ndarray):
+        """camera_pose.txt row under pose_output_en
+        (laserMapping.cpp:1738-1748): scan begin time, then the
+        world->camera transform T_f_w_ — translation and quaternion
+        x y z w — at fixed 6-decimal precision."""
+        if self._tum is None:
+            self._tum = open(self.dir / "camera_pose.txt", "w")
+        q = rot_to_quat_xyzw(rcw)
+        vals = [t] + list(np.asarray(pcw, np.float64)) + list(q)
+        self._tum.write(" ".join("%.6f" % v for v in vals) + "\n")
+
     def close(self):
-        for f in (self._pre, self._out, self._imu):
-            f.close()
+        for f in (self._pre, self._out, self._imu, self._tum):
+            if f is not None:
+                f.close()
 
 
 def write_tum(path: str | Path, rows: np.ndarray):

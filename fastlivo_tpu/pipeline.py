@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -39,7 +40,6 @@ from .state import NavState, identity_state
 from .sync import MeasureGroup, Synchronizer
 
 INIT_TIME = 0.5  # seconds before the EKF activates (laserMapping.cpp:79)
-MAX_SCAN_POSES = 512  # merged per-scan pose-table capacity
 
 
 @dataclasses.dataclass
@@ -64,6 +64,12 @@ class Pipeline:
 
             self.logger = TraceLogger(log_dir)
         cap = cfg.capacity
+        # merged per-scan pose-table capacity: a scan accumulates one
+        # segment per measurement group (scan end + interleaved images),
+        # each bounded by max_imu_per_group rows plus its start row
+        self.max_scan_poses = max(8 * (cap.max_imu_per_group + 1), 128)
+        self._decimation_warned = False
+        self.rgb_cloud: List[np.ndarray] = []  # accumulated (x,y,z,r,g,b)
         self.sync = Synchronizer(img_enable=cfg.img_enable)
         self.initializer = imu_mod.ImuInitializer()
         self.init_done = False
@@ -112,11 +118,34 @@ class Pipeline:
     def spin(self) -> List[FrameOutput]:
         """Process every ready measurement group; returns new frame outputs."""
         new = []
+        if self.sync.reset_flagged:
+            self._reset_imu()
+            self.sync.reset_flagged = False
         for g in self.sync.drain():
             out = self._process_group(g)
             if out is not None:
                 new.append(out)
         return new
+
+    def _reset_imu(self):
+        """Loop-back recovery (laserMapping.cpp:1273-1279 'reset when
+        rosbag play back' + ImuProcess::Reset, IMU_Processing.cpp:31-44):
+        a sensor-timestamp regression cleared the sync buffers; restart
+        IMU initialization and drop the propagation context so stale
+        timestamps cannot poison the next groups. The estimator state
+        itself is kept, matching the reference (only p_imu is reset)."""
+        warnings.warn("sensor loop-back detected: resetting IMU processor",
+                      RuntimeWarning)
+        self.initializer = imu_mod.ImuInitializer()
+        self.init_done = False
+        self.calib = None
+        self.last_imu = None
+        self.last_group_end = None
+        self.acc_s_last = jnp.zeros(3, jnp.float32)
+        self.angvel_last = jnp.zeros(3, jnp.float32)
+        self._scan_tables = []
+        self._scan_id = None
+        self.sync.reset_open_scan()
 
     # --- internals -------------------------------------------------------
     def _feed_initializer(self, g: MeasureGroup):
@@ -163,6 +192,13 @@ class Pipeline:
             last_end_time=self.last_group_end,
             max_pairs=cap,
         )
+        if self.logger is not None and self.first_lidar_time is not None:
+            # per-pair averaged IMU trace (fout_imu, IMU_Processing.cpp:681:
+            # head stamp rel. first lidar, raw angvel_avr, raw acc_avr)
+            for i in np.nonzero(valid)[0]:
+                self.logger.log_imu(
+                    imu_t[i] - self.first_lidar_time, acc_avg[i], gyr_avg[i]
+                )
         st, pose, self.acc_s_last, self.angvel_last = imu_mod.propagate(
             self.state,
             jnp.asarray(acc_avg), jnp.asarray(gyr_avg), jnp.asarray(dt),
@@ -188,7 +224,7 @@ class Pipeline:
     def _merged_pose_table(self) -> imu_mod.PoseTable:
         segs = self._scan_tables
         offs = np.concatenate([s["offs"] for s in segs])
-        M = MAX_SCAN_POSES
+        M = self.max_scan_poses
         if len(offs) > M:
             raise ValueError(f"scan pose table overflow: {len(offs)} > {M}")
 
@@ -211,6 +247,8 @@ class Pipeline:
         )
 
     def _process_group(self, g: MeasureGroup) -> Optional[FrameOutput]:
+        if self.cfg.debug:
+            g.debug_show()  # laserMapping.cpp:1295-1298
         scan = g.scan
         if scan is not None and self._scan_id is not scan:
             self._scan_id = scan
@@ -243,6 +281,14 @@ class Pipeline:
         rawcap = cap.max_raw_points
         if N > rawcap:
             stride = -(-N // rawcap)
+            if not self._decimation_warned:
+                self._decimation_warned = True
+                warnings.warn(
+                    f"raw scan of {N} points exceeds capacity.max_raw_points="
+                    f"{rawcap}; stride-decimating by {stride} (coverage loss)."
+                    " Raise the capacity to keep full scans.",
+                    RuntimeWarning,
+                )
             sel = slice(0, N, stride)
             pts_np = scan.pts[sel, :3]
             t_rel_np = scan.t_rel[sel]
@@ -380,6 +426,31 @@ class Pipeline:
             # world-frame dense cloud at the posterior (pcl_wait_pub,
             # laserMapping.cpp:1764-1772) — feeds the VIO depth pipeline
             out.pts_world = dense_world
+        if self.cfg.pose_output_en and self.logger is not None:
+            # camera_pose.txt (fout_tum, laserMapping.cpp:1738-1748):
+            # world->camera pose of the latest image frame
+            rcw, pcw = None, None
+            if self.vio is not None and self.vio.last_rcw is not None:
+                rcw, pcw = self.vio.last_rcw, self.vio.last_pcw
+            elif self.vio is not None:
+                # no image seen yet: derive from the current state
+                rcw = np.asarray(self.vio.Rci) @ rot_np.T
+                pcw = -rcw @ pos_np + np.asarray(self.vio.Pci)
+            if rcw is not None:
+                self.logger.log_camera_pose(scan.beg_time, rcw, pcw)
+        if (
+            self.cfg.pcd_save_en
+            and self.vio is not None
+            and out.pts_world is not None
+        ):
+            # accumulated RGB world cloud (pcl_wait_save,
+            # laserMapping.cpp:726-746, 778): paint the frame's cloud
+            # from the latest image, keep in-frame points only
+            cmask, rgb = self.vio.colorize(out.pts_world)
+            if cmask.any():
+                self.rgb_cloud.append(
+                    np.concatenate([out.pts_world[cmask], rgb[cmask]], axis=1)
+                )
         self.outputs.append(out)
         self.trajectory.append(
             np.array([out.t, *pos_np, quat[1], quat[2], quat[3], quat[0]])

@@ -65,7 +65,7 @@ def _lidar_fields(msg_type: str, msg: dict, lidar_type: int) -> dict:
 
 
 def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None):
-    from .io.rosbag import read_bag
+    from .io.rosbag import bgr_normalize, read_bag
 
     cfg = pipe.cfg
     topics = {cfg.lid_topic, cfg.imu_topic}
@@ -81,7 +81,7 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None):
             if len(pts) > 1:
                 pipe.push_lidar(msg["stamp"], pts, t_rel)
         elif topic == cfg.img_topic:
-            img = msg["image"]
+            img = bgr_normalize(msg["image"], msg.get("encoding", "bgr8"))
             pipe.push_img(msg["stamp"] + cfg.delta_time, img)
         outs = pipe.spin()
         n_frames += len(outs)
@@ -117,10 +117,26 @@ def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool):
     return len(outs), ds
 
 
-def save_pcd(path: str, pts: np.ndarray):
+def save_pcd(path: str, pts: np.ndarray, rgb: np.ndarray | None = None):
     """Minimal ASCII PCD writer (pcd_save_en path, laserMapping.cpp:
-    1839-1855)."""
+    1839-1855). With `rgb` (N, 3) in [0,255], writes the packed-float
+    rgb field of pcl::PointXYZRGB (the reference's RGB map cloud)."""
     with open(path, "w") as f:
+        if rgb is not None:
+            packed = (
+                (np.asarray(rgb[:, 0], np.uint32) << 16)
+                | (np.asarray(rgb[:, 1], np.uint32) << 8)
+                | np.asarray(rgb[:, 2], np.uint32)
+            ).view(np.int32)
+            f.write(
+                "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+                "FIELDS x y z rgb\nSIZE 4 4 4 4\nTYPE F F F U\nCOUNT 1 1 1 1\n"
+                f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+                f"POINTS {len(pts)}\nDATA ascii\n"
+            )
+            for p, c in zip(pts[:, :3], packed):
+                f.write("%.4f %.4f %.4f %d\n" % (p[0], p[1], p[2], c))
+            return
         f.write(
             "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
             "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
@@ -147,6 +163,8 @@ def main(argv=None):
     cfg = load_config(args.config, args.camera)
     if args.no_img or (cfg.img_enable and args.camera is None and not args.synthetic):
         cfg.img_enable = False
+    if args.pcd_out:
+        cfg.pcd_save_en = True
     pipe = Pipeline(cfg, log_dir=args.log_dir)
 
     t0 = time.perf_counter()
@@ -162,9 +180,14 @@ def main(argv=None):
     if len(traj):
         write_tum(args.out, traj)
     if args.pcd_out and pipe.outputs:
-        clouds = [o.pts_world for o in pipe.outputs if o.pts_world is not None]
-        if clouds:
-            save_pcd(args.pcd_out, np.concatenate(clouds))
+        if pipe.rgb_cloud:
+            # RGB world map (pcl_wait_save, laserMapping.cpp:778, 1841)
+            acc = np.concatenate(pipe.rgb_cloud)
+            save_pcd(args.pcd_out, acc[:, :3], acc[:, 3:6])
+        else:
+            clouds = [o.pts_world for o in pipe.outputs if o.pts_world is not None]
+            if clouds:
+                save_pcd(args.pcd_out, np.concatenate(clouds))
     tm = {}
     if pipe.outputs:
         tm = {

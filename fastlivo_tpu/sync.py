@@ -44,6 +44,20 @@ class MeasureGroup:
     # the owning scan (shared across the scan's groups)
     scan: Optional["ScanBundle"] = None
 
+    def debug_show(self):
+        """Sync-structure dump (LidarMeasureGroup::debug_show,
+        common_lib.h:176-191): IMU stamps relative to the scan begin,
+        image offset, end flag and scan size."""
+        beg = self.scan.beg_time if self.scan is not None else 0.0
+        print("Lidar selector debug:")
+        print(f"lidar_beg_time:{beg:.20g}")
+        offs = " ".join(f"{t - beg:.20g}" for t in self.imu_t)
+        print(f"In measures: {offs} img_time:{self.img_offset_time:.20g}")
+        end = self.scan.end_time - beg if self.scan is not None else 0.0
+        npts = len(self.scan.pts) if self.scan is not None else 0
+        print(f"is_lidar_end:{int(self.is_lidar_end)} lidar_end_time:{end:.20g}")
+        print(f"lidar_.points.size(): {npts}\n")
+
 
 @dataclasses.dataclass
 class ScanBundle:
@@ -104,6 +118,11 @@ class Synchronizer:
         self.last_timestamp_img = stamp
         self.img_buf.append(img)
         self.img_time_buf.append(float(stamp))
+
+    def reset_open_scan(self):
+        """Drop the partially-consumed scan after a loop-back reset (its
+        buffer entry was already cleared by the regression handler)."""
+        self._open_scan = None
 
     # --- draining --------------------------------------------------------
     def _pop_imu_until(self, t: float) -> MeasureGroup:

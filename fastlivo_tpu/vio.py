@@ -65,8 +65,33 @@ class TrackedSet(NamedTuple):
 
 
 def _pack_min(value_bits: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
-    """Pack (positive-f32-bits, row) into int64 for scatter-min argmin."""
+    """Pack (positive-f32-bits, row) into int64 for scatter-min argmin.
+
+    The row index gets the low 20 bits; larger batches would silently
+    corrupt the packed value ordering, so the capacity is enforced at
+    trace time (shapes are static under jit)."""
+    assert row.shape[-1] < (1 << 20), (
+        f"_pack_min row capacity exceeded: {row.shape[-1]} >= 2^20"
+    )
     return (value_bits.astype(jnp.int64) << 20) | row.astype(jnp.int64)
+
+
+def _bilinear_resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Host-side bilinear resample to (H, W) with half-pixel-centered
+    sampling (cv::resize INTER_LINEAR convention), for image sizes that
+    are not the exact 2x the camera model expects."""
+    h, w = img.shape
+    ys = np.clip((np.arange(H) + 0.5) * h / H - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(W) + 0.5) * w / W - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None].astype(np.float32)
+    fx = (xs - x0)[None, :].astype(np.float32)
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
 
 
 def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -563,6 +588,9 @@ class Vio:
         self.max_vox = 2048
         self.last_stats = {}
         self.last_overlay = None  # /rgb_img equivalent when cfg.debug
+        self.last_bgr: Optional[np.ndarray] = None  # img_rgb (detect :1035)
+        self.last_rcw: Optional[np.ndarray] = None  # frame T_f_w_ rotation
+        self.last_pcw: Optional[np.ndarray] = None
 
     def set_last_cloud(self, pts_world: Optional[np.ndarray]):
         if pts_world is not None:
@@ -574,14 +602,39 @@ class Vio:
             img = 0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
         img = np.asarray(img, np.float32)
         H, W = self.cam.height, self.cam.width
-        if img.shape != (H, W):  # resize-to-half path (:1029-1034)
-            sy, sx = img.shape[0] // H, img.shape[1] // W
-            img = img[::sy, ::sx][:H, :W]
+        if img.shape != (H, W):  # resize path (detect :1029-1034)
+            if img.shape == (2 * H, 2 * W):
+                # exact-half: cv::resize INTER_LINEAR at scale 0.5 samples
+                # at (2x+0.5, 2y+0.5), i.e. the 2x2 block average — a box
+                # filter, not strided subsampling (aliasing parity)
+                img = img.reshape(H, 2, W, 2).mean(axis=(1, 3))
+            else:
+                img = _bilinear_resize(img, H, W)
         return img
+
+    def _resize_color(self, img: np.ndarray) -> np.ndarray:
+        """img_rgb equivalent: the color frame at camera-model resolution
+        (the reference resizes before cloning to img_rgb, detect
+        :1029-1035). Kept for RGB cloud painting."""
+        img = np.asarray(img, np.float32)
+        H, W = self.cam.height, self.cam.width
+        if img.shape[:2] == (H, W):
+            return img
+        if img.shape[:2] == (2 * H, 2 * W):
+            if img.ndim == 3:
+                return img.reshape(H, 2, W, 2, -1).mean(axis=(1, 3))
+            return img.reshape(H, 2, W, 2).mean(axis=(1, 3))
+        if img.ndim == 3:
+            return np.stack(
+                [_bilinear_resize(img[..., c], H, W) for c in range(img.shape[2])],
+                axis=-1,
+            )
+        return _bilinear_resize(img, H, W)
 
     def update(self, state: NavState, prior: NavState, img: np.ndarray) -> NavState:
         """The `detect` entry (lidar_selection.cpp:1027-1075)."""
         cfg = self.cfg
+        self.last_bgr = self._resize_color(img)
         gray = jnp.asarray(self._to_gray(img))
         fid = jnp.int32(self.fid)
         self.vmap = vmap_mod.push_image(self.vmap, gray, fid)
@@ -677,5 +730,46 @@ class Vio:
         )
         stats["added"] = int(jnp.sum(nadd))
         self.last_stats = stats
+        # the posterior camera pose (updateFrameState after the update,
+        # lidar_selection.cpp:982) — consumed by camera_pose.txt export
+        # and RGB cloud painting
+        rot_f = np.asarray(state.rot, np.float32)
+        self.last_rcw = np.asarray(self.Rci) @ rot_f.T
+        self.last_pcw = (
+            -self.last_rcw @ np.asarray(state.pos, np.float32)
+            + np.asarray(self.Pci)
+        )
         self.fid += 1
         return state
+
+    def colorize(self, pts_world: np.ndarray):
+        """Paint world points from the most recent camera image
+        (publish_frame_world RGB path, laserMapping.cpp:726-746: project
+        with the stored frame pose, bilinear-sample the color image).
+        Returns (mask, rgb) with rgb rows in [0,255] r,g,b order."""
+        if self.last_bgr is None or self.last_rcw is None:
+            return np.zeros(len(pts_world), bool), np.zeros((len(pts_world), 3))
+        from . import camera as cam_mod
+
+        pc_cam = pts_world.astype(np.float32) @ self.last_rcw.T + self.last_pcw
+        mask = pc_cam[:, 2] > 0
+        px = np.asarray(
+            cam_mod.world2cam(self.cam, jnp.asarray(pc_cam)), np.float64
+        )
+        H, W = self.last_bgr.shape[:2]
+        mask &= (px[:, 0] >= 0) & (px[:, 0] < W - 1)
+        mask &= (px[:, 1] >= 0) & (px[:, 1] < H - 1)
+        x = np.clip(px[:, 0], 0, W - 2)
+        y = np.clip(px[:, 1], 0, H - 2)
+        x0, y0 = x.astype(np.int64), y.astype(np.int64)
+        fx, fy = (x - x0)[:, None], (y - y0)[:, None]
+        img = self.last_bgr.astype(np.float32)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=2)
+        bgr = (
+            img[y0, x0] * (1 - fx) * (1 - fy)
+            + img[y0, x0 + 1] * fx * (1 - fy)
+            + img[y0 + 1, x0] * (1 - fx) * fy
+            + img[y0 + 1, x0 + 1] * fx * fy
+        )
+        return mask, bgr[:, ::-1]  # BGR -> RGB (getpixel rows, :741-743)

@@ -129,6 +129,11 @@ def add_points(
 ) -> VisualMap:
     """Batched AddPoint (lidar_selection.cpp:204-230) + addFrameRef with
     the creation Feature (addSparseMap :178-190, level=0)."""
+    # cast to the map dtype here so f64 callers don't rely on implicit
+    # scatter downcasting (a hard error in future JAX releases)
+    dt = m.pos.dtype
+    pts, px, f, value = (x.astype(dt) for x in (pts, px, f, value))
+    rcw, pcw = rcw.astype(dt), pcw.astype(dt)
     NP = m.pos.shape[0]
     B = pts.shape[0]
     T = m.vox_keys.shape[0]
@@ -302,6 +307,9 @@ def add_observations(
     """Batched addObservation append (lidar_selection.cpp:913-965): when
     the ring is full, overwrite the furthest-view observation
     (getFurthestViewObs eviction, point.cpp:219-247)."""
+    dt = m.pos.dtype
+    px, f, value = px.astype(dt), f.astype(dt), value.astype(dt)
+    rcw, pcw = rcw.astype(dt), pcw.astype(dt)
     KO = m.obs_px.shape[1]
     NP = m.pos.shape[0]
     safe = jnp.clip(idx, 0, NP - 1)
