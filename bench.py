@@ -1,19 +1,20 @@
-"""Benchmark: LIO frame throughput on the default JAX device.
+"""Benchmark: LIO + VIO throughput on the default JAX device.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line whose headline metric is points/second through the
+FULL fused lidar frame step (frame_step.lidar_frame_step): motion
+undistortion + device voxel filter + iterated point-to-plane EKF
+(6 iterations incl. 3 kNN re-searches) + map insertion, on 16k-point
+scans against a 400k-point map — the reference's entire per-scan hot
+path (laserMapping.cpp:1395-1760). Extra fields carry the VIO
+photometric metric (patch pixels/s through 3 coarse-to-fine
+photometric_update levels — the UpdateState workload,
+lidar_selection.cpp:743-902) and the pinned baseline protocol numbers.
 
-Headline metric: points/second through the FULL fused lidar frame step
-(frame_step.lidar_frame_step): motion undistortion + device voxel filter
-+ iterated point-to-plane EKF (6 iterations incl. 3 kNN re-searches)
-+ map insertion, on 16k-point scans against a 1M-slot map — the
-reference's entire per-scan hot path (laserMapping.cpp:1395-1760).
-
-vs_baseline: ratio against the single-core C++ baseline measured on this
-host (native/baseline_bench.cpp: kd-tree 5-NN + plane fit + Jacobian +
-18x18 solve; it omits undistortion and map insertion, which favors the
-baseline). Falls back to a 50k points/s constant if the toolchain is
-missing.
+Baseline protocol (pinned): native/baseline_bench.cpp is run
+BASELINE_RUNS times in sequence; each metric's baseline is the BEST
+(fastest) run — the most favorable number for the C++ side — and every
+raw run is reported in the JSON so round-over-round drift is visible.
+TPU timings report mean over REPS dispatches plus min/max.
 
 NOTE: through the axon TPU relay every dispatch carries a multi-ms
 session overhead once map-update executables have run (documented in
@@ -29,39 +30,48 @@ import fastlivo_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
 
-from fastlivo_tpu import lio as lio_mod
-from fastlivo_tpu.ops import voxel_map as vm
 from fastlivo_tpu.state import identity_state
 
-BASELINE_CPP_POINTS_PER_SEC = 50_000.0  # fallback when native bench unavailable
+N_SCAN = 16384
+MAX_ITER = 6
+REPS = 30
+BASELINE_RUNS = 3
+FALLBACK_BASELINE = {"points_per_sec": 85_500.0, "vio_pixels_per_sec": 36_800_000.0}
+
+# VIO bench shapes (mirror the C++ vio baseline and avia-scale tracking)
+VIO_PTS = 400
+VIO_TRACK_CAP = 512
+VIO_PATCH = 8
+VIO_ITERS = 10
+VIO_W, VIO_H, VIO_F = 640, 512, 400.0
 
 
-def measured_cpp_baseline(n_scan: int) -> float:
-    """Build + run the single-core C++ baseline (native/baseline_bench.cpp)
-    on this host and return its points/sec; falls back to the documented
-    constant if the toolchain is unavailable."""
+def measured_cpp_baseline() -> dict:
+    """Pinned-protocol C++ baseline: build once, run BASELINE_RUNS times,
+    keep every raw number, use the best per metric."""
     import subprocess
     from pathlib import Path
 
     d = Path(__file__).resolve().parent / "native"
     exe = d / "baseline_bench"
+    raw = {"points_per_sec": [], "vio_pixels_per_sec": []}
     try:
-        if not exe.exists():
-            subprocess.run(["make", "-C", str(d), "baseline_bench"],
-                           capture_output=True, timeout=180, check=True)
-        out = subprocess.run([str(exe), str(n_scan)], capture_output=True,
-                             timeout=300, check=True, text=True)
-        for line in out.stdout.splitlines():
-            if line.startswith("points_per_sec"):
-                return float(line.split()[1])
+        subprocess.run(["make", "-C", str(d), "baseline_bench"],
+                       capture_output=True, timeout=180, check=True)
+        for _ in range(BASELINE_RUNS):
+            out = subprocess.run([str(exe), str(N_SCAN)], capture_output=True,
+                                 timeout=300, check=True, text=True)
+            for line in out.stdout.splitlines():
+                parts = line.split()
+                if parts and parts[0] in raw:
+                    raw[parts[0]].append(float(parts[1]))
     except Exception:
         pass
-    return BASELINE_CPP_POINTS_PER_SEC
-
-N_SCAN = 16384
-MAP_TABLE = 1 << 20
-MAX_ITER = 6
-REPS = 30
+    best = {}
+    for k, runs in raw.items():
+        best[k] = max(runs) if runs else FALLBACK_BASELINE[k]
+    best["raw_runs"] = raw
+    return best
 
 
 def build_world(n, seed=0):
@@ -80,12 +90,12 @@ def build_world(n, seed=0):
     return pts.astype(np.float32)
 
 
-def main():
-    world = build_world(400_000)
-    # dense rolling-grid backend: the faster map for bounded-extent rigs
-    # (covers the 40x40x8 m bench world with margin)
+def bench_lidar():
+    from fastlivo_tpu import imu as imu_mod
+    from fastlivo_tpu.frame_step import lidar_frame_step
     from fastlivo_tpu.ops import dense_map as dmod
 
+    world = build_world(400_000)
     m = dmod.empty_dense_map((256, 256, 64), 0.5)
     B = 65536
     for i in range(0, len(world), B):
@@ -101,12 +111,7 @@ def main():
     pos0 = np.array([0.0, 0.0, 2.0])
     scan = (world[idx] - pos0).astype(np.float32)
     scan += rng.normal(0, 0.004, scan.shape).astype(np.float32)
-    s = identity_state()._replace(
-        pos=jnp.asarray(pos0 + [0.03, -0.02, 0.01])
-    )
-    from fastlivo_tpu import imu as imu_mod
-    from fastlivo_tpu.frame_step import lidar_frame_step
-
+    s = identity_state()._replace(pos=jnp.asarray(pos0 + [0.03, -0.02, 0.01]))
     calib = imu_mod.ImuCalib(
         acc_scale=jnp.float32(1.0),
         cov_acc=jnp.full(3, 0.01, jnp.float32),
@@ -116,7 +121,7 @@ def main():
         lid_rot=jnp.eye(3, dtype=jnp.float32),
         lid_off=jnp.zeros(3, jnp.float32),
     )
-    P = 32  # imu-rate pose rows across the scan
+    P = 32
     pose = imu_mod.PoseTable(
         offs=jnp.asarray(np.linspace(0, 0.1, P, dtype=np.float32)),
         rot=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (P, 1, 1)),
@@ -138,23 +143,135 @@ def main():
 
     res = run()
     jax.block_until_ready(res)  # compile + warmup
-    n_act = int(res[4])
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         res = run()
-    jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / REPS
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    return {
+        "points_per_sec": N_SCAN / times.mean(),
+        "frame_ms_mean": times.mean() * 1e3,
+        "frame_ms_min": times.min() * 1e3,
+        "frame_ms_max": times.max() * 1e3,
+    }
 
-    pts_per_sec = N_SCAN / dt
-    baseline = measured_cpp_baseline(N_SCAN)
+
+def bench_vio():
+    """Photometric UpdateState workload: 3 pyramid levels x iterated EKF
+    on VIO_PTS tracked points with 8x8 patch pyramids; throughput in
+    H-rows (point-pixels) per second, counted from the iterations the
+    while_loop actually ran."""
+    from fastlivo_tpu import vio as vio_mod
+    from fastlivo_tpu.camera import Camera
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.meshgrid(np.arange(VIO_H), np.arange(VIO_W), indexing="ij")
+    img_np = (
+        128.0
+        + 60.0 * np.sin(0.17 * xx) * np.cos(0.23 * yy)
+        + 20.0 * rng.uniform(size=(VIO_H, VIO_W))
+    ).astype(np.float32)
+    img = jnp.asarray(img_np)
+
+    cam = Camera(
+        fx=jnp.float32(VIO_F), fy=jnp.float32(VIO_F),
+        cx=jnp.float32(VIO_W / 2), cy=jnp.float32(VIO_H / 2),
+        d=jnp.zeros(4, jnp.float32), width=VIO_W, height=VIO_H,
+    )
+    G = VIO_TRACK_CAP
+    z = rng.uniform(3.0, 10.0, G).astype(np.float32)
+    x = rng.uniform(-2.0, 2.0, G).astype(np.float32) * z / 4
+    y = rng.uniform(-1.5, 1.5, G).astype(np.float32) * z / 5
+    pos = np.stack([x, y, z], axis=1)
+    valid = np.zeros(G, bool)
+    valid[:VIO_PTS] = True
+    slevel = np.zeros(G, np.int32)
+
+    # reference patches: sample the image at the projected positions with
+    # a small offset, per pyramid level scale (warped-ref stand-in)
+    P = VIO_PATCH
+    patch = np.zeros((G, 3, P, P), np.float32)
+    for lvl in range(3):
+        sc = 1.0 / (1 << lvl)
+        u0 = VIO_F * pos[:, 0] / pos[:, 2] * sc + VIO_W / 2 * sc
+        v0 = VIO_F * pos[:, 1] / pos[:, 2] * sc + VIO_H / 2 * sc
+        for r in range(P):
+            for c in range(P):
+                uu = np.clip((u0 + c - P / 2 + 0.3) / sc, 0, VIO_W - 1).astype(int)
+                vv = np.clip((v0 + r - P / 2 + 0.2) / sc, 0, VIO_H - 1).astype(int)
+                patch[:, lvl, r, c] = img_np[vv, uu]
+
+    state = identity_state()
+    prior = state
+    Rci = jnp.eye(3, dtype=jnp.float32)
+    Pci = jnp.zeros(3, jnp.float32)
+    Jdphi_dR = Rci
+    Jdp_dR = jnp.zeros((3, 3), jnp.float32)
+    args = dict(
+        img_point_cov=100.0, patch_size=P, max_iter=VIO_ITERS,
+    )
+    tr_pos = jnp.asarray(pos)
+    tr_patch = jnp.asarray(patch)
+    tr_sl = jnp.asarray(slevel)
+    tr_v = jnp.asarray(valid)
+
+    def run():
+        s, its_total = state, 0
+        for level in (2, 1, 0):
+            s, _, _, _, its = vio_mod.photometric_update(
+                s, prior, cam, img, tr_pos, tr_patch, tr_sl, tr_v,
+                Rci, Pci, Jdphi_dR, Jdp_dR, level=level, **args,
+            )
+            its_total += int(its)
+        return s, its_total
+
+    s, its_total = run()
+    jax.block_until_ready(s.pos)  # compile + warmup
+    times, rows = [], []
+    for _ in range(max(REPS // 3, 5)):
+        t0 = time.perf_counter()
+        s, its_total = run()
+        jax.block_until_ready(s.pos)
+        times.append(time.perf_counter() - t0)
+        rows.append(its_total * VIO_PTS * P * P)
+    times = np.asarray(times)
+    rows = np.asarray(rows, float)
+    return {
+        "vio_pixels_per_sec": float((rows / times).mean()),
+        "vio_iters_per_frame": float(np.mean(rows) / (VIO_PTS * P * P)),
+        "vio_ms_mean": times.mean() * 1e3,
+    }
+
+
+def main():
+    lid = bench_lidar()
+    vio = bench_vio()
+    base = measured_cpp_baseline()
     print(
         json.dumps(
             {
                 "metric": "lidar_frame_step_points_per_sec",
-                "value": round(pts_per_sec, 1),
+                "value": round(lid["points_per_sec"], 1),
                 "unit": "points/s",
-                "vs_baseline": round(pts_per_sec / baseline, 2),
+                "vs_baseline": round(
+                    lid["points_per_sec"] / base["points_per_sec"], 2
+                ),
+                "baseline_points_per_sec": round(base["points_per_sec"], 1),
+                "vio_pixels_per_sec": round(vio["vio_pixels_per_sec"], 1),
+                "vio_baseline_pixels_per_sec": round(
+                    base["vio_pixels_per_sec"], 1
+                ),
+                "vio_vs_baseline": round(
+                    vio["vio_pixels_per_sec"] / base["vio_pixels_per_sec"], 2
+                ),
+                "detail": {
+                    "lidar": {k: round(v, 2) for k, v in lid.items()},
+                    "vio": {k: round(v, 2) for k, v in vio.items()},
+                    "baseline_raw_runs": base["raw_runs"],
+                },
             }
         )
     )

@@ -196,6 +196,7 @@ def sharded_photometric_update(
             rep,  # G (18,6)
             shd,  # per-point errors
             rep,  # mean error
+            rep,  # iteration count
         ),
         check_vma=False,
     )

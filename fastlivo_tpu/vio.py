@@ -472,7 +472,7 @@ def photometric_update(
     (it, rot, pos, vel, bg, ba, grav, *_rest) = out
     last_err, Gmat, perr = out[13], out[14], out[15]
     new_state = NavState(rot, pos, vel, bg, ba, grav, state.cov)
-    return new_state, Gmat, perr, last_err
+    return new_state, Gmat, perr, last_err, it
 
 
 @jax.jit
@@ -693,7 +693,7 @@ class Vio:
         if tracked is not None and stats["tracked"] > 0:
             Gmat = None
             for level in (2, 1, 0):
-                state, Gmat, perr, err = photometric_update(
+                state, Gmat, perr, err, _its = photometric_update(
                     state, prior, self.cam, gray,
                     tracked.pos, tracked.patch, tracked.search_level,
                     tracked.valid,

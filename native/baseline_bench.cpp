@@ -236,5 +236,109 @@ int main(int argc, char **argv) {
   double per_scan = t_total / reps;
   std::fprintf(stderr, "scan_time_ms %.2f (sink %.3g)\n", per_scan * 1e3, sink);
   std::printf("points_per_sec %.1f\n", n_scan / per_scan);
+
+  // ---------------- VIO photometric baseline ----------------
+  // Computational shape of the reference's UpdateState inner loop
+  // (hku-mars/FAST-LIVO, src/lidar_selection.cpp:789-879): per tracked
+  // point per patch pixel, bilinear-sample the current image and its
+  // half-difference gradients, chain Jimg*Jdpi*[pf]x into a 6-column H
+  // row, accumulate H^T H / H^T z, then the 18x18 gain solve per
+  // iteration; 3 pyramid levels (ComputeJ, :967-983), 10 iterations
+  // each (max_iteration, config/avia.yaml:3). Single thread, like the
+  // reference's VIO path (no omp there).
+  {
+    const int W = 640, Hh = 512, PS = 8, n_pts = 400, vio_iters = 10;
+    const int levels = 3;
+    std::vector<float> img((size_t)W * Hh);
+    for (int y = 0; y < Hh; y++)
+      for (int x = 0; x < W; x++)
+        img[(size_t)y * W + x] =
+            128.f + 60.f * std::sin(0.17f * x) * std::cos(0.23f * y) +
+            20.f * u(rng);
+    struct VPt { float x, y, z; float patch[3][64]; };
+    std::vector<VPt> pts(n_pts);
+    std::uniform_real_distribution<float> ux(-2.f, 2.f), uz(3.f, 10.f);
+    const float fx = 400.f, fy = 400.f, cx0 = 320.f, cy0 = 256.f;
+    auto bil = [&](float x, float y) -> float {
+      if (x < 1 || y < 1 || x >= W - 2 || y >= Hh - 2) return 0.f;
+      int x0 = (int)x, y0 = (int)y;
+      float ax = x - x0, ay = y - y0;
+      const float *r0 = &img[(size_t)y0 * W + x0];
+      const float *r1 = r0 + W;
+      return (1 - ax) * (1 - ay) * r0[0] + ax * (1 - ay) * r0[1] +
+             (1 - ax) * ay * r1[0] + ax * ay * r1[1];
+    };
+    for (auto &p : pts) {
+      p.z = uz(rng);
+      p.x = ux(rng) * p.z / 4.f;
+      p.y = ux(rng) * p.z / 5.f;
+      for (int l = 0; l < levels; l++) {
+        float sc = 1.f / (1 << l);
+        float u0 = fx * p.x / p.z * sc + cx0 * sc, v0 = fy * p.y / p.z * sc + cy0 * sc;
+        for (int k = 0; k < 64; k++)
+          p.patch[l][k] = bil(u0 + (k % PS) - PS / 2 + 0.3f,
+                              v0 + (k / PS) - PS / 2 + 0.2f);
+      }
+    }
+    double pose2[6] = {0.002, -0.001, 0.001, 0.01, -0.008, 0.005};
+    double vsink = 0;
+    auto tv0 = std::chrono::steady_clock::now();
+    int vio_reps = 20;
+    for (int rep = 0; rep < vio_reps; rep++) {
+      for (int l = levels - 1; l >= 0; l--) {
+        float sc = 1.f / (1 << l);
+        for (int it = 0; it < vio_iters; it++) {
+          double HTH[6][6] = {{0}}, HTz[6] = {0};
+          for (int i = 0; i < n_pts; i++) {
+            const VPt &p = pts[i];
+            // pf = R p + t with small-angle R(pose2[0:3])
+            float pfx = p.x + pose2[1] * p.z - pose2[2] * p.y + pose2[3];
+            float pfy = p.y + pose2[2] * p.x - pose2[0] * p.z + pose2[4];
+            float pfz = p.z + pose2[0] * p.y - pose2[1] * p.x + pose2[5];
+            float iz = 1.f / pfz;
+            float u0 = fx * pfx * iz * sc + cx0 * sc;
+            float v0 = fy * pfy * iz * sc + cy0 * sc;
+            // dpi (2x3) at this point
+            float d00 = fx * iz * sc, d02 = -fx * pfx * iz * iz * sc;
+            float d11 = fy * iz * sc, d12 = -fy * pfy * iz * iz * sc;
+            for (int k = 0; k < 64; k++) {
+              float uu = u0 + (k % PS) - PS / 2, vv = v0 + (k / PS) - PS / 2;
+              float val = bil(uu, vv);
+              float du = 0.5f * (bil(uu + 1, vv) - bil(uu - 1, vv));
+              float dv = 0.5f * (bil(uu, vv + 1) - bil(uu, vv - 1));
+              float res = p.patch[l][k] - val;
+              // Jimg*Jdpi (1x3), then [pf]x chain for rotation cols
+              float jx = du * d00, jy = dv * d11, jz = du * d02 + dv * d12;
+              double h[6] = {jy * pfz - jz * pfy, jz * pfx - jx * pfz,
+                             jx * pfy - jy * pfx, jx, jy, jz};
+              for (int a = 0; a < 6; a++) {
+                for (int b = 0; b <= a; b++) HTH[a][b] += h[a] * h[b];
+                HTz[a] += h[a] * res;
+              }
+            }
+          }
+          for (int a = 0; a < 6; a++)
+            for (int b = a + 1; b < 6; b++) HTH[a][b] = HTH[b][a];
+          double S[18][18] = {{0}}, Bm[18][6] = {{0}};
+          for (int a = 0; a < 18; a++) S[a][a] = 1.0;
+          for (int a = 0; a < 6; a++)
+            for (int b = 0; b < 6; b++) S[a][b] += HTH[a][b] * 1e-2;
+          for (int a = 0; a < 18; a++)
+            for (int b = 0; b < 6; b++) Bm[a][b] = (a == b) ? 1.0 : 0.0;
+          solve18(S, Bm);
+          double sol[6] = {0};
+          for (int a = 0; a < 6; a++)
+            for (int b = 0; b < 6; b++) sol[a] += Bm[a][b] * HTz[b] * 1e-8;
+          for (int a = 0; a < 6; a++) pose2[a] -= sol[a];
+          vsink += sol[0];
+        }
+      }
+    }
+    auto tv1 = std::chrono::steady_clock::now();
+    double vt = std::chrono::duration<double>(tv1 - tv0).count();
+    double rows = (double)vio_reps * levels * vio_iters * n_pts * 64;
+    std::fprintf(stderr, "vio_time_ms %.2f (sink %.3g)\n", vt * 1e3, vsink);
+    std::printf("vio_pixels_per_sec %.1f\n", rows / vt);
+  }
   return 0;
 }

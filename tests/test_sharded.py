@@ -142,14 +142,14 @@ def test_sharded_vio_update_matches_single_device():
     )
     assert int(jnp.sum(tr.valid)) > 8
 
-    ref_state, ref_G, _, ref_err = photometric_update(
+    ref_state, ref_G, _, ref_err, _ = photometric_update(
         s1, s1, v.cam, img, tr.pos, tr.patch, tr.search_level, tr.valid,
         v.Rci, v.Pci, v.Jdphi_dR, v.Jdp_dR,
         img_point_cov=cfg.img_point_cov, patch_size=v.patch_size,
         level=0, max_iter=4,
     )
     mesh = sharded.make_mesh(8)
-    got_state, got_G, _, got_err = sharded.sharded_photometric_update(
+    got_state, got_G, _, got_err, _ = sharded.sharded_photometric_update(
         mesh, s1, s1, v.cam, img, tr.pos, tr.patch, tr.search_level, tr.valid,
         v.Rci, v.Pci, v.Jdphi_dR, v.Jdp_dR,
         img_point_cov=cfg.img_point_cov, patch_size=v.patch_size,
