@@ -61,8 +61,13 @@ class CapacityConfig:
     equivalent (the reference uses dynamic containers). All shapes inside
     jit are padded to these."""
 
-    map_backend: str = "hash"  # "hash" (sparse, long-range) | "dense"
+    # "tiled" (default): two-level tile directory + pool — long-range AND
+    # probe-free (ops/tiled_map.py). "dense": single rolling grid,
+    # fastest for bounded extents. "hash": open-addressing table.
+    map_backend: str = "tiled"
     dense_dims: tuple = (256, 256, 64)  # rolling-grid dims (powers of two)
+    tiled_dir_dims: tuple = (128, 128, 64)  # tile-directory dims (tiles)
+    tiled_pool: int = 16384  # pool capacity in tiles (512 cells each)
     map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
     max_probe: int = 12  # open-addressing probe depth (= insert's depth)
     knn_voxel_radius: int = 1  # 3x3x3 neighborhood for the 5-NN gather;
@@ -198,7 +203,7 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
                 continue
             if k == "map_backend":
                 kw[k] = str(v)
-            elif k == "dense_dims":
+            elif k in ("dense_dims", "tiled_dir_dims"):
                 kw[k] = tuple(int(x) for x in v)
             else:
                 kw[k] = int(v)

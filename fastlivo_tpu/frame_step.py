@@ -68,10 +68,11 @@ def lidar_frame_step(
     pos32 = res.state.pos.astype(down.dtype)
     p_imu = down @ calib.lid_rot.T + calib.lid_off
     world = p_imu @ rot32.T + pos32
-    if isinstance(m, dm.DenseMap):
-        m2 = dm.insert(m, world, dmask)
-    else:
+    mod = lio_mod.map_module(m)
+    if mod is vm:
         m2 = vm.insert(m, world, dmask, max_probe=max_probe)
+    else:
+        m2 = mod.insert(m, world, dmask)
     if dense_out:
         dense_world = (
             und @ calib.lid_rot.T + calib.lid_off

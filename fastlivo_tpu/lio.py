@@ -39,7 +39,17 @@ from .ops import dense_map as dm
 from .ops import linalg as linalg_ops
 from .ops import plane as plane_ops
 from .ops import so3
+from .ops import tiled_map as tm
 from .ops import voxel_map as vm
+
+
+def map_module(m):
+    """Backend module for a map value (dispatch by pytree type)."""
+    if isinstance(m, dm.DenseMap):
+        return dm
+    if isinstance(m, tm.TiledMap):
+        return tm
+    return vm
 from .state import DIM_STATE, NavState
 
 SQ_DIST_GATE = 5.0  # 5th-NN squared-distance gate (laserMapping.cpp:1549)
@@ -123,7 +133,7 @@ def lio_update(
         # point batch stays f32; the f64 pose casts down at the boundary
         return p_imu @ rot.astype(dtype).T + pos.astype(dtype)
 
-    map_mod = dm if isinstance(m, dm.DenseMap) else vm
+    map_mod = map_module(m)
 
     def do_search(rot, pos):
         pw = world_pts(rot, pos)

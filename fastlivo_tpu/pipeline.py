@@ -40,6 +40,7 @@ from .state import NavState, identity_state
 from .sync import MeasureGroup, Synchronizer
 
 INIT_TIME = 0.5  # seconds before the EKF activates (laserMapping.cpp:79)
+REBUILD_CHECK_EVERY = 32  # frames between map load-factor checks
 
 
 @dataclasses.dataclass
@@ -80,10 +81,18 @@ class Pipeline:
 
             self.map = dm.empty_dense_map(cap.dense_dims, cfg.filter_size_map)
             self._map_mod = dm
+        elif cap.map_backend == "tiled":
+            from .ops import tiled_map as tmod
+
+            self.map = tmod.empty_tiled_map(
+                cap.tiled_dir_dims, cap.tiled_pool, cfg.filter_size_map
+            )
+            self._map_mod = tmod
         else:
             self.map = vm.empty_map(cap.map_table_size, cfg.filter_size_map)
             self._map_mod = vm
         self.map_built = False
+        self._frames_since_rebuild_check = 0
         self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length)
         if vio is None and cfg.img_enable:
             from .vio import Vio
@@ -318,6 +327,7 @@ class Pipeline:
             self.map = self._map_mod.delete_boxes(
                 self.map, jnp.asarray(lo), jnp.asarray(hi)
             )
+        self._maybe_rebuild()
 
         lid_rot = jnp.asarray(self.cfg.extrinsic_R, jnp.float32)
         lid_off = jnp.asarray(self.cfg.extrinsic_T, jnp.float32)
@@ -458,6 +468,29 @@ class Pipeline:
         if self.vio is not None:
             self.vio.set_last_cloud(out.pts_world)
         return out
+
+    def _maybe_rebuild(self):
+        """Load-factor-triggered map maintenance (the ikd-Tree
+        Criterion_Check/rebuild role, ikd_Tree.cpp:1018-1035): the tiled
+        backend compacts away dead tiles when the pool nears capacity;
+        the hash backend re-inserts into a fresh table when occupancy
+        (incl. hole-fragmented probe chains) crosses its threshold.
+        Runs at most every REBUILD_CHECK_EVERY frames — an O(map) op
+        that must stay off the steady-state frame path."""
+        if not self.map_built:
+            return
+        self._frames_since_rebuild_check += 1
+        if self._frames_since_rebuild_check < REBUILD_CHECK_EVERY:
+            return
+        self._frames_since_rebuild_check = 0
+        from .ops import tiled_map as tmod
+
+        if self._map_mod is tmod:
+            if float(self.map.n_alloc) > 0.85 * self.map.slot_key.shape[0]:
+                self.map = tmod.compact(self.map)
+        elif self._map_mod is vm:
+            if float(self.map.count) > 0.7 * self.map.check.shape[0]:
+                self.map = vm.rebuild(self.map)
 
     def _to_world(self, pts_body, mask, lid_rot, lid_off):
         p = jnp.asarray(pts_body)

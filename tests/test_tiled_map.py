@@ -1,0 +1,191 @@
+"""Tiled two-level map backend: parity with the hash backend, long-range
+coverage, pool allocation/compaction, and churn behavior."""
+import numpy as np
+import jax.numpy as jnp
+
+from fastlivo_tpu.ops import tiled_map as tm
+from fastlivo_tpu.ops import voxel_map as vm
+
+rng = np.random.default_rng(0)
+DIMS = (32, 32, 16)  # tiles -> spans 128x128x64 voxels
+POOL = 512
+
+
+def _insert(m, pts):
+    pad = np.zeros((((len(pts) + 255) // 256) * 256, 3), np.float32)
+    pad[: len(pts)] = pts
+    mask = np.zeros(len(pad), bool)
+    mask[: len(pts)] = True
+    return tm.insert(m, jnp.asarray(pad), jnp.asarray(mask))
+
+
+def test_insert_and_knn_matches_hash_backend():
+    pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
+    mt = _insert(tm.empty_tiled_map(DIMS, POOL, 0.5), pts)
+    mh = vm.empty_map(1 << 14, 0.5)
+    pad = np.zeros((3072, 3), np.float32); pad[:3000] = pts
+    mask = np.zeros(3072, bool); mask[:3000] = True
+    mh = vm.insert(mh, jnp.asarray(pad), jnp.asarray(mask))
+
+    q = jnp.asarray(pts[:512] + 0.03)
+    nt_, dt, vt = tm.knn(mt, q, 5, 1)
+    nh_, dh, vh = vm.knn(mh, q, 5, 1, 12)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(dh), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(vt), np.asarray(vh))
+
+
+def test_nearest_to_center_downsample():
+    m = tm.empty_tiled_map(DIMS, POOL, 0.5)
+    pts = np.array([[0.1, 0.1, 0.1], [0.24, 0.24, 0.24], [0.4, 0.4, 0.4]],
+                   np.float32)  # same voxel; middle nearest center (0.25^3)
+    m = _insert(m, pts)
+    n, d2, v = tm.knn(m, jnp.asarray(pts[:1]), 5, 1)
+    kept = np.asarray(n)[0][np.asarray(v)[0]]
+    assert len(kept) == 1
+    np.testing.assert_allclose(kept[0], pts[1], atol=1e-6)
+
+
+def test_downsample_across_batches():
+    """Stored point survives unless the new batch point is nearer the
+    voxel center (ikd_Tree.cpp:391-411)."""
+    m = tm.empty_tiled_map(DIMS, POOL, 0.5)
+    m = _insert(m, np.array([[0.25, 0.25, 0.26]], np.float32))  # near center
+    m = _insert(m, np.array([[0.05, 0.05, 0.05]], np.float32))  # far corner
+    n, d2, v = tm.knn(m, jnp.asarray([[0.25, 0.25, 0.25]], np.float32), 5, 1)
+    kept = np.asarray(n)[0][np.asarray(v)[0]]
+    np.testing.assert_allclose(kept[0], [0.25, 0.25, 0.26], atol=1e-6)
+    # now a closer-to-center point replaces it
+    m = _insert(m, np.array([[0.251, 0.251, 0.251]], np.float32))
+    n, d2, v = tm.knn(m, jnp.asarray([[0.25, 0.25, 0.25]], np.float32), 5, 1)
+    kept = np.asarray(n)[0][np.asarray(v)[0]]
+    np.testing.assert_allclose(kept[0], [0.251, 0.251, 0.251], atol=1e-6)
+
+
+def test_long_range_no_alias_thrash():
+    """Points 100 m apart (beyond any single-grid dense span at these
+    dims) must coexist: the tile directory wraps only at
+    dims*8*voxel = 128 m here, so both stay live."""
+    m = tm.empty_tiled_map(DIMS, POOL, 0.5)
+    a = np.array([[0.1, 0.1, 0.1]], np.float32)
+    b = np.array([[100.1, 0.1, 0.1]], np.float32)
+    m = _insert(m, a)
+    m = _insert(m, b)
+    for q in (a, b):
+        n, d2, v = tm.knn(m, jnp.asarray(q), 1, 1)
+        assert bool(np.asarray(v)[0, 0])
+        np.testing.assert_allclose(np.asarray(n)[0, 0], q[0], atol=1e-6)
+
+
+def test_directory_alias_evicts_stale_tile():
+    """Tiles exactly one directory period apart alias; the newer tile
+    evicts the older (spatial-LRU, dense_map semantics)."""
+    m = tm.empty_tiled_map(DIMS, POOL, 0.5)
+    span_x = DIMS[0] * tm.TS * 0.5  # 128 m
+    a = np.array([[0.1, 0.1, 0.1]], np.float32)
+    b = a + np.array([[span_x, 0, 0]], np.float32)
+    m = _insert(m, a)
+    m = _insert(m, b)
+    n, d2, v = tm.knn(m, jnp.asarray(b), 1, 1)
+    assert bool(np.asarray(v)[0, 0])
+    n, d2, v = tm.knn(m, jnp.asarray(a), 1, 1)
+    assert not bool(np.asarray(v)[0, 0])  # evicted
+
+
+def test_delete_boxes_and_reinsert():
+    pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    m = _insert(tm.empty_tiled_map(DIMS, POOL, 0.5), pts)
+    lo = jnp.asarray([[-10.0, -10.0, -10.0]], jnp.float32)
+    hi = jnp.asarray([[0.0, 10.0, 10.0]], jnp.float32)
+    m = tm.delete_boxes(m, lo, hi)
+    q_del = jnp.asarray([[-3.0, 1.0, 1.0]], jnp.float32)
+    n, d2, v = tm.knn(m, q_del, 5, 2)
+    # everything near the deleted half-space within radius is gone
+    pts_near = pts[(np.abs(pts[:, 0] + 3) < 1.2) & (np.abs(pts[:, 1] - 1) < 1.2)]
+    if len(pts_near):
+        assert not np.asarray(v).any()
+    # reinsert into the deleted region works
+    m = _insert(m, np.array([[-3.0, 1.0, 1.0]], np.float32))
+    n, d2, v = tm.knn(m, q_del, 1, 1)
+    assert bool(np.asarray(v)[0, 0])
+
+
+def test_pool_exhaustion_drops_and_counts():
+    m = tm.empty_tiled_map(DIMS, pool_tiles=4, voxel_size=0.5)
+    # 8 widely-separated tiles; only 4 fit
+    pts = np.array([[8.0 * i, 0.1, 0.1] for i in range(8)], np.float32)
+    m = _insert(m, pts)
+    assert int(m.n_alloc) == 4
+    assert int(m.n_dropped) == 4
+
+
+def test_compact_reclaims_dead_tiles():
+    m = tm.empty_tiled_map(DIMS, POOL, 0.5)
+    pts = rng.uniform(-20, 20, (4000, 3)).astype(np.float32)
+    m = _insert(m, pts)
+    used0 = int(m.n_alloc)
+    assert used0 > 10
+    # delete everything with x < 0 -> many dead tiles
+    m = tm.delete_boxes(
+        m,
+        jnp.asarray([[-100.0, -100.0, -100.0]], jnp.float32),
+        jnp.asarray([[0.0, 100.0, 100.0]], jnp.float32),
+    )
+    m2 = tm.compact(m)
+    assert int(m2.n_alloc) < used0
+    # surviving points still queryable with identical results
+    q = jnp.asarray(pts[pts[:, 0] > 1][:256] + 0.01)
+    n1, d1, v1 = tm.knn(m, q, 5, 1)
+    n2, d2_, v2 = tm.knn(m2, q, 5, 1)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2_), atol=1e-6)
+
+
+def test_churn_quality_stays_flat():
+    """Insert/delete/compact cycles: kNN recall vs brute force must not
+    degrade (the VERDICT churn criterion for map maintenance)."""
+    m = tm.empty_tiled_map(DIMS, POOL, 0.5)
+    live = None
+    for cycle in range(6):
+        pts = rng.uniform(-10, 10, (1500, 3)).astype(np.float32)
+        pts[:, 0] += cycle * 3.0  # drifting window
+        m = _insert(m, pts)
+        lo = jnp.asarray([[-100.0 + 0, -100, -100]], jnp.float32)
+        hi = jnp.asarray([[cycle * 3.0 - 8.0, 100, 100]], jnp.float32)
+        m = tm.delete_boxes(m, lo, hi)
+        if cycle % 2 == 1:
+            m = tm.compact(m)
+        live = pts[pts[:, 0] > cycle * 3.0 - 8.0 + 0.6]
+    q = jnp.asarray(live[:200])
+    n, d2, v = tm.knn(m, q, 1, 1)
+    # every recently-inserted live point has a neighbor within the
+    # downsample resolution
+    assert bool(np.asarray(v)[:, 0].all())
+    assert float(np.asarray(d2)[:, 0].max()) < 0.5 ** 2 * 3
+
+
+def test_lio_update_with_tiled_backend():
+    """The LIO iterated EKF converges against the tiled backend (same
+    room world and perturbation as the dense-backend test)."""
+    from fastlivo_tpu import lio
+    from fastlivo_tpu.ops import so3
+    from fastlivo_tpu.state import identity_state
+    from test_lio import make_room_points, scan_from_pose
+
+    world = make_room_points(step=0.15)
+    m = _insert(tm.empty_tiled_map(DIMS, POOL, 0.3), world)
+    rot_t = np.asarray(so3.exp(jnp.asarray([0.02, -0.01, 0.08])))
+    pos_t = np.array([0.3, -0.2, 1.1])
+    scan = scan_from_pose(world, rot_t, pos_t, n=2048)
+    s = identity_state()._replace(
+        rot=jnp.asarray(
+            rot_t @ np.asarray(so3.exp(jnp.asarray([0.008, 0.01, -0.008])))
+        ),
+        pos=jnp.asarray(pos_t + [0.04, -0.03, 0.02]),
+    )
+    res = lio.lio_update(
+        s, m, jnp.asarray(scan), jnp.ones(2048, bool),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        laser_point_cov=0.001, max_iter=6, knn_radius=1, max_probe=8,
+    )
+    assert np.linalg.norm(np.asarray(res.state.pos) - pos_t) < 2e-2
+    assert int(res.n_active) > 1500
