@@ -35,7 +35,7 @@ from . import imu as imu_mod
 from . import lio as lio_mod
 from .config import Config
 from .ops import voxel_map as vm
-from .ops.voxel_filter import voxel_downsample
+from .ops.voxel_filter import voxel_downsample, voxel_downsample_device
 from .state import NavState, identity_state
 from .sync import MeasureGroup, Synchronizer
 
@@ -93,6 +93,8 @@ class Pipeline:
             self._map_mod = vm
         self.map_built = False
         self._frames_since_rebuild_check = 0
+        self.profile_every = 0  # >0: staged re-dispatch every N frames
+        self.last_stage_profile: Optional[dict] = None
         self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length)
         if vio is None and cfg.img_enable:
             from .vio import Vio
@@ -362,6 +364,10 @@ class Pipeline:
             # one fused dispatch: attribute the whole span to "ekf"
             t_undistort = t_down = t0
             t_ekf = t_map = time.perf_counter()
+            if self.profile_every and len(self.outputs) % self.profile_every == 0:
+                self.last_stage_profile = self._profile_stages(
+                    pose_table, buf, trel, pmask, cap
+                )
         else:
             # ---- bootstrap path (first frames): staged -------------------
             und = imu_mod.undistort(
@@ -468,6 +474,57 @@ class Pipeline:
         if self.vio is not None:
             self.vio.set_last_cloud(out.pts_world)
         return out
+
+    def _profile_stages(self, pose_table, buf, trel, pmask, cap) -> dict:
+        """Per-stage timing breakdown for the fused steady state (the
+        reference's per-frame printf surface, laserMapping.cpp:1805:
+        match/solve/ICP/map-incre). The fused dispatch can't be split, so
+        every `profile_every` frames the four stages are ALSO dispatched
+        separately (results discarded) and their wall times recorded in
+        `last_stage_profile` (milliseconds)."""
+        import jax
+
+        times = {}
+        t0 = time.perf_counter()
+        und = imu_mod.undistort(
+            self.state, pose_table, jnp.asarray(buf), jnp.asarray(trel),
+            jnp.asarray(pmask), self.calib,
+        )
+        jax.block_until_ready(und)
+        times["undistort"] = (time.perf_counter() - t0) * 1e3
+
+        t0 = time.perf_counter()
+        down, dmask = voxel_downsample_device(
+            und, jnp.asarray(pmask), jnp.float32(self.cfg.filter_size_surf),
+            cap.max_points,
+        )
+        jax.block_until_ready(down)
+        times["downsample"] = (time.perf_counter() - t0) * 1e3
+
+        t0 = time.perf_counter()
+        res = lio_mod.lio_update(
+            self.state, self.map, down, dmask,
+            jnp.asarray(self.cfg.extrinsic_R, jnp.float32),
+            jnp.asarray(self.cfg.extrinsic_T, jnp.float32),
+            laser_point_cov=self.cfg.laser_point_cov,
+            max_iter=self.cfg.max_iteration,
+            knn_radius=cap.knn_voxel_radius, max_probe=cap.max_probe,
+        )
+        jax.block_until_ready(res.state.pos)
+        times["ekf"] = (time.perf_counter() - t0) * 1e3
+
+        t0 = time.perf_counter()
+        world = self._to_world(down, dmask,
+                               jnp.asarray(self.cfg.extrinsic_R, jnp.float32),
+                               jnp.asarray(self.cfg.extrinsic_T, jnp.float32))
+        if self._map_mod is vm:
+            m2 = vm.insert(self.map, world, dmask,
+                           max_probe=self.cfg.capacity.max_probe)
+        else:
+            m2 = self._map_mod.insert(self.map, world, dmask)
+        jax.block_until_ready(m2.pts)
+        times["map"] = (time.perf_counter() - t0) * 1e3
+        return times
 
     def _maybe_rebuild(self):
         """Load-factor-triggered map maintenance (the ikd-Tree

@@ -158,6 +158,11 @@ def main(argv=None):
     ap.add_argument("--pcd-out", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-img", action="store_true", help="force LIO-only")
+    ap.add_argument(
+        "--profile-every", type=int, default=0,
+        help="every N frames, also dispatch the LIO stages separately to "
+        "record a per-stage timing breakdown (laserMapping.cpp:1805)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config, args.camera)
@@ -166,6 +171,7 @@ def main(argv=None):
     if args.pcd_out:
         cfg.pcd_save_en = True
     pipe = Pipeline(cfg, log_dir=args.log_dir)
+    pipe.profile_every = args.profile_every
 
     t0 = time.perf_counter()
     if args.bag:
@@ -199,6 +205,11 @@ def main(argv=None):
         + " ".join(f"{k}={v:.1f}ms" for k, v in tm.items())
     )
     print(f"trajectory: {args.out} ({len(traj)} poses)")
+    if pipe.last_stage_profile:
+        print(
+            "stage profile (ms): "
+            + " ".join(f"{k}={v:.1f}" for k, v in pipe.last_stage_profile.items())
+        )
     return 0
 
 

@@ -42,7 +42,7 @@ from .config import Config
 from .ops import image as img_ops
 from .ops import linalg as linalg_ops
 from .ops import so3
-from .ops.voxel_filter import voxel_downsample
+from .ops.voxel_filter import voxel_downsample, voxel_downsample_device
 from .state import DIM_STATE, NavState
 
 CONV_ROT_DEG = 0.001  # lidar_selection.cpp:885
@@ -475,6 +475,135 @@ def photometric_update(
     return new_state, Gmat, perr, last_err, it
 
 
+def _unique_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
+    """Device-side sorted-unique 0.5 m voxel list of the scan cloud —
+    the sub_feat_map key set (addFromSparseMap :361-380). Matches the
+    host np.unique semantics (lexicographic order, first max_vox kept)."""
+    keys = jnp.floor(pg / vmap_mod.VOXEL_SIZE).astype(jnp.int32)
+    OF = jnp.int64(1) << 20
+    k64 = (
+        ((keys[:, 0].astype(jnp.int64) + OF) << 42)
+        | ((keys[:, 1].astype(jnp.int64) + OF) << 21)
+        | (keys[:, 2].astype(jnp.int64) + OF)
+    )
+    SENT = jnp.int64(0x7FFFFFFFFFFFFFFF)
+    k64 = jnp.where(pg_mask, k64, SENT)
+    order = jnp.argsort(k64)
+    ks = k64[order]
+    head = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]]) & (ks < SENT)
+    rank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    out_idx = jnp.where(head & (rank < max_vox), rank, max_vox)
+    vox = (
+        jnp.zeros((max_vox, 3), jnp.int32)
+        .at[out_idx]
+        .set(keys[order], mode="drop")
+    )
+    vox_mask = jnp.zeros(max_vox, bool).at[out_idx].set(True, mode="drop")
+    return vox, vox_mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_iter",
+        "max_vox", "max_pg",
+    ),
+)
+def vio_frame_step(
+    vm: vmap_mod.VisualMap,
+    cam: cam_mod.Camera,
+    state: NavState,
+    prior: NavState,
+    gray: jnp.ndarray,  # (H, W) f32
+    fid: jnp.ndarray,  # () int32
+    cloud: jnp.ndarray,  # (R, 3) world cloud of the current scan
+    cloud_mask: jnp.ndarray,  # (R,)
+    Rci: jnp.ndarray,
+    Pci: jnp.ndarray,
+    Jdphi_dR: jnp.ndarray,
+    Jdp_dR: jnp.ndarray,
+    outlier_threshold,
+    ncc_thre,
+    img_point_cov,
+    *,
+    grid_size: int,
+    patch_size: int,
+    gw: int,
+    gh: int,
+    ncc_en: bool,
+    max_iter: int,
+    max_vox: int,
+    max_pg: int,
+):
+    """The ENTIRE image frame in one dispatch — `detect`
+    (lidar_selection.cpp:1027-1075) fused: image ring push, device voxel
+    filter of the scan cloud, visible-voxel set, tracked-point selection
+    + patch warp, new-point selection, 3-level coarse-to-fine iterated
+    photometric EKF, covariance contraction, observation maintenance and
+    new-point insertion. One host->device round trip per camera frame
+    (the lidar path's frame_step.lidar_frame_step equivalent).
+
+    With zero tracked points the photometric stages are exact no-ops by
+    construction (all-masked rows give HtH = Htz = 0, so the gain pulls
+    the state to the prior — which it equals at entry — and Gmat = 0
+    leaves the covariance untouched), matching the staged path's skip.
+
+    Returns (state', vmap', tracked_idx, tracked_valid, obs_px,
+    per-point errors, mean_err, n_tracked, n_added, iters)."""
+    f32 = gray.dtype
+    vm2 = vmap_mod.push_image(vm, gray, fid)
+    pg, pg_mask = voxel_downsample_device(cloud, cloud_mask, 0.2, max_pg)
+    vox, vox_mask = _unique_voxels(pg, pg_mask, max_vox)
+
+    rot32 = state.rot.astype(f32)
+    pos32 = state.pos.astype(f32)
+    rcw = Rci @ rot32.T
+    pcw = -rcw @ pos32 + Pci
+
+    tracked = select_tracked(
+        vm2, cam, rcw, pcw, gray, pg, pg_mask, vox, vox_mask,
+        outlier_threshold=outlier_threshold, ncc_thre=ncc_thre,
+        grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
+        ncc_en=ncc_en,
+    )
+    npos, npx, nf, nscore, nadd = select_new_points(
+        cam, rcw, pcw, gray, pg, pg_mask, tracked.cell_value,
+        grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
+    )
+
+    st = state
+    Gmat = jnp.zeros((DIM_STATE, 6), jnp.float64)
+    perr = jnp.zeros(tracked.idx.shape[0], f32)
+    err = jnp.asarray(0.0, jnp.float64)
+    its = jnp.int32(0)
+    for level in (2, 1, 0):
+        st, Gmat, perr, err, it_l = photometric_update(
+            st, prior, cam, gray,
+            tracked.pos, tracked.patch, tracked.search_level, tracked.valid,
+            Rci, Pci, Jdphi_dR, Jdp_dR,
+            img_point_cov=img_point_cov, patch_size=patch_size,
+            level=level, max_iter=max_iter,
+        )
+        its = its + it_l
+    # cov <- cov - G cov (:980); Gmat = 0 when nothing was tracked
+    st = st._replace(cov=st.cov - Gmat @ st.cov[0:6, :])
+
+    rcw2 = Rci @ st.rot.astype(f32).T
+    pcw2 = -rcw2 @ st.pos.astype(f32) + Pci
+    opc, of, oscore, oadd = prep_observations(
+        vm2, cam, rcw2, pcw2, gray, tracked.idx, tracked.valid
+    )
+    vm2 = vmap_mod.add_observations(
+        vm2, tracked.idx, opc, of, rcw2, pcw2, oscore, fid,
+        tracked.search_level, oadd,
+    )
+    vm2 = vmap_mod.add_points(vm2, npos, npx, nf, rcw, pcw, nscore, fid, nadd)
+    n_tracked = jnp.sum(tracked.valid, dtype=jnp.int32)
+    n_added = jnp.sum(nadd, dtype=jnp.int32)
+    return (st, vm2, tracked.idx, tracked.valid, opc, perr, err,
+            n_tracked, n_added, its)
+
+
 @jax.jit
 def prep_observations(
     vm: vmap_mod.VisualMap,
@@ -586,6 +715,7 @@ class Vio:
         self.last_cloud: Optional[np.ndarray] = None
         self.max_pg = cap.max_cands
         self.max_vox = 2048
+        self.cloud_cap = cap.max_raw_points  # fused-step input capacity
         self.last_stats = {}
         self.last_overlay = None  # /rgb_img equivalent when cfg.debug
         self.last_bgr: Optional[np.ndarray] = None  # img_rgb (detect :1035)
@@ -632,7 +762,58 @@ class Vio:
         return _bilinear_resize(img, H, W)
 
     def update(self, state: NavState, prior: NavState, img: np.ndarray) -> NavState:
-        """The `detect` entry (lidar_selection.cpp:1027-1075)."""
+        """The `detect` entry (lidar_selection.cpp:1027-1075), fused:
+        one device dispatch per camera frame (vio_frame_step)."""
+        cfg = self.cfg
+        self.last_bgr = self._resize_color(img)
+        gray = jnp.asarray(self._to_gray(img))
+        fid = jnp.int32(self.fid)
+        if self.last_cloud is None or len(self.last_cloud) < 10:
+            self.vmap = vmap_mod.push_image(self.vmap, gray, fid)
+            self.fid += 1
+            return state
+
+        R = self.cloud_cap
+        n = min(len(self.last_cloud), R)
+        cloud = np.zeros((R, 3), np.float32)
+        cloud[:n] = self.last_cloud[:n, :3]
+        cmask = np.zeros(R, bool)
+        cmask[:n] = True
+
+        (st, vm2, tidx, tvalid, opc, perr, err, n_tracked, n_added,
+         _its) = vio_frame_step(
+            self.vmap, self.cam, state, prior, gray, fid,
+            jnp.asarray(cloud), jnp.asarray(cmask),
+            self.Rci, self.Pci, self.Jdphi_dR, self.Jdp_dR,
+            cfg.outlier_threshold, cfg.ncc_thre, cfg.img_point_cov,
+            grid_size=self.grid_size, patch_size=self.patch_size,
+            gw=self.gw, gh=self.gh, ncc_en=cfg.ncc_en,
+            max_iter=cfg.max_iteration, max_vox=self.max_vox,
+            max_pg=self.max_pg,
+        )
+        self.vmap = vm2
+        self.last_stats = {
+            "tracked": int(n_tracked),
+            "added": int(n_added),
+            "err": float(err),
+        }
+        if self.cfg.debug and int(n_tracked) > 0:
+            self.last_overlay = render_overlay(
+                np.asarray(gray), np.asarray(opc), np.asarray(perr),
+                np.asarray(tvalid),
+            )
+        rot_f = np.asarray(st.rot, np.float32)
+        self.last_rcw = np.asarray(self.Rci) @ rot_f.T
+        self.last_pcw = (
+            -self.last_rcw @ np.asarray(st.pos, np.float32)
+            + np.asarray(self.Pci)
+        )
+        self.fid += 1
+        return st
+
+    def update_staged(self, state: NavState, prior: NavState, img: np.ndarray) -> NavState:
+        """Unfused reference path (one dispatch per stage) — kept for the
+        fused-vs-staged equivalence test and for debugging."""
         cfg = self.cfg
         self.last_bgr = self._resize_color(img)
         gray = jnp.asarray(self._to_gray(img))
@@ -650,18 +831,19 @@ class Vio:
             self.fid += 1
             return state
 
-        pg_down, pg_mask = voxel_downsample(
-            self.last_cloud, 0.2, max_out=self.max_pg
+        # same device filter + voxel-set ops as the fused step, so the
+        # two paths see identical candidate clouds (fused-vs-staged
+        # equivalence is then exact up to XLA fusion reassociation)
+        R = self.cloud_cap
+        n = min(len(self.last_cloud), R)
+        cloud = np.zeros((R, 3), np.float32)
+        cloud[:n] = self.last_cloud[:n, :3]
+        cmask = np.zeros(R, bool)
+        cmask[:n] = True
+        pg_down, pg_mask = voxel_downsample_device(
+            jnp.asarray(cloud), jnp.asarray(cmask), 0.2, self.max_pg
         )
-        vox_np = np.unique(
-            np.floor(pg_down[pg_mask] / vmap_mod.VOXEL_SIZE).astype(np.int32),
-            axis=0,
-        )
-        nv = min(len(vox_np), self.max_vox)
-        vox = np.zeros((self.max_vox, 3), np.int32)
-        vox[:nv] = vox_np[:nv]
-        vox_mask = np.zeros(self.max_vox, bool)
-        vox_mask[:nv] = True
+        vox, vox_mask = _unique_voxels(pg_down, pg_mask, self.max_vox)
 
         n_pts = int(self.vmap.n_pts)
         stats = {"tracked": 0, "added": 0, "err": 0.0}

@@ -159,3 +159,41 @@ def test_vio_with_distorted_camera():
     err_after = np.linalg.norm(np.asarray(out.pos - s1_true.pos))
     assert vio.last_stats["tracked"] > 10, vio.last_stats
     assert err_after < 0.7 * err_before, (err_before, err_after)
+
+
+def test_fused_vs_staged_equivalence(ds):
+    """vio_frame_step (one dispatch) must reproduce the staged path.
+
+    Compared per-frame from IDENTICAL Vio state (cloned), so tiny f32
+    ordering differences cannot compound across frames: same posterior
+    pose/cov, same tracked count, same map growth."""
+    import copy
+
+    import jax.numpy as jnp
+
+    vio = Vio(make_cfg())
+    s = state_at(ds, 2.0)
+    vio.set_last_cloud(world_cloud(ds))
+    vio.update(s, s, ds.render_image(2.0))  # bootstrap
+    for k in range(1, 4):
+        t = 2.0 + 0.1 * k
+        sk = state_at(ds, t)
+        sp = sk._replace(pos=sk.pos + jnp.asarray([0.01, -0.008, 0.006]))
+        vio.set_last_cloud(world_cloud(ds, seed=k))
+        img = ds.render_image(t)
+        ref = copy.copy(vio)  # immutable jnp arrays: shallow copy is a fork
+        out_f = vio.update(sp, sp, img)
+        out_s = ref.update_staged(sp, sp, img)
+        np.testing.assert_allclose(
+            np.asarray(out_f.pos), np.asarray(out_s.pos), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f.rot), np.asarray(out_s.rot), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f.cov), np.asarray(out_s.cov), atol=1e-4
+        )
+        assert abs(vio.last_stats["tracked"] - ref.last_stats["tracked"]) <= 2
+        nf, ns = int(vio.vmap.n_pts), int(ref.vmap.n_pts)
+        assert abs(nf - ns) <= max(3, 0.05 * ns), (nf, ns)
+        # continue from the fused branch (arbitrary; they stay close)
