@@ -43,6 +43,9 @@ from .ops import tiled_map as tm
 from .ops import voxel_map as vm
 
 
+from .state import DIM_STATE, NavState
+
+
 def map_module(m):
     """Backend module for a map value (dispatch by pytree type)."""
     if isinstance(m, dm.DenseMap):
@@ -50,7 +53,6 @@ def map_module(m):
     if isinstance(m, tm.TiledMap):
         return tm
     return vm
-from .state import DIM_STATE, NavState
 
 SQ_DIST_GATE = 5.0  # 5th-NN squared-distance gate (laserMapping.cpp:1549)
 RES_GATE = 2.0  # |residual| gate at compaction (:1600)
@@ -97,7 +99,8 @@ def _boxminus_vec(prior: NavState, rot, pos, vel, bg, ba, grav):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "knn_radius", "max_probe", "axis_name"),
+    static_argnames=("max_iter", "knn_radius", "max_probe", "axis_name",
+                     "cache_knn"),
 )
 def lio_update(
     state: NavState,  # propagated prior (its cov is the prior covariance)
@@ -111,6 +114,7 @@ def lio_update(
     knn_radius: int = 2,
     max_probe: int = 12,
     axis_name: str | None = None,
+    cache_knn: bool = False,
 ) -> LioResult:
     """One scan's iterated point-to-plane EKF update (laserMapping.cpp:1506-1732).
 
@@ -135,11 +139,29 @@ def lio_update(
 
     map_mod = map_module(m)
 
+    if cache_knn:
+        # OPT-IN (~17% faster fused frame, measured): gather the
+        # neighborhood candidate block ONCE at the prior pose; rematch
+        # re-searches re-rank the cached block against the moved queries
+        # instead of re-gathering from the map. Deviation from the
+        # reference's full re-search (laserMapping.cpp:1543): queries
+        # whose base voxel shifts by the first correction see a clipped
+        # neighborhood (measured: ~1 mm pose delta, ~5% match-count
+        # delta at a 5 cm prior error) — kept OFF by default for
+        # reference parity; see tests/test_lio.py.
+        cand0, found0 = map_mod.knn_candidates(
+            m, world_pts(prior.rot, prior.pos), radius=knn_radius,
+            max_probe=max_probe,
+        )
+
     def do_search(rot, pos):
         pw = world_pts(rot, pos)
-        neigh, nd2, _ = map_mod.knn(
-            m, pw, k=5, radius=knn_radius, max_probe=max_probe
-        )
+        if cache_knn:
+            neigh, nd2, _ = vm.topk_from_candidates(cand0, found0, pw, 5)
+        else:
+            neigh, nd2, _ = map_mod.knn(
+                m, pw, k=5, radius=knn_radius, max_probe=max_probe
+            )
         sel = (nd2[:, -1] <= SQ_DIST_GATE) & pmask
         pabcd, plane_ok = plane_ops.fit_plane(neigh, threshold=PLANE_THRESH)
         return sel, pabcd, plane_ok

@@ -106,24 +106,28 @@ def insert(m: DenseMap, pts: jnp.ndarray, valid: jnp.ndarray) -> DenseMap:
     return DenseMap(new_check, new_pts, m.count + gained, vs, m.log2_dims)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "radius"))
-def knn(m: DenseMap, queries: jnp.ndarray, k: int = 5, radius: int = 1,
-        max_probe: int = 0):
-    """Bounded k-NN: direct 27-neighborhood lookups (no probing).
-    `max_probe` accepted (ignored) for API parity with voxel_map.knn."""
+@functools.partial(jax.jit, static_argnames=("radius", "max_probe"))
+def knn_candidates(m: DenseMap, queries: jnp.ndarray, radius: int = 1,
+                   max_probe: int = 0):
+    """Direct-indexed neighborhood candidate block: (cpts, found)."""
     base = voxel_of(queries, m.voxel_size)
     offs = jnp.asarray(_neighbor_offsets(radius))
     cand = base[:, None, :] + offs[None, :, :]  # (N, M, 3)
     cell, qcheck = _cell_check(m, cand)
     found = m.check[cell] == qcheck
     cpts = m.pts[cell.reshape(-1)].reshape(*cand.shape[:2], 3)
-    d2 = jnp.sum((cpts - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(found, d2, BIG)
-    neg_d2, idx = jax.lax.top_k(-d2, k)
-    nd2 = -neg_d2
-    nvalid = nd2 < BIG * 0.5
-    neigh = jnp.take_along_axis(cpts, idx[..., None], axis=1)
-    return jnp.where(nvalid[..., None], neigh, 0.0), nd2, nvalid
+    return cpts, found
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius"))
+def knn(m: DenseMap, queries: jnp.ndarray, k: int = 5, radius: int = 1,
+        max_probe: int = 0):
+    """Bounded k-NN: direct 27-neighborhood lookups (no probing).
+    `max_probe` accepted (ignored) for API parity with voxel_map.knn."""
+    from .voxel_map import topk_from_candidates
+
+    cpts, found = knn_candidates(m, queries, radius)
+    return topk_from_candidates(cpts, found, queries, k)
 
 
 @jax.jit

@@ -181,11 +181,10 @@ def insert(m: TiledMap, pts: jnp.ndarray, valid: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "radius"))
-def knn(m: TiledMap, queries: jnp.ndarray, k: int = 5, radius: int = 1,
-        max_probe: int = 0):
-    """Bounded k-NN over the 27-voxel neighborhood: two dependent
-    gathers per candidate (directory, then pool), no probing."""
+@functools.partial(jax.jit, static_argnames=("radius", "max_probe"))
+def knn_candidates(m: TiledMap, queries: jnp.ndarray, radius: int = 1,
+                   max_probe: int = 0):
+    """Two-gather neighborhood candidate block: (cpts, found)."""
     T = m.slot_key.shape[0]
     base = voxel_of(queries, m.voxel_size)
     offs = jnp.asarray(_neighbor_offsets(radius))
@@ -197,13 +196,18 @@ def knn(m: TiledMap, queries: jnp.ndarray, k: int = 5, radius: int = 1,
     pool_idx = jnp.clip(slot, 0, T - 1) * TC + cofs
     found = tile_ok & (m.cell_check[pool_idx] == chk)
     cpts = m.pts[pool_idx.reshape(-1)].reshape(*cand.shape[:2], 3)
-    d2 = jnp.sum((cpts - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(found, d2, BIG)
-    neg_d2, idx = jax.lax.top_k(-d2, k)
-    nd2 = -neg_d2
-    nvalid = nd2 < BIG * 0.5
-    neigh = jnp.take_along_axis(cpts, idx[..., None], axis=1)
-    return jnp.where(nvalid[..., None], neigh, 0.0), nd2, nvalid
+    return cpts, found
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius"))
+def knn(m: TiledMap, queries: jnp.ndarray, k: int = 5, radius: int = 1,
+        max_probe: int = 0):
+    """Bounded k-NN over the 27-voxel neighborhood: two dependent
+    gathers per candidate (directory, then pool), no probing."""
+    from .voxel_map import topk_from_candidates
+
+    cpts, found = knn_candidates(m, queries, radius)
+    return topk_from_candidates(cpts, found, queries, k)
 
 
 def _cell_voxels(m: TiledMap):

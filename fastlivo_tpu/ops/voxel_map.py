@@ -168,6 +168,49 @@ def _neighbor_offsets(radius: int) -> np.ndarray:
     return g[np.argsort(np.sum(g * g, axis=-1), kind="stable")]
 
 
+def topk_from_candidates(cpts: jnp.ndarray, found: jnp.ndarray,
+                         queries: jnp.ndarray, k: int):
+    """Rank a gathered candidate block (N, M, 3) against (possibly moved)
+    queries and return the k nearest — the re-rank half of `knn`, shared
+    by every backend and by the LIO rematch candidate cache."""
+    d2 = jnp.sum((cpts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(found, d2, BIG)
+    neg_d2, idx = jax.lax.top_k(-d2, k)
+    nd2 = -neg_d2
+    nvalid = nd2 < BIG * 0.5
+    neigh = jnp.take_along_axis(cpts, idx[..., None], axis=1)
+    neigh = jnp.where(nvalid[..., None], neigh, 0.0)
+    return neigh, nd2, nvalid
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "max_probe"))
+def knn_candidates(
+    m: VoxelMap,
+    queries: jnp.ndarray,
+    radius: int = 2,
+    max_probe: int = 12,
+):
+    """Gather the (2*radius+1)^3-neighborhood candidate block for each
+    query: (cpts (N, M, 3), found (N, M))."""
+    T = m.check.shape[0]
+    mask = T - 1
+    base = voxel_of(queries, m.voxel_size)  # (N, 3)
+    offs = jnp.asarray(_neighbor_offsets(radius))  # (M, 3)
+    cand = base[:, None, :] + offs[None, :, :]  # (N, M, 3)
+    slot, qcheck = _slot_check(cand, mask)  # (N, M) each
+    found = jnp.zeros(slot.shape, dtype=bool)
+    resolved = jnp.full(slot.shape, T, dtype=jnp.int32)
+    for _ in range(max_probe):
+        cur = m.check[slot]  # (N, M) single-int32 gather
+        hit = (cur == qcheck) & ~found
+        resolved = jnp.where(hit, slot, resolved)
+        found = found | hit
+        slot = (slot + 1) & mask
+    safe = jnp.minimum(resolved, T - 1)
+    cpts = m.pts[safe.reshape(-1)].reshape(cand.shape[0], cand.shape[1], 3)
+    return cpts, found
+
+
 @functools.partial(jax.jit, static_argnames=("k", "radius", "max_probe"))
 def knn(
     m: VoxelMap,
@@ -190,30 +233,8 @@ def knn(
       d2:    (N, k) squared distances (BIG where invalid)
       nvalid:(N, k) bool
     """
-    T = m.check.shape[0]
-    mask = T - 1
-    base = voxel_of(queries, m.voxel_size)  # (N, 3)
-    offs = jnp.asarray(_neighbor_offsets(radius))  # (M, 3)
-    cand = base[:, None, :] + offs[None, :, :]  # (N, M, 3)
-    slot, qcheck = _slot_check(cand, mask)  # (N, M) each
-    found = jnp.zeros(slot.shape, dtype=bool)
-    resolved = jnp.full(slot.shape, T, dtype=jnp.int32)
-    for _ in range(max_probe):
-        cur = m.check[slot]  # (N, M) single-int32 gather
-        hit = (cur == qcheck) & ~found
-        resolved = jnp.where(hit, slot, resolved)
-        found = found | hit
-        slot = (slot + 1) & mask
-    safe = jnp.minimum(resolved, T - 1)
-    cpts = m.pts[safe.reshape(-1)].reshape(cand.shape[0], cand.shape[1], 3)
-    d2 = jnp.sum((cpts - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(found, d2, BIG)
-    neg_d2, idx = jax.lax.top_k(-d2, k)  # (N, k)
-    nd2 = -neg_d2
-    nvalid = nd2 < BIG * 0.5
-    neigh = jnp.take_along_axis(cpts, idx[..., None], axis=1)
-    neigh = jnp.where(nvalid[..., None], neigh, 0.0)
-    return neigh, nd2, nvalid
+    cpts, found = knn_candidates(m, queries, radius, max_probe)
+    return topk_from_candidates(cpts, found, queries, k)
 
 
 @jax.jit
