@@ -46,6 +46,24 @@ VIO_ITERS = 10
 VIO_W, VIO_H, VIO_F = 640, 512, 400.0
 
 
+def measured_dispatch_overhead() -> float:
+    """Per-dispatch session overhead (ms), measured AFTER the map
+    workload has run (map-update executables permanently degrade every
+    subsequent dispatch through the axon relay — see BASELINE.md): the
+    wall time of a minimal jitted elementwise op on a tiny resident
+    array. Subtracting this floor from the frame time gives the
+    kernel-bound (net) number reported alongside the raw one."""
+    x = jnp.arange(8, dtype=jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    jax.block_until_ready(f(x))
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
 def measured_cpp_baseline() -> dict:
     """Pinned-protocol C++ baseline: build once, run BASELINE_RUNS times,
     keep every raw number, use the best per metric."""
@@ -249,7 +267,12 @@ def bench_vio():
 def main():
     lid = bench_lidar()
     vio = bench_vio()
+    overhead_ms = measured_dispatch_overhead()
     base = measured_cpp_baseline()
+    net_frame_ms = max(lid["frame_ms_mean"] - overhead_ms, 1e-3)
+    net_pts = N_SCAN / (net_frame_ms * 1e-3)
+    vio_net_ms = max(vio["vio_ms_mean"] - 3 * overhead_ms, 1e-3)
+    vio_net = vio["vio_pixels_per_sec"] * vio["vio_ms_mean"] / vio_net_ms
     print(
         json.dumps(
             {
@@ -267,9 +290,13 @@ def main():
                 "vio_vs_baseline": round(
                     vio["vio_pixels_per_sec"] / base["vio_pixels_per_sec"], 2
                 ),
+                "dispatch_overhead_ms": round(overhead_ms, 3),
+                "points_per_sec_net": round(net_pts, 1),
+                "vs_baseline_net": round(net_pts / base["points_per_sec"], 2),
                 "detail": {
                     "lidar": {k: round(v, 2) for k, v in lid.items()},
                     "vio": {k: round(v, 2) for k, v in vio.items()},
+                    "vio_pixels_per_sec_net": round(vio_net, 1),
                     "baseline_raw_runs": base["raw_runs"],
                 },
             }
