@@ -12,14 +12,26 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import dense_map as dm
+from ..ops import tiled_map as tm
 from ..ops import voxel_map as vm
 from ..state import NavState
 from .. import visual_map as vmap_mod
 
+_MAP_TYPES = {"voxel": vm.VoxelMap, "dense": dm.DenseMap, "tiled": tm.TiledMap}
 
-def save(path: str | Path, state: NavState, m: vm.VoxelMap,
+
+def _map_type_name(m) -> str:
+    if isinstance(m, dm.DenseMap):
+        return "dense"
+    if isinstance(m, tm.TiledMap):
+        return "tiled"
+    return "voxel"
+
+
+def save(path: str | Path, state: NavState, m,
          visual: vmap_mod.VisualMap | None = None) -> None:
-    out = {}
+    out = {"map_type": np.array(_map_type_name(m))}
     for name, val in state._asdict().items():
         out[f"state/{name}"] = np.asarray(val)
     for name, val in m._asdict().items():
@@ -31,13 +43,14 @@ def save(path: str | Path, state: NavState, m: vm.VoxelMap,
 
 
 def load(path: str | Path):
-    """Returns (NavState, VoxelMap, VisualMap | None)."""
+    """Returns (NavState, map (any backend), VisualMap | None)."""
     z = np.load(path)
     state = NavState(**{
         k.split("/", 1)[1]: jnp.asarray(z[k])
         for k in z.files if k.startswith("state/")
     })
-    m = vm.VoxelMap(**{
+    cls = _MAP_TYPES[str(z["map_type"])] if "map_type" in z.files else vm.VoxelMap
+    m = cls(**{
         k.split("/", 1)[1]: jnp.asarray(z[k])
         for k in z.files if k.startswith("map/")
     })

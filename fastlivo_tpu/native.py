@@ -95,3 +95,38 @@ def voxel_downsample_native(pts: np.ndarray, leaf: float,
     mask = np.zeros(max_out, bool)
     mask[:k] = True
     return buf, mask
+
+
+def give_feature_ring_native(pl, curv, rng, dista, blind, point_filter_num,
+                             is_avia):
+    """One ring through the native give_feature (native/ingest.cpp).
+    Same contract as features.give_feature; None if library absent."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_gf_bound"):
+        lib.give_feature_ring.restype = ctypes.c_int
+        lib.give_feature_ring.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib._gf_bound = True
+    pl = np.ascontiguousarray(pl, np.float64)
+    curv = np.ascontiguousarray(curv, np.float64)
+    rng = np.ascontiguousarray(rng, np.float64)
+    dista = np.ascontiguousarray(dista, np.float64)
+    n = len(pl)
+    cap = max(n, 8)
+    surf = np.empty((cap, 4), np.float64)
+    corn = np.empty((cap, 4), np.float64)
+    counts = np.zeros(2, np.int32)
+    rc = lib.give_feature_ring(
+        pl.ctypes.data, curv.ctypes.data, rng.ctypes.data, dista.ctypes.data,
+        n, blind, point_filter_num, int(is_avia),
+        surf.ctypes.data, cap, corn.ctypes.data, cap, counts.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    return surf[: counts[0]].copy(), corn[: counts[1]].copy()

@@ -57,3 +57,26 @@ def test_rebuild_compacts_after_churn():
     # hole-fragmented probe chains are merged)
     uniq_voxels = len(np.unique(np.floor(sm / 0.5).astype(np.int64), axis=0))
     assert occ_3 == uniq_voxels
+
+
+def test_tiled_map_roundtrip(tmp_path):
+    """The default (tiled) backend must checkpoint/restore losslessly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fastlivo_tpu.io import checkpoint
+    from fastlivo_tpu.ops import tiled_map as tm
+    from fastlivo_tpu.state import identity_state
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-8, 8, (1024, 3)).astype(np.float32)
+    m = tm.insert(tm.empty_tiled_map((32, 32, 16), 256, 0.5),
+                  jnp.asarray(pts), jnp.ones(1024, bool))
+    p = tmp_path / "ck.npz"
+    checkpoint.save(p, identity_state(), m)
+    _, m2, _ = checkpoint.load(p)
+    assert isinstance(m2, tm.TiledMap)
+    q = jnp.asarray(pts[:128] + 0.01)
+    n1, d1, v1 = tm.knn(m, q, 5, 1)
+    n2, d2, v2 = tm.knn(m2, q, 5, 1)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))

@@ -81,3 +81,44 @@ def test_decode_features_avia_end_to_end():
     # all feature points lie on one of the two walls
     dx = np.minimum(np.abs(pts[:, 0] - 5.0), np.abs(pts[:, 0] - 6.0))
     assert np.percentile(dx, 95) < 0.05
+
+
+def test_native_give_feature_matches_python():
+    """native/ingest.cpp::give_feature_ring must reproduce the Python
+    give_feature bit-for-bit on realistic ring geometry."""
+    from fastlivo_tpu import native as native_mod
+    from fastlivo_tpu.features import give_feature
+
+    if native_mod.load() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng_ = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng_.integers(40, 400))
+        ang = np.linspace(-0.6, 0.6, n)
+        r = 6.0 + 2.0 * np.sin(3 * ang) + rng_.normal(0, 0.01, n)
+        # occasional depth jumps and blind dropouts
+        jump = rng_.random(n) < 0.03
+        r = np.where(jump, r * rng_.uniform(1.5, 3.0, n), r)
+        r[rng_.random(n) < 0.02] = 0.1
+        pl = np.stack([r * np.cos(ang), r * np.sin(ang),
+                       0.1 * np.sin(7 * ang)], 1)
+        curv = np.linspace(0, 100, n)
+        is_avia = trial % 2 == 0
+        if is_avia:
+            rr = pl[:, 0] ** 2 + pl[:, 1] ** 2
+            blind = 1.0
+        else:
+            rr = np.sqrt(pl[:, 0] ** 2 + pl[:, 1] ** 2)
+            blind = 1.0
+        d = np.diff(pl, axis=0)
+        dista = np.concatenate([np.sum(d * d, axis=1), [0.0]])
+        sp, cp = give_feature(pl, curv, rr, dista, blind, 3, is_avia)
+        sn, cn = native_mod.give_feature_ring_native(
+            pl, curv, rr, dista, blind, 3, is_avia
+        )
+        np.testing.assert_array_equal(sp.shape, sn.shape)
+        np.testing.assert_allclose(sp, sn, atol=1e-12)
+        np.testing.assert_array_equal(cp.shape, cn.shape)
+        np.testing.assert_allclose(cp, cn, atol=1e-12)
