@@ -1,0 +1,264 @@
+"""Batched offline replay: K lidar frames per device dispatch.
+
+Online operation pays one host->device dispatch per frame
+(frame_step.lidar_frame_step). For OFFLINE bag replay — the reference's
+own benchmark modality (rosbag playback, README.md:118-138) — frames
+can be staged ahead, so this module chains K full scan steps
+(IMU propagation -> undistortion -> iterated EKF -> map insertion)
+inside one `lax.scan`: one dispatch per K frames. The host-side pair
+preparation (imu.prepare_pairs) depends only on timestamps, never on
+the estimated state, so whole blocks stage without lookahead hazards.
+
+Semantics vs the per-frame path (both deviations bounded and tested):
+  - the sliding-local-map box deletion (lasermap_fov_segment,
+    laserMapping.cpp:363-421) runs once per BLOCK instead of per frame —
+    within a block (<= ~1 s of motion) the slide moves meters at most;
+  - LIO-only: image groups cannot interleave inside a block (the
+    camera path stays on the per-frame pipeline).
+
+Per-frame pre/post states are emitted from the scan (`ys`), so the
+mat_pre/mat_out trace surface and the TUM trajectory are identical in
+shape to the per-frame path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import imu as imu_mod
+from . import lio as lio_mod
+from .ops import voxel_filter as vf
+from .state import NavState
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_points", "max_iter", "knn_radius", "max_probe"),
+)
+def lidar_block_step(
+    state: NavState,
+    m,
+    calib: imu_mod.ImuCalib,
+    # per-frame stacked inputs, leading axis K
+    acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt, row0_off,
+    pts_raw, t_rel, rmask,
+    acc_s_last, angvel_last,
+    filter_size_surf,
+    laser_point_cov: float,
+    max_points: int,
+    max_iter: int,
+    knn_radius: int,
+    max_probe: int,
+):
+    """K chained scan steps in one executable.
+
+    Returns (state', map', acc_s_last', angvel_last',
+    ys = (pre_rot, pre_pos, pre_vel, post_rot, post_pos, post_vel,
+    post_bg, post_ba, post_grav, n_active, iters)) with every ys leaf
+    shaped (K, ...)."""
+
+    def step(carry, inp):
+        st, mm, acc_s, angv = carry
+        (a, g, d, o, pv, td, r0, pts, tr, pm) = inp
+        st1, pose, acc_s2, angv2 = imu_mod.propagate(
+            st, a, g, d, o, pv, td, acc_s, angv, calib, row0_off=r0
+        )
+        und = imu_mod.undistort(st1, pose, pts, tr, pm, calib)
+        down, dmask = vf.voxel_downsample_device(
+            und, pm, filter_size_surf, max_points
+        )
+        res = lio_mod.lio_update(
+            st1, mm, down, dmask, calib.lid_rot, calib.lid_off,
+            laser_point_cov=laser_point_cov, max_iter=max_iter,
+            knn_radius=knn_radius, max_probe=max_probe,
+        )
+        mod = lio_mod.map_module(mm)
+        rot32 = res.state.rot.astype(down.dtype)
+        pos32 = res.state.pos.astype(down.dtype)
+        world = (down @ calib.lid_rot.T + calib.lid_off) @ rot32.T + pos32
+        if mod is lio_mod.vm:
+            m2 = mod.insert(mm, world, dmask, max_probe=max_probe)
+        else:
+            m2 = mod.insert(mm, world, dmask)
+        ys = (st1.rot, st1.pos, st1.vel,
+              res.state.rot, res.state.pos, res.state.vel,
+              res.state.bg, res.state.ba, res.state.grav,
+              res.n_active, res.iters)
+        return (res.state, m2, acc_s2, angv2), ys
+
+    (st_f, m_f, acc_f, ang_f), ys = jax.lax.scan(
+        step,
+        (state, m, acc_s_last, angvel_last),
+        (acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt, row0_off,
+         pts_raw, t_rel, rmask),
+    )
+    return st_f, m_f, acc_f, ang_f, ys
+
+
+class BlockReplayer:
+    """Drives a Pipeline's steady state in K-frame blocks.
+
+    Usage: feed all sensor data into the pipeline's synchronizer, then
+    call `run()`. Bootstrap frames (IMU init, map build, pre-EKF warmup)
+    go through the normal per-frame path; once the pipeline is in its
+    fused steady state, the remaining lidar-end groups are staged and
+    dispatched in blocks."""
+
+    def __init__(self, pipe, block: int = 8):
+        assert not pipe.cfg.img_enable, "block replay is LIO-only"
+        self.pipe = pipe
+        self.K = block
+
+    def _stage(self, groups):
+        """Host-side staging of K groups into stacked device inputs."""
+        p = self.pipe
+        cap = p.cfg.capacity
+        P = cap.max_imu_per_group
+        R = cap.max_raw_points
+        K = len(groups)
+        A = np.zeros((K, P, 3), np.float32)
+        G = np.zeros((K, P, 3), np.float32)
+        D = np.zeros((K, P), np.float32)
+        O = np.full((K, P), imu_mod.BIG_T, np.float32)
+        V = np.zeros((K, P), bool)
+        TD = np.zeros(K, np.float32)
+        R0 = np.zeros(K, np.float32)
+        PTS = np.zeros((K, R, 3), np.float32)
+        TR = np.zeros((K, R), np.float32)
+        PM = np.zeros((K, R), bool)
+        ts = []
+        for k, g in enumerate(groups):
+            scan = g.scan
+            end_time = scan.end_time
+            ts.append(end_time)
+            if p.last_imu is not None:
+                imu_t = np.concatenate([[p.last_imu[0]], g.imu_t])
+                imu_acc = np.concatenate([[p.last_imu[1]], g.imu_acc])
+                imu_gyr = np.concatenate([[p.last_imu[2]], g.imu_gyr])
+            else:
+                imu_t, imu_acc, imu_gyr = g.imu_t, g.imu_acc, g.imu_gyr
+            if len(g.imu_t):
+                p.last_imu = (g.imu_t[-1], g.imu_acc[-1], g.imu_gyr[-1])
+            a, gy, d, o, v, td, r0 = imu_mod.prepare_pairs(
+                imu_t, imu_acc, imu_gyr,
+                beg_time=scan.beg_time, end_time=end_time,
+                last_end_time=p.last_group_end, max_pairs=P,
+            )
+            A[k], G[k], D[k], O[k], V[k], TD[k], R0[k] = a, gy, d, o, v, td, r0
+            p.last_group_end = end_time
+            if p.logger is not None and p.first_lidar_time is not None:
+                for i in np.nonzero(v)[0]:
+                    p.logger.log_imu(
+                        imu_t[i] - p.first_lidar_time, a[i], gy[i]
+                    )
+            n = min(len(scan.pts), R)
+            PTS[k, :n] = scan.pts[:n, :3]
+            TR[k, :n] = scan.t_rel[:n]
+            PM[k, :n] = True
+        return (A, G, D, O, V, TD, R0, PTS, TR, PM), ts
+
+    def run(self) -> List:
+        """Process everything currently in the synchronizer. Returns the
+        pipeline's FrameOutput list (appended in place as usual)."""
+        p = self.pipe
+        pending = []
+        for g in p.sync.drain():
+            if not (p.map_built and p.init_done and p.ready
+                    and g.is_lidar_end):
+                # bootstrap path per-frame
+                if pending:
+                    self._flush(pending)
+                    pending = []
+                p._process_group(g)
+                continue
+            ekf_inited = (
+                p.first_lidar_time is not None
+                and g.scan.beg_time - p.first_lidar_time >= 0.5
+            )
+            if not ekf_inited:
+                if pending:
+                    self._flush(pending)
+                    pending = []
+                p._process_group(g)
+                continue
+            pending.append(g)
+            if len(pending) == self.K:
+                self._flush(pending)
+                pending = []
+        if pending:
+            self._flush(pending)
+        return p.outputs
+
+    def _flush(self, groups):
+        import time as _time
+
+        from .io.synthetic import _rot_to_quat
+        from .pipeline import FrameOutput
+
+        p = self.pipe
+        cap = p.cfg.capacity
+        t0 = _time.perf_counter()
+        # one sliding-map maintenance pass per block
+        pos_np = np.asarray(p.state.pos)
+        boxes = p.tracker.update(pos_np)
+        if boxes and p.map_built:
+            lo = np.asarray([b[0] for b in boxes], np.float32)
+            hi = np.asarray([b[1] for b in boxes], np.float32)
+            p.map = p._map_mod.delete_boxes(
+                p.map, jnp.asarray(lo), jnp.asarray(hi)
+            )
+        p._maybe_rebuild()
+        pre_bias_state = p.state
+        (A, G, D, O, V, TD, R0, PTS, TR, PM), ts = self._stage(groups)
+        st, m2, acc_f, ang_f, ys = lidar_block_step(
+            p.state, p.map, p.calib,
+            jnp.asarray(A), jnp.asarray(G), jnp.asarray(D), jnp.asarray(O),
+            jnp.asarray(V), jnp.asarray(TD), jnp.asarray(R0),
+            jnp.asarray(PTS), jnp.asarray(TR), jnp.asarray(PM),
+            p.acc_s_last, p.angvel_last,
+            jnp.float32(p.cfg.filter_size_surf),
+            laser_point_cov=p.cfg.laser_point_cov,
+            max_points=cap.max_points,
+            max_iter=p.cfg.max_iteration,
+            knn_radius=cap.knn_voxel_radius,
+            max_probe=cap.max_probe,
+        )
+        p.state = st
+        p.map = m2
+        p.acc_s_last, p.angvel_last = acc_f, ang_f
+        wall = _time.perf_counter() - t0
+        (pre_R, pre_p, pre_v, po_R, po_p, po_v, po_bg, po_ba, po_gv,
+         n_act, iters) = [np.asarray(y) for y in ys]
+        K = len(groups)
+        bg0 = np.asarray(pre_bias_state.bg)
+        ba0 = np.asarray(pre_bias_state.ba)
+        gv0 = np.asarray(pre_bias_state.grav)
+        for k in range(K):
+            if p.logger is not None:
+                # pre-row biases are the previous frame's posterior
+                # (propagation never changes them; golden-trace property)
+                pbg = bg0 if k == 0 else po_bg[k - 1]
+                pba = ba0 if k == 0 else po_ba[k - 1]
+                pgv = gv0 if k == 0 else po_gv[k - 1]
+                pre = NavState(pre_R[k], pre_p[k], pre_v[k],
+                               pbg, pba, pgv, st.cov)
+                post = NavState(po_R[k], po_p[k], po_v[k],
+                                po_bg[k], po_ba[k], po_gv[k], st.cov)
+                p.logger.log_pre(ts[k], pre)
+                p.logger.log_post(ts[k], post)
+            quat = _rot_to_quat(po_R[k].astype(np.float64))
+            out = FrameOutput(
+                t=ts[k], pos=po_p[k].astype(np.float64), quat=quat,
+                vel=po_v[k].astype(np.float64),
+                n_active=int(n_act[k]), iters=int(iters[k]), n_points=0,
+                timing={"undistort": 0.0, "downsample": 0.0,
+                        "ekf": wall / K, "map": 0.0, "total": wall / K},
+            )
+            p.outputs.append(out)
+            p.trajectory.append(np.array(
+                [out.t, *out.pos, quat[1], quat[2], quat[3], quat[0]]
+            ))

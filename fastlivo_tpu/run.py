@@ -64,13 +64,19 @@ def _lidar_fields(msg_type: str, msg: dict, lidar_type: int) -> dict:
     raise ValueError(f"unsupported lidar_type {lidar_type} for {msg_type}")
 
 
-def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None):
+def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
+            block: int = 0):
     from .io.rosbag import bgr_normalize, read_bag
 
     cfg = pipe.cfg
     topics = {cfg.lid_topic, cfg.imu_topic}
     if cfg.img_enable:
         topics.add(cfg.img_topic)
+    replayer = None
+    if block:
+        from .replay import BlockReplayer
+
+        replayer = BlockReplayer(pipe, block)
     n_frames = 0
     for topic, mtype, stamp, msg in read_bag(bag_path, topics):
         if topic == cfg.imu_topic:
@@ -83,14 +89,19 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None):
         elif topic == cfg.img_topic:
             img = bgr_normalize(msg["image"], msg.get("encoding", "bgr8"))
             pipe.push_img(msg["stamp"] + cfg.delta_time, img)
-        outs = pipe.spin()
-        n_frames += len(outs)
+        if replayer is None:
+            n_frames += len(pipe.spin())
         if max_frames and n_frames >= max_frames:
             break
+    if replayer is not None:
+        before = len(pipe.outputs)
+        replayer.run()
+        n_frames = len(pipe.outputs) - before + n_frames
     return n_frames
 
 
-def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool):
+def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool,
+                  block: int = 0):
     from .io.synthetic import SyntheticDataset
 
     cam = pipe.cfg.camera
@@ -113,7 +124,12 @@ def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool):
         pipe.push_imu(t, acc, gyr)
     for t, img in ds.images():
         pipe.push_img(t, img)
-    outs = pipe.spin()
+    if block:
+        from .replay import BlockReplayer
+
+        outs = BlockReplayer(pipe, block).run()
+    else:
+        outs = pipe.spin()
     return len(outs), ds
 
 
@@ -159,6 +175,11 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-img", action="store_true", help="force LIO-only")
     ap.add_argument(
+        "--block", type=int, default=0,
+        help="offline LIO replay in N-frame blocks (one device dispatch "
+        "per N frames; amortizes per-dispatch overhead; LIO-only)",
+    )
+    ap.add_argument(
         "--profile-every", type=int, default=0,
         help="every N frames, also dispatch the LIO stages separately to "
         "record a per-stage timing breakdown (laserMapping.cpp:1805)",
@@ -173,11 +194,13 @@ def main(argv=None):
     pipe = Pipeline(cfg, log_dir=args.log_dir)
     pipe.profile_every = args.profile_every
 
+    if args.block and cfg.img_enable:
+        ap.error("--block is LIO-only; combine with --no-img")
     t0 = time.perf_counter()
     if args.bag:
-        n = run_bag(pipe, args.bag, args.max_frames)
+        n = run_bag(pipe, args.bag, args.max_frames, args.block)
     elif args.synthetic:
-        n, _ = run_synthetic(pipe, args.duration, cfg.img_enable)
+        n, _ = run_synthetic(pipe, args.duration, cfg.img_enable, args.block)
     else:
         ap.error("need --bag or --synthetic")
     wall = time.perf_counter() - t0

@@ -1,0 +1,74 @@
+"""Batched offline replay (K frames per dispatch) vs the per-frame
+pipeline: same trajectory, same trace surface."""
+import numpy as np
+import pytest
+
+from fastlivo_tpu.io.synthetic import SyntheticDataset
+from fastlivo_tpu.pipeline import Pipeline
+from fastlivo_tpu.replay import BlockReplayer
+
+from test_pipeline_lio import small_config
+
+
+def _feed(pipe, ds):
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+
+
+@pytest.fixture(scope="module")
+def both_runs():
+    ds = SyntheticDataset(duration=6.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=3)
+    ref = Pipeline(small_config())
+    _feed(ref, ds)
+    outs_ref = ref.spin()
+
+    blk = Pipeline(small_config())
+    _feed(blk, ds)
+    outs_blk = BlockReplayer(blk, block=8).run()
+    return ds, outs_ref, outs_blk
+
+
+def test_block_replay_matches_per_frame(both_runs):
+    ds, outs_ref, outs_blk = both_runs
+    assert len(outs_blk) == len(outs_ref)
+    # trajectories agree to the block-deferred map-slide tolerance
+    pr = np.stack([o.pos for o in outs_ref])
+    pb = np.stack([o.pos for o in outs_blk])
+    # the block path defers the sliding-map deletion to block boundaries
+    # (documented deviation), which perturbs the map contents slightly;
+    # measured divergence stays at a few mm over this 6 s run
+    err = np.linalg.norm(pr - pb, axis=1)
+    assert err.max() < 5e-3, err.max()
+    for a, b in zip(outs_ref, outs_blk):
+        assert a.t == b.t
+        assert abs(a.n_active - b.n_active) <= 0.05 * max(a.n_active, 1) + 10
+
+
+def test_block_replay_tracks_ground_truth(both_runs):
+    ds, outs_ref, outs_blk = both_runs
+    base = ds.traj.base_pos
+    errs = []
+    for o in outs_blk:
+        if o.t < ds.traj.t_static + 0.5:
+            continue
+        _, pos_gt = ds.traj.pose(o.t)
+        errs.append(np.linalg.norm(o.pos - (pos_gt - base)))
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 0.02, ate
+
+
+def test_block_replay_partial_blocks():
+    """A stream whose steady-state frame count is not a multiple of K
+    still processes every frame (tail flush)."""
+    ds = SyntheticDataset(duration=4.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=5)
+    ref = Pipeline(small_config())
+    _feed(ref, ds)
+    n_ref = len(ref.spin())
+    blk = Pipeline(small_config())
+    _feed(blk, ds)
+    n_blk = len(BlockReplayer(blk, block=7).run())
+    assert n_blk == n_ref
