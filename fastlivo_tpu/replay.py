@@ -61,6 +61,11 @@ def lidar_block_step(
     post_bg, post_ba, post_grav, n_active, iters)) with every ys leaf
     shaped (K, ...)."""
 
+    # the carried world-acc/gyro continuation must match propagate's
+    # output dtype (the state dtype) or the scan carry types diverge
+    acc_s_last = acc_s_last.astype(state.pos.dtype)
+    angvel_last = angvel_last.astype(state.pos.dtype)
+
     def step(carry, inp):
         st, mm, acc_s, angv = carry
         (a, g, d, o, pv, td, r0, pts, tr, pm) = inp
