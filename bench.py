@@ -267,9 +267,88 @@ def bench_vio():
     }
 
 
+def bench_block(K=8):
+    """Offline block replay: K chained scan steps per dispatch
+    (replay.lidar_block_step). Opt-in via FASTLIVO_BENCH_BLOCK=1 — the
+    K-frame scan adds a multi-minute remote compile on the relay."""
+    from fastlivo_tpu import imu as imu_mod
+    from fastlivo_tpu.ops import dense_map as dmod
+    from fastlivo_tpu.replay import lidar_block_step
+    from fastlivo_tpu.state import identity_state
+
+    world = build_world(400_000)
+    m = dmod.empty_dense_map((256, 256, 64), 0.5)
+    B = 65536
+    for i in range(0, len(world), B):
+        chunk = np.zeros((B, 3), np.float32)
+        k = min(B, len(world) - i)
+        chunk[:k] = world[i : i + k]
+        mask = np.zeros(B, bool)
+        mask[:k] = True
+        m = dmod.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
+    rng = np.random.default_rng(1)
+    pos0 = np.array([0.0, 0.0, 2.0])
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0), cov_acc=jnp.full(3, 0.01, jnp.float32),
+        cov_gyr=jnp.full(3, 0.001, jnp.float32),
+        cov_bias_acc=jnp.full(3, 1e-5, jnp.float32),
+        cov_bias_gyr=jnp.full(3, 1e-5, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
+    )
+    P = 32
+    s = identity_state()._replace(
+        pos=jnp.asarray(pos0), grav=jnp.asarray([0.0, 0.0, -9.81])
+    )
+    A = np.tile(np.array([0, 0, 9.81], np.float32), (K, P, 1))
+    G = np.zeros((K, P, 3), np.float32)
+    D = np.full((K, P), 0.003, np.float32)
+    O = np.tile((np.arange(P, dtype=np.float32) + 1) * 0.003, (K, 1))
+    V = np.ones((K, P), bool)
+    TD = np.zeros(K, np.float32)
+    R0 = np.zeros(K, np.float32)
+    PTS = np.zeros((K, N_SCAN, 3), np.float32)
+    TR = np.zeros((K, N_SCAN), np.float32)
+    PM = np.ones((K, N_SCAN), bool)
+    for k in range(K):
+        idx = rng.choice(len(world), N_SCAN, replace=False)
+        PTS[k] = world[idx] - pos0 + rng.normal(0, 0.004, (N_SCAN, 3))
+        TR[k] = rng.uniform(0, 0.1, N_SCAN)
+    z3 = jnp.zeros(3, jnp.float32)
+
+    def run():
+        return lidar_block_step(
+            s, m, calib, jnp.asarray(A), jnp.asarray(G), jnp.asarray(D),
+            jnp.asarray(O), jnp.asarray(V), jnp.asarray(TD), jnp.asarray(R0),
+            jnp.asarray(PTS), jnp.asarray(TR), jnp.asarray(PM), z3, z3,
+            jnp.float32(0.5), laser_point_cov=0.001, max_points=N_SCAN,
+            max_iter=MAX_ITER, knn_radius=1, max_probe=8,
+        )
+
+    r = run()
+    jax.block_until_ready(r[0].pos)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        r = run()
+        jax.block_until_ready(r[0].pos)
+        times.append(time.perf_counter() - t0)
+    per_frame = float(np.mean(times)) / K
+    return {"block_K": K, "block_points_per_sec": N_SCAN / per_frame,
+            "block_frame_ms": per_frame * 1e3}
+
+
 def main():
+    import os
+
     lid = bench_lidar()
     vio = bench_vio()
+    blk = None
+    if os.environ.get("FASTLIVO_BENCH_BLOCK"):
+        try:
+            blk = bench_block()
+        except Exception:
+            blk = None
     overhead_ms = measured_dispatch_overhead()
     base = measured_cpp_baseline()
     net_frame_ms = max(lid["frame_ms_mean"] - overhead_ms, 1e-3)
@@ -300,6 +379,10 @@ def main():
                     "lidar": {k: round(v, 2) for k, v in lid.items()},
                     "vio": {k: round(v, 2) for k, v in vio.items()},
                     "vio_pixels_per_sec_net": round(vio_net, 1),
+                    "block": (
+                        {k: round(v, 2) for k, v in blk.items()}
+                        if blk else None
+                    ),
                     "baseline_raw_runs": base["raw_runs"],
                 },
             }
