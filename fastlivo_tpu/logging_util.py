@@ -89,6 +89,33 @@ class TraceLogger:
         vals = list(np.asarray(gyr, np.float64)) + list(np.asarray(acc, np.float64))
         self._imu.write("%.8f " % t + " ".join("%.6f" % v for v in vals) + "\n")
 
+    def log_pos(self, t: float, state):
+        """pos_log.txt row (dump_lio_state_to_log, laserMapping.cpp:
+        226-256: t, SO3-log angle, pos, omega=0, vel, acc=0, bg, ba,
+        gravity — 22 columns; the reference's call site is commented out
+        but the format is part of its Log/ surface)."""
+        if not hasattr(self, "_pos") or self._pos is None:
+            self._pos = open(self.dir / "pos_log.txt", "w")
+        R = np.asarray(state.rot, np.float64)
+        # matrix log (so3): theta * axis
+        cs = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+        th = np.arccos(cs)
+        if th < 1e-9:
+            ang = np.zeros(3)
+        else:
+            w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                          R[1, 0] - R[0, 1]]) / (2.0 * np.sin(th))
+            ang = th * w
+        z = np.zeros(3)
+        row = np.concatenate([
+            ang, np.asarray(state.pos, np.float64), z,
+            np.asarray(state.vel, np.float64), z,
+            np.asarray(state.bg, np.float64),
+            np.asarray(state.ba, np.float64),
+            np.asarray(state.grav, np.float64),
+        ])
+        self._pos.write("%f " % t + " ".join("%f" % v for v in row) + "\n")
+
     def log_camera_pose(self, t: float, rcw: np.ndarray, pcw: np.ndarray):
         """camera_pose.txt row under pose_output_en
         (laserMapping.cpp:1738-1748): scan begin time, then the
@@ -101,7 +128,8 @@ class TraceLogger:
         self._tum.write(" ".join("%.6f" % v for v in vals) + "\n")
 
     def close(self):
-        for f in (self._pre, self._out, self._imu, self._tum):
+        for f in (self._pre, self._out, self._imu, self._tum,
+                  getattr(self, "_pos", None)):
             if f is not None:
                 f.close()
 

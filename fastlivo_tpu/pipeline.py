@@ -417,6 +417,8 @@ class Pipeline:
 
         if self.logger is not None:
             self.logger.log_post(scan.end_time, self.state)
+            self.logger.log_pos(scan.beg_time - (self.first_lidar_time or 0.0),
+                                self.state)
         rot_np = np.asarray(self.state.rot, np.float64)
         pos_np = np.asarray(self.state.pos, np.float64)
         from .io.synthetic import _rot_to_quat
