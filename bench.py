@@ -108,13 +108,23 @@ def build_world(n, seed=0):
     return pts.astype(np.float32)
 
 
-def bench_lidar():
+def bench_lidar(backend="tiled"):
+    """Fused frame step against the given map backend. The headline run
+    uses "tiled" — the SHIPPED DEFAULT (config.CapacityConfig) — so the
+    recorded number measures the path a stock config takes; "dense" (the
+    fastest, bounded-extent backend) is reported as a detail field."""
     from fastlivo_tpu import imu as imu_mod
     from fastlivo_tpu.frame_step import lidar_frame_step
-    from fastlivo_tpu.ops import dense_map as dmod
 
     world = build_world(400_000)
-    m = dmod.empty_dense_map((256, 256, 64), 0.5)
+    if backend == "dense":
+        from fastlivo_tpu.ops import dense_map as mod
+
+        m = mod.empty_dense_map((256, 256, 64), 0.5)
+    else:
+        from fastlivo_tpu.ops import tiled_map as mod
+
+        m = mod.empty_tiled_map((128, 128, 64), 4096, 0.5)
     B = 65536
     for i in range(0, len(world), B):
         chunk = np.zeros((B, 3), np.float32)
@@ -122,7 +132,7 @@ def bench_lidar():
         chunk[:k] = world[i : i + k]
         mask = np.zeros(B, bool)
         mask[:k] = True
-        m = dmod.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
+        m = mod.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
 
     rng = np.random.default_rng(1)
     idx = rng.choice(len(world), N_SCAN, replace=False)
@@ -341,7 +351,8 @@ def bench_block(K=8):
 def main():
     import os
 
-    lid = bench_lidar()
+    lid = bench_lidar("tiled")  # the shipped default backend
+    lid_dense = bench_lidar("dense")
     vio = bench_vio()
     blk = None
     if os.environ.get("FASTLIVO_BENCH_BLOCK"):
@@ -375,8 +386,17 @@ def main():
                 "dispatch_overhead_ms": round(overhead_ms, 3),
                 "points_per_sec_net": round(net_pts, 1),
                 "vs_baseline_net": round(net_pts / base["points_per_sec"], 2),
+                "dense_points_per_sec": round(lid_dense["points_per_sec"], 1),
+                "dense_vs_baseline": round(
+                    lid_dense["points_per_sec"] / base["points_per_sec"], 2
+                ),
                 "detail": {
-                    "lidar": {k: round(v, 2) for k, v in lid.items()},
+                    "lidar_tiled_default": {
+                        k: round(v, 2) for k, v in lid.items()
+                    },
+                    "lidar_dense": {
+                        k: round(v, 2) for k, v in lid_dense.items()
+                    },
                     "vio": {k: round(v, 2) for k, v in vio.items()},
                     "vio_pixels_per_sec_net": round(vio_net, 1),
                     "block": (

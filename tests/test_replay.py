@@ -72,3 +72,33 @@ def test_block_replay_partial_blocks():
     _feed(blk, ds)
     n_blk = len(BlockReplayer(blk, block=7).run())
     assert n_blk == n_ref
+
+
+def test_pipeline_rebuild_trigger_fires():
+    """With a deliberately tiny tiled pool, a moving trajectory must
+    cross the load-factor threshold and compact in-pipeline (the
+    Criterion_Check role, ikd_Tree.cpp:1018-1035)."""
+    import dataclasses
+
+    import fastlivo_tpu.pipeline as pl
+
+    cfg = small_config()
+    cfg.capacity = dataclasses.replace(
+        cfg.capacity, map_backend="tiled",
+        tiled_dir_dims=(32, 32, 16), tiled_pool=48,
+    )
+    ds = SyntheticDataset(duration=6.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=3)
+    pipe = Pipeline(cfg)
+    # force frequent load-factor checks for the test
+    old = pl.REBUILD_CHECK_EVERY
+    pl.REBUILD_CHECK_EVERY = 2
+    try:
+        _feed(pipe, ds)
+        outs = pipe.spin()
+    finally:
+        pl.REBUILD_CHECK_EVERY = old
+    assert len(outs) > 20
+    # pool stayed within capacity (compaction kept it alive) and the
+    # pipeline kept tracking
+    assert int(pipe.map.n_alloc) <= 48
