@@ -74,9 +74,10 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
         topics.add(cfg.img_topic)
     replayer = None
     if block:
-        from .replay import BlockReplayer
+        from .replay import BlockReplayer, LivoBlockReplayer
 
-        replayer = BlockReplayer(pipe, block)
+        replayer = (LivoBlockReplayer(pipe, block) if cfg.img_enable
+                    else BlockReplayer(pipe, block))
     n_frames = 0
     for topic, mtype, stamp, msg in read_bag(bag_path, topics):
         if topic == cfg.imu_topic:
@@ -125,9 +126,11 @@ def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool,
     for t, img in ds.images():
         pipe.push_img(t, img)
     if block:
-        from .replay import BlockReplayer
+        from .replay import BlockReplayer, LivoBlockReplayer
 
-        outs = BlockReplayer(pipe, block).run()
+        rep = (LivoBlockReplayer(pipe, block) if pipe.cfg.img_enable
+               else BlockReplayer(pipe, block))
+        outs = rep.run()
     else:
         outs = pipe.spin()
     return len(outs), ds
@@ -176,8 +179,8 @@ def main(argv=None):
     ap.add_argument("--no-img", action="store_true", help="force LIO-only")
     ap.add_argument(
         "--block", type=int, default=0,
-        help="offline LIO replay in N-frame blocks (one device dispatch "
-        "per N frames; amortizes per-dispatch overhead; LIO-only)",
+        help="offline replay in N-event blocks (one device dispatch per N "
+        "events; amortizes per-dispatch overhead; LIO and full LIVO)",
     )
     ap.add_argument(
         "--profile-every", type=int, default=0,
@@ -194,8 +197,6 @@ def main(argv=None):
     pipe = Pipeline(cfg, log_dir=args.log_dir)
     pipe.profile_every = args.profile_every
 
-    if args.block and cfg.img_enable:
-        ap.error("--block is LIO-only; combine with --no-img")
     t0 = time.perf_counter()
     if args.bag:
         n = run_bag(pipe, args.bag, args.max_frames, args.block)

@@ -102,3 +102,49 @@ def test_pipeline_rebuild_trigger_fires():
     # pool stayed within capacity (compaction kept it alive) and the
     # pipeline kept tracking
     assert int(pipe.map.n_alloc) <= 48
+
+
+def test_livo_block_replay_matches_per_frame():
+    """Full-LIVO event blocks (lidar + camera interleaved) vs the
+    per-frame pipeline: same frame count, trajectories within the
+    block-deferred-map-slide tolerance."""
+    from fastlivo_tpu.replay import LivoBlockReplayer
+    from test_pipeline_livo import RCL, W, H, F, livo_config
+
+    def make():
+        ds = SyntheticDataset(
+            duration=5.0, points_per_scan=4096, lidar_noise=0.004, seed=5,
+            cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL,
+        )
+        pipe = Pipeline(livo_config())
+        for beg, pts, t_rel in ds.lidar_scans_fast():
+            pipe.push_lidar(beg, pts, t_rel)
+        for t, acc, gyr in ds.imu_stream():
+            pipe.push_imu(t, acc, gyr)
+        for t, img in ds.images():
+            pipe.push_img(t, img)
+        return ds, pipe
+
+    ds, ref = make()
+    outs_ref = ref.spin()
+    _, blk = make()
+    outs_blk = LivoBlockReplayer(blk, block=8).run()
+
+    assert len(outs_blk) == len(outs_ref)
+    pr = np.stack([o.pos for o in outs_ref])
+    pb = np.stack([o.pos for o in outs_blk])
+    err = np.linalg.norm(pr - pb, axis=1)
+    assert err.max() < 1e-2, err.max()
+    # visual map grew comparably
+    nf, ns = int(blk.vio.vmap.n_pts), int(ref.vio.vmap.n_pts)
+    assert abs(nf - ns) <= max(10, 0.1 * ns), (nf, ns)
+    # ATE vs ground truth stays LIVO-grade
+    base = ds.traj.base_pos
+    errs = []
+    for o in outs_blk:
+        if o.t < ds.traj.t_static + 0.5:
+            continue
+        _, pos_gt = ds.traj.pose(o.t)
+        errs.append(np.linalg.norm(o.pos - (pos_gt - base)))
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 0.06, ate
