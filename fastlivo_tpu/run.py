@@ -183,6 +183,14 @@ def main(argv=None):
         "events; amortizes per-dispatch overhead; LIO and full LIVO)",
     )
     ap.add_argument(
+        "--save-ckpt", default=None,
+        help="write state+map(+visual map) npz at exit for warm restart",
+    )
+    ap.add_argument(
+        "--load-ckpt", default=None,
+        help="restore state+map(+visual map) before replay",
+    )
+    ap.add_argument(
         "--profile-every", type=int, default=0,
         help="every N frames, also dispatch the LIO stages separately to "
         "record a per-stage timing breakdown (laserMapping.cpp:1805)",
@@ -196,6 +204,15 @@ def main(argv=None):
         cfg.pcd_save_en = True
     pipe = Pipeline(cfg, log_dir=args.log_dir)
     pipe.profile_every = args.profile_every
+    if args.load_ckpt:
+        from .io import checkpoint as ckpt_mod
+
+        st, m, vm_ = ckpt_mod.load(args.load_ckpt)
+        pipe.state = st
+        pipe.map = m
+        pipe.map_built = True
+        if vm_ is not None and pipe.vio is not None:
+            pipe.vio.vmap = vm_
 
     t0 = time.perf_counter()
     if args.bag:
@@ -229,6 +246,14 @@ def main(argv=None):
         + " ".join(f"{k}={v:.1f}ms" for k, v in tm.items())
     )
     print(f"trajectory: {args.out} ({len(traj)} poses)")
+    if args.save_ckpt:
+        from .io import checkpoint as ckpt_mod
+
+        ckpt_mod.save(
+            args.save_ckpt, pipe.state, pipe.map,
+            pipe.vio.vmap if pipe.vio is not None else None,
+        )
+        print(f"checkpoint: {args.save_ckpt}")
     if pipe.last_stage_profile:
         print(
             "stage profile (ms): "
