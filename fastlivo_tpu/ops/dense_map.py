@@ -147,3 +147,10 @@ def delete_boxes(m: DenseMap, boxes_lo: jnp.ndarray, boxes_hi: jnp.ndarray) -> D
         m.voxel_size,
         m.log2_dims,
     )
+
+
+def extract_points(m: DenseMap):
+    """(pts (L, 3), count) — all live map points (map export surface)."""
+    occ = np.asarray(m.check) != int(EMPTY_CHECK)
+    pts = np.asarray(m.pts)[occ]
+    return pts, len(pts)

@@ -275,3 +275,19 @@ def compact(m: TiledMap) -> TiledMap:
 def load_factor(m: TiledMap) -> float:
     """Fraction of the pool allocated — the compaction trigger input."""
     return float(m.n_alloc) / m.slot_key.shape[0]
+
+
+def extract_points(m: TiledMap):
+    """(pts (L, 3), count) — all live map points, host-side (for map
+    export / debugging; the PCD surface of laserMapping.cpp:1839-1855)."""
+    import numpy as np
+
+    T = m.slot_key.shape[0]
+    slot_chk = np.asarray(
+        (_mix64(m.slot_key) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    )
+    cc = np.asarray(m.cell_check).reshape(T, TC)
+    alloc = np.arange(T) < int(m.n_alloc)
+    live = (cc == slot_chk[:, None]) & alloc[:, None]
+    pts = np.asarray(m.pts).reshape(T, TC, 3)[live]
+    return pts, len(pts)

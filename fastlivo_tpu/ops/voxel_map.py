@@ -273,3 +273,10 @@ def rebuild(m: VoxelMap) -> VoxelMap:
     # deeper probe budget than the per-frame insert: rebuild runs rarely
     # and must not drop entries even at high load factors
     return insert(fresh, m.pts, occupied, max_probe=32)
+
+
+def extract_points(m: VoxelMap):
+    """(pts (L, 3), count) — all live map points (map export surface)."""
+    occ = np.asarray(m.check) != int(EMPTY_CHECK)
+    pts = np.asarray(m.pts)[occ]
+    return pts, len(pts)

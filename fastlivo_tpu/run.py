@@ -183,6 +183,10 @@ def main(argv=None):
         "events; amortizes per-dispatch overhead; LIO and full LIVO)",
     )
     ap.add_argument(
+        "--map-pcd", default=None,
+        help="export the live map's points to a PCD at exit",
+    )
+    ap.add_argument(
         "--save-ckpt", default=None,
         help="write state+map(+visual map) npz at exit for warm restart",
     )
@@ -246,6 +250,10 @@ def main(argv=None):
         + " ".join(f"{k}={v:.1f}ms" for k, v in tm.items())
     )
     print(f"trajectory: {args.out} ({len(traj)} poses)")
+    if args.map_pcd:
+        pts_live, n_live = pipe._map_mod.extract_points(pipe.map)
+        save_pcd(args.map_pcd, pts_live)
+        print(f"map pcd: {args.map_pcd} ({n_live} points)")
     if args.save_ckpt:
         from .io import checkpoint as ckpt_mod
 
