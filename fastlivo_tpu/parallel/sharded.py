@@ -13,10 +13,11 @@ The TPU-native scaling axis is data parallelism over measurement rows:
   - every device runs the identical (tiny, replicated) 18x18 solve, so
     the iterated-EKF control flow stays lockstep without broadcasts.
 
-Insertion keeps the map replicated: world points are computed shard-
-local, all-gathered, and each device applies the identical batched
-scatter. (Voxel-block map sharding with halo exchange is the planned
-follow-up for maps that outgrow one chip's HBM.)
+Insertion here keeps the map replicated: world points are computed
+shard-local, all-gathered, and each device applies the identical
+batched scatter — the right trade below ~1 GB of map. For maps that
+outgrow one chip's HBM, `parallel/sharded_map.py` block-partitions the
+tiled map across the mesh (slab ownership + per-scan halo exchange).
 """
 from __future__ import annotations
 
