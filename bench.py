@@ -22,9 +22,18 @@ ops/voxel_map.py); the fused single-dispatch-per-frame design bounds
 that cost at one per frame.
 """
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    """Stage timestamps on stderr (the JSON contract is stdout-only)."""
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 import fastlivo_tpu  # noqa: F401
 import jax
@@ -121,18 +130,20 @@ def bench_lidar(backend="tiled"):
         from fastlivo_tpu.ops import dense_map as mod
 
         m = mod.empty_dense_map((256, 256, 64), 0.5)
+        B = 65536
+        for i in range(0, len(world), B):
+            chunk = np.zeros((B, 3), np.float32)
+            k = min(B, len(world) - i)
+            chunk[:k] = world[i : i + k]
+            mask = np.zeros(B, bool)
+            mask[:k] = True
+            m = mod.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
     else:
         from fastlivo_tpu.ops import tiled_map as mod
 
-        m = mod.empty_tiled_map((128, 128, 64), 4096, 0.5)
-    B = 65536
-    for i in range(0, len(world), B):
-        chunk = np.zeros((B, 3), np.float32)
-        k = min(B, len(world) - i)
-        chunk[:k] = world[i : i + k]
-        mask = np.zeros(B, bool)
-        mask[:k] = True
-        m = mod.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
+        # host-side bulk build: the standalone insert executable would be
+        # pure compile overhead (frame_step fuses its own insert)
+        m = mod.build_host(world, (128, 128, 64), 4096, 0.5)
 
     rng = np.random.default_rng(1)
     idx = rng.choice(len(world), N_SCAN, replace=False)
@@ -169,8 +180,10 @@ def bench_lidar(backend="tiled"):
             knn_radius=1, max_probe=8, dense_out=False,
         )
 
+    _progress("map built; frame-step compile start")
     res = run()
     jax.block_until_ready(res)  # compile + warmup
+    _progress("frame-step compiled")
 
     times = []
     for _ in range(REPS):
@@ -351,7 +364,9 @@ def bench_block(K=8):
 def main():
     import os
 
+    _progress("lidar (tiled) start")
     lid = bench_lidar("tiled")  # the shipped default backend
+    _progress("lidar done")
     lid_dense = None
     if os.environ.get("FASTLIVO_BENCH_DENSE"):
         # optional second backend; each extra backend costs two remote
@@ -361,10 +376,12 @@ def main():
             lid_dense = bench_lidar("dense")
         except Exception:
             lid_dense = None
+    _progress("vio start")
     try:
         vio = bench_vio()
     except Exception:
         vio = None
+    _progress("vio done")
     blk = None
     if os.environ.get("FASTLIVO_BENCH_BLOCK"):
         try:
@@ -372,7 +389,9 @@ def main():
         except Exception:
             blk = None
     overhead_ms = measured_dispatch_overhead()
+    _progress("overhead done; baseline start")
     base = measured_cpp_baseline()
+    _progress("baseline done")
     net_frame_ms = max(lid["frame_ms_mean"] - overhead_ms, 1e-3)
     net_pts = N_SCAN / (net_frame_ms * 1e-3)
     out = {

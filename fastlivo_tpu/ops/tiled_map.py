@@ -291,3 +291,78 @@ def extract_points(m: TiledMap):
     live = (cc == slot_chk[:, None]) & alloc[:, None]
     pts = np.asarray(m.pts).reshape(T, TC, 3)[live]
     return pts, len(pts)
+
+
+def build_host(pts: np.ndarray, dims=(128, 128, 64), pool_tiles=16384,
+               voxel_size=0.5) -> TiledMap:
+    """Bulk map construction on the HOST (numpy), exactly matching a
+    sequence of device `insert` calls in final content (the same
+    nearest-to-center-per-voxel rule; allocation order follows first
+    appearance, like chunked inserts of the same stream).
+
+    Exists because the standalone insert executable is pure compile
+    overhead in bootstrap paths (frame_step/lio carry their own fused
+    insert); building host-side uploads finished arrays instead.
+    Equality-tested against device inserts in tests/test_tiled_map.py."""
+    for d in dims:
+        assert d & (d - 1) == 0
+    pts = np.asarray(pts, np.float32)
+    vs = np.float32(voxel_size)
+    keys = np.floor(pts / vs).astype(np.int32)
+    center = (keys.astype(np.float32) + 0.5) * vs
+    d2c = np.sum((pts - center) ** 2, axis=1)
+
+    tkey = keys >> 3
+    cofs = ((keys[:, 0] & 7) << 6) | ((keys[:, 1] & 7) << 3) | (keys[:, 2] & 7)
+    l2 = [int(np.log2(d)) for d in dims]
+    kx = tkey[:, 0] & ((1 << l2[0]) - 1)
+    ky = tkey[:, 1] & ((1 << l2[1]) - 1)
+    kz = tkey[:, 2] & ((1 << l2[2]) - 1)
+    dir_idx = ((kx.astype(np.int64) << (l2[1] + l2[2]))
+               | (ky.astype(np.int64) << l2[2]) | kz.astype(np.int64))
+    chk = np.asarray(
+        (_mix64(jnp.asarray(tkey)) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    )
+
+    D = dims[0] * dims[1] * dims[2]
+    T = pool_tiles
+    dir_check = np.full(D, int(EMPTY_CHECK), np.int32)
+    dir_slot = np.zeros(D, np.int32)
+    cell_check = np.full(T * TC, int(EMPTY_CHECK), np.int32)
+    pool_pts = np.zeros((T * TC, 3), np.float32)
+    slot_key = np.zeros((T, 3), np.int32)
+    best = {}
+    n_alloc = 0
+    dropped = 0
+    for i in range(len(pts)):
+        di = int(dir_idx[i])
+        if dir_check[di] != chk[i]:
+            if dir_check[di] == int(EMPTY_CHECK):
+                if n_alloc >= T:
+                    dropped += 1
+                    continue
+                s = n_alloc
+                n_alloc += 1
+            else:
+                s = int(dir_slot[di])  # aliased: reuse (stale cells die)
+            dir_check[di] = chk[i]
+            dir_slot[di] = s
+            slot_key[s] = tkey[i]
+        s = int(dir_slot[di])
+        pidx = s * TC + int(cofs[i])
+        cur = best.get(pidx)
+        if cur is None or cell_check[pidx] != chk[i] or d2c[i] < cur:
+            best[pidx] = float(d2c[i])
+            cell_check[pidx] = chk[i]
+            pool_pts[pidx] = pts[i]
+    return TiledMap(
+        dir_check=jnp.asarray(dir_check),
+        dir_slot=jnp.asarray(dir_slot),
+        cell_check=jnp.asarray(cell_check),
+        pts=jnp.asarray(pool_pts),
+        slot_key=jnp.asarray(slot_key),
+        n_alloc=jnp.int32(n_alloc),
+        n_dropped=jnp.int32(dropped),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32),
+        log2_dims=jnp.asarray(l2, jnp.int32),
+    )

@@ -189,3 +189,17 @@ def test_lio_update_with_tiled_backend():
     )
     assert np.linalg.norm(np.asarray(res.state.pos) - pos_t) < 2e-2
     assert int(res.n_active) > 1500
+
+
+def test_build_host_matches_device_inserts():
+    """Host-side bulk build must answer kNN identically to chunked
+    device inserts of the same stream."""
+    pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
+    md = _insert(tm.empty_tiled_map(DIMS, POOL, 0.5), pts)
+    mh = tm.build_host(pts, DIMS, POOL, 0.5)
+    q = jnp.asarray(pts[:512] + 0.03)
+    nd_, dd, vd = tm.knn(md, q, 5, 1)
+    nh_, dh, vh = tm.knn(mh, q, 5, 1)
+    np.testing.assert_array_equal(np.asarray(vd), np.asarray(vh))
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(dh), atol=1e-6)
+    assert int(mh.n_alloc) == int(md.n_alloc)
