@@ -295,10 +295,10 @@ def extract_points(m: TiledMap):
 
 def build_host(pts: np.ndarray, dims=(128, 128, 64), pool_tiles=16384,
                voxel_size=0.5) -> TiledMap:
-    """Bulk map construction on the HOST (numpy), exactly matching a
-    sequence of device `insert` calls in final content (the same
-    nearest-to-center-per-voxel rule; allocation order follows first
-    appearance, like chunked inserts of the same stream).
+    """Bulk map construction on the HOST (vectorized numpy), matching a
+    sequence of device `insert` calls in final content: one point per
+    voxel (nearest the voxel center), tiles allocated in first-
+    appearance order, directory-aliased tiles resolved last-writer-wins.
 
     Exists because the standalone insert executable is pure compile
     overhead in bootstrap paths (frame_step/lio carry their own fused
@@ -326,35 +326,56 @@ def build_host(pts: np.ndarray, dims=(128, 128, 64), pool_tiles=16384,
 
     D = dims[0] * dims[1] * dims[2]
     T = pool_tiles
+
+    # --- directory: last-writer-wins per aliased dir_idx ----------------
+    # unique TILES in first-appearance order (stream semantics)
+    tile_id = (dir_idx << 31) | chk.astype(np.int64)  # tile identity
+    _, first_pos = np.unique(tile_id, return_index=True)
+    first_pos.sort()
+    tiles_di = dir_idx[first_pos]
+    tiles_chk = chk[first_pos]
+    tiles_key = tkey[first_pos]
+    # aliased dir cells: the LAST tile (by appearance) owns the cell
+    owner_of_di = {}
+    for j in range(len(first_pos)):  # loop over unique tiles only (small)
+        owner_of_di[int(tiles_di[j])] = j
+    owner = np.array([owner_of_di[int(d_)] for d_ in tiles_di], np.int64)
+    is_owner = owner == np.arange(len(tiles_di))
+    # allocate slots in first-appearance order; aliased non-owners still
+    # consumed a slot in the sequential semantics only if they appeared
+    # before the evictor — for bulk build we allocate for OWNERS only
+    # (content-equivalent: evicted tiles hold no live cells)
+    own_idx = np.nonzero(is_owner)[0]
+    if len(own_idx) > T:
+        own_idx = own_idx[:T]
+    n_alloc = len(own_idx)
+    slot_of_tile = np.full(len(tiles_di), -1, np.int64)
+    slot_of_tile[own_idx] = np.arange(n_alloc)
+
     dir_check = np.full(D, int(EMPTY_CHECK), np.int32)
     dir_slot = np.zeros(D, np.int32)
+    dir_check[tiles_di[own_idx]] = tiles_chk[own_idx]
+    dir_slot[tiles_di[own_idx]] = np.arange(n_alloc, dtype=np.int32)
+    slot_key = np.zeros((T, 3), np.int32)
+    slot_key[:n_alloc] = tiles_key[own_idx]
+
+    # --- cells: nearest-to-center per voxel among owner-tile points -----
+    ok = dir_check[dir_idx] == chk  # points whose tile survived
+    slot = dir_slot[dir_idx].astype(np.int64)
+    pool_idx = slot * TC + cofs
+    order = np.lexsort((d2c, np.where(ok, pool_idx, -1)))
+    ps = pool_idx[order]
+    oks = ok[order]
+    headm = np.ones(len(ps), bool)
+    headm[1:] = ps[1:] != ps[:-1]
+    win = headm & oks
+    widx = ps[win]
     cell_check = np.full(T * TC, int(EMPTY_CHECK), np.int32)
     pool_pts = np.zeros((T * TC, 3), np.float32)
-    slot_key = np.zeros((T, 3), np.int32)
-    best = {}
-    n_alloc = 0
-    dropped = 0
-    for i in range(len(pts)):
-        di = int(dir_idx[i])
-        if dir_check[di] != chk[i]:
-            if dir_check[di] == int(EMPTY_CHECK):
-                if n_alloc >= T:
-                    dropped += 1
-                    continue
-                s = n_alloc
-                n_alloc += 1
-            else:
-                s = int(dir_slot[di])  # aliased: reuse (stale cells die)
-            dir_check[di] = chk[i]
-            dir_slot[di] = s
-            slot_key[s] = tkey[i]
-        s = int(dir_slot[di])
-        pidx = s * TC + int(cofs[i])
-        cur = best.get(pidx)
-        if cur is None or cell_check[pidx] != chk[i] or d2c[i] < cur:
-            best[pidx] = float(d2c[i])
-            cell_check[pidx] = chk[i]
-            pool_pts[pidx] = pts[i]
+    cell_check[widx] = chk[order][win]
+    pool_pts[widx] = pts[order][win]
+    dropped = int(np.sum(~ok))
+
     return TiledMap(
         dir_check=jnp.asarray(dir_check),
         dir_slot=jnp.asarray(dir_slot),
