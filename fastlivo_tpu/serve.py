@@ -1,0 +1,182 @@
+"""Online serving mode: a socket transport feeding the pipeline live.
+
+The reference runs as a live ROS node (laserMapping.cpp:1139: TCPROS
+subscriptions -> callbacks -> buffers -> the processing loop). This is
+the TPU build's equivalent transport layer: a length-prefixed binary
+protocol over a Unix or TCP socket, decoded into the same
+`Pipeline.push_*` callbacks, with odometry streamed back per frame —
+so a robot-side client replaces rosbag replay with zero pipeline
+changes.
+
+Wire format (little-endian), one message per frame:
+    u32 total_len | u8 kind | payload
+  kind 0 IMU:   f64 stamp | f32[3] acc | f32[3] gyr
+  kind 1 LIDAR: f64 stamp | u32 n | f32[n,3] xyz | f32[n] t_rel
+  kind 2 IMAGE: f64 stamp | u16 h | u16 w | u8 ch | u8[h,w,ch] (BGR/gray)
+  kind 3 FLUSH: (empty) — force processing of everything buffered
+
+Responses (server -> client), one JSON line per lidar frame:
+    {"t": ..., "pos": [x,y,z], "quat": [w,x,y,z], "n_active": N}
+"""
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+
+import numpy as np
+
+from .config import Config
+from .pipeline import Pipeline
+
+IMU, LIDAR, IMAGE, FLUSH = 0, 1, 2, 3
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def encode_imu(stamp: float, acc, gyr) -> bytes:
+    payload = struct.pack("<Bd", IMU, stamp)
+    payload += np.asarray(acc, np.float32).tobytes()
+    payload += np.asarray(gyr, np.float32).tobytes()
+    return struct.pack("<I", len(payload)) + payload
+
+
+def encode_lidar(stamp: float, pts, t_rel) -> bytes:
+    pts = np.ascontiguousarray(pts, np.float32)
+    t_rel = np.ascontiguousarray(t_rel, np.float32)
+    payload = struct.pack("<BdI", LIDAR, stamp, len(pts))
+    payload += pts.tobytes() + t_rel.tobytes()
+    return struct.pack("<I", len(payload)) + payload
+
+
+def encode_image(stamp: float, img) -> bytes:
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    payload = struct.pack("<BdHHB", IMAGE, stamp, h, w, ch) + img.tobytes()
+    return struct.pack("<I", len(payload)) + payload
+
+
+def encode_flush() -> bytes:
+    return struct.pack("<I", 1) + struct.pack("<B", FLUSH)
+
+
+class Server:
+    """Single-client server driving one Pipeline instance.
+
+    The socket reader is the 'ROS callback thread'; processing happens
+    inline after each message batch (the reference's spinOnce +
+    sync_packages cadence, laserMapping.cpp:1260-1267)."""
+
+    def __init__(self, cfg: Config, address, log_dir=None):
+        self.pipe = Pipeline(cfg, log_dir=log_dir)
+        if isinstance(address, tuple):
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        else:
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self.sock.bind(address)
+        self.sock.listen(1)
+        self.address = self.sock.getsockname()
+        self._thread = None
+        self._done = threading.Event()
+
+    def serve_forever(self):
+        conn, _ = self.sock.accept()
+        try:
+            self._serve_conn(conn)
+        finally:
+            conn.close()
+            self.sock.close()
+            self._done.set()
+
+    def start_background(self):
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def wait(self, timeout=None):
+        self._done.wait(timeout)
+
+    def _serve_conn(self, conn: socket.socket):
+        pipe = self.pipe
+        while True:
+            hdr = _recv_exact(conn, 4)
+            if hdr is None:
+                break
+            (n,) = struct.unpack("<I", hdr)
+            payload = _recv_exact(conn, n)
+            if payload is None:
+                break
+            kind = payload[0]
+            if kind == IMU:
+                (stamp,) = struct.unpack_from("<d", payload, 1)
+                acc = np.frombuffer(payload, np.float32, 3, 9)
+                gyr = np.frombuffer(payload, np.float32, 3, 21)
+                pipe.push_imu(stamp, acc, gyr)
+            elif kind == LIDAR:
+                stamp, cnt = struct.unpack_from("<dI", payload, 1)
+                off = 1 + 8 + 4
+                pts = np.frombuffer(payload, np.float32, cnt * 3, off)
+                pts = pts.reshape(cnt, 3)
+                t_rel = np.frombuffer(
+                    payload, np.float32, cnt, off + cnt * 12
+                ).astype(np.float64)
+                pipe.push_lidar(stamp, pts, t_rel)
+            elif kind == IMAGE:
+                stamp, h, w, ch = struct.unpack_from("<dHHB", payload, 1)
+                img = np.frombuffer(payload, np.uint8, h * w * ch, 14)
+                img = img.reshape(h, w, ch)
+                if ch == 1:
+                    img = img[..., 0]
+                pipe.push_img(stamp, img)
+            elif kind == FLUSH:
+                pass
+            for out in pipe.spin():
+                line = json.dumps({
+                    "t": out.t,
+                    "pos": [float(v) for v in out.pos],
+                    "quat": [float(v) for v in out.quat],
+                    "n_active": out.n_active,
+                }) + "\n"
+                conn.sendall(line.encode())
+            if kind == FLUSH:
+                conn.sendall(b'{"flushed": true}\n')
+
+
+def main(argv=None):
+    import argparse
+
+    from .config import load_config
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--camera", default=None)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--unix", default=None, help="unix socket path")
+    ap.add_argument("--log-dir", default=None)
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config, args.camera)
+    if args.camera is None:
+        cfg.img_enable = False
+    addr = args.unix if args.unix else ("127.0.0.1", args.port)
+    srv = Server(cfg, addr, log_dir=args.log_dir)
+    print(f"listening on {srv.address}", flush=True)
+    srv.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
