@@ -274,3 +274,53 @@ def test_cached_knn_matches_full_research():
         np.asarray(cached.state.rot), np.asarray(full.state.rot), atol=5e-4
     )
     assert abs(int(cached.n_active) - int(full.n_active)) <= 0.05 * int(full.n_active) + 20
+
+
+def test_degenerate_corridor_stays_prior_anchored():
+    """In an infinite corridor (two parallel walls + floor), translation
+    along the corridor axis is unobservable. The prior-anchored gain
+    form (solution = K Htz + vec - G vec[:6], laserMapping.cpp:1663-1683)
+    must leave the unobservable component at the prior and keep its
+    covariance ~uncontracted, while still correcting the observable
+    axes."""
+    step = 0.1
+    xs = np.arange(-8.0, 8.0, step, dtype=np.float32)
+    zs = np.arange(0.0, 3.0, step, dtype=np.float32)
+    ys2 = np.arange(-2.0, 2.0, step, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    walls = [
+        np.stack([gx.ravel(), np.full(gx.size, -2.0, np.float32), gz.ravel()], 1),
+        np.stack([gx.ravel(), np.full(gx.size, 2.0, np.float32), gz.ravel()], 1),
+    ]
+    gx2, gy2 = np.meshgrid(xs, ys2, indexing="ij")
+    walls.append(np.stack([gx2.ravel(), gy2.ravel(),
+                           np.zeros(gx2.size, np.float32)], 1))
+    world = np.concatenate(walls)
+    m = build_map(world, voxel=0.3, table=1 << 16)
+
+    rng = np.random.default_rng(0)
+    # true pose: origin; prior offset along x (unobservable) AND y/z
+    # (observable)
+    prior_off = np.array([0.3, 0.04, -0.03])
+    scan = scan_from_pose(world, np.eye(3), np.zeros(3), n=4096, rng=rng,
+                          noise=0.003)
+    s = identity_state()._replace(pos=jnp.asarray(prior_off))
+    res = lio.lio_update(
+        s, m, jnp.asarray(scan), jnp.ones(len(scan), bool),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        laser_point_cov=0.001, max_iter=6, knn_radius=1,
+    )
+    pos = np.asarray(res.state.pos)
+    # observable axes corrected toward truth (scan says offset is wrong)
+    assert abs(pos[1]) < 0.03, pos
+    assert abs(pos[2]) < 0.03, pos
+    # the unobservable x error is NOT corrected (stays at the prior's
+    # scale; finite-wall edge effects allow a small drift, never a
+    # convergence toward truth)
+    assert abs(pos[0]) > 0.15, pos
+    cov = np.asarray(res.state.cov)
+    # x-variance barely contracts; y/z contract strongly
+    prior_var = float(np.asarray(identity_state().cov)[3, 3])
+    assert cov[3, 3] > 0.5 * prior_var, cov[3, 3]
+    assert cov[4, 4] < 0.1 * prior_var
+    assert cov[5, 5] < 0.1 * prior_var
