@@ -100,7 +100,7 @@ def _boxminus_vec(prior: NavState, rot, pos, vel, bg, ba, grav):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "knn_radius", "max_probe", "axis_name",
-                     "cache_knn"),
+                     "cache_knn", "mixed_gain"),
 )
 def lio_update(
     state: NavState,  # propagated prior (its cov is the prior covariance)
@@ -115,6 +115,7 @@ def lio_update(
     max_probe: int = 12,
     axis_name: str | None = None,
     cache_knn: bool = False,
+    mixed_gain: bool = False,
 ) -> LioResult:
     """One scan's iterated point-to-plane EKF update (laserMapping.cpp:1506-1732).
 
@@ -203,7 +204,9 @@ def lio_update(
         # double-precision solve) via the exact 6x6 reduction
         f64 = jnp.float64
         P = prior.cov.astype(f64) / jnp.asarray(laser_point_cov, f64)
-        K16 = linalg_ops.kalman_gain6(P, HTH6.astype(f64))  # (18,6)
+        gain = (linalg_ops.kalman_gain6_mixed if mixed_gain
+                else linalg_ops.kalman_gain6)
+        K16 = gain(P, HTH6.astype(f64))  # (18,6)
         G_new = K16 @ HTH6.astype(f64)  # (18,6)
         vec = _boxminus_vec(prior, rot, pos, vel, bg, ba, grav)
         sol = K16 @ HTz.astype(f64) + vec - G_new @ vec[0:6]

@@ -63,3 +63,24 @@ def kalman_gain6(P: jnp.ndarray, HTH6: jnp.ndarray) -> jnp.ndarray:
     """
     A = HTH6 @ P[0:6, 0:6] + jnp.eye(6, dtype=P.dtype)
     return gj_solve(A.T, P[:, 0:6].T).T
+
+
+def kalman_gain6_mixed(P: jnp.ndarray, HTH6: jnp.ndarray) -> jnp.ndarray:
+    """`kalman_gain6` with the solve in f32 plus ONE f64 iterative-
+    refinement step (opt-in; see lio_update(mixed_gain=True)).
+
+    TPU f64 is software-emulated, so the 6-step f64 Gauss-Jordan is the
+    latency item in every EKF iteration. Solving in f32 and refining
+    once in f64 (r = B - S X; X += S^-1 r) recovers ~full f64 accuracy
+    for the well-conditioned S = HtH P' + I systems the filter produces
+    (kappa ~ 1e2-1e4): the refined residual shrinks by the f32 backward
+    error (~1e-7 kappa) twice over. Equivalence bounds are asserted in
+    tests/test_linalg.py."""
+    f64 = P.dtype
+    S = (HTH6 @ P[0:6, 0:6] + jnp.eye(6, dtype=f64)).T  # (6,6)
+    B = P[:, 0:6].T  # (6,18)
+    S32 = S.astype(jnp.float32)
+    X = gj_solve(S32, B.astype(jnp.float32)).astype(f64)
+    r = B - S @ X
+    dX = gj_solve(S32, r.astype(jnp.float32)).astype(f64)
+    return (X + dX).T

@@ -324,7 +324,8 @@ def select_new_points(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch_size", "level", "max_iter", "axis_name"),
+    static_argnames=("patch_size", "level", "max_iter", "axis_name",
+                     "mixed_gain"),
 )
 def photometric_update(
     state: NavState,
@@ -344,6 +345,7 @@ def photometric_update(
     level: int,
     max_iter: int,
     axis_name: str | None = None,
+    mixed_gain: bool = False,
 ):
     """UpdateState for one pyramid level (lidar_selection.cpp:743-902).
 
@@ -417,7 +419,9 @@ def photometric_update(
         improved = err <= last_err
 
         P_ = prior.cov.astype(f64) / jnp.asarray(img_point_cov, f64)
-        K16 = linalg_ops.kalman_gain6(P_, HTH6.astype(f64))
+        gain = (linalg_ops.kalman_gain6_mixed if mixed_gain
+                else linalg_ops.kalman_gain6)
+        K16 = gain(P_, HTH6.astype(f64))
         G_new = K16 @ HTH6.astype(f64)
         vec = jnp.concatenate(
             [

@@ -28,3 +28,21 @@ def test_gj_solve_vector_rhs():
     b = rng.normal(size=18)
     x = np.asarray(gj_solve(jnp.asarray(S), jnp.asarray(b)))
     np.testing.assert_allclose(x, np.linalg.solve(S, b), rtol=1e-9, atol=1e-9)
+
+
+def test_mixed_gain_matches_f64():
+    """f32-solve + one f64 refinement must match the full-f64 gain to
+    ~f64 working accuracy on filter-realistic systems."""
+    from fastlivo_tpu.ops.linalg import kalman_gain6, kalman_gain6_mixed
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        # covariance-like SPD P and a Gram HtH with varying conditioning
+        A = rng.normal(size=(18, 18))
+        P = (A @ A.T) * 1e-3 + np.eye(18) * 10.0 ** rng.uniform(-6, -2)
+        H = rng.normal(size=(6, 6))
+        HTH = H @ H.T * 10.0 ** rng.uniform(0, 4)
+        K_ref = np.asarray(kalman_gain6(jnp.asarray(P), jnp.asarray(HTH)))
+        K_mix = np.asarray(kalman_gain6_mixed(jnp.asarray(P), jnp.asarray(HTH)))
+        scale = np.abs(K_ref).max() + 1e-30
+        assert np.abs(K_mix - K_ref).max() / scale < 1e-9, trial
