@@ -170,6 +170,9 @@ class BlockReplayer:
         """Process everything currently in the synchronizer. Returns the
         pipeline's FrameOutput list (appended in place as usual)."""
         p = self.pipe
+        if p.sync.reset_flagged:
+            p._reset_imu()
+            p.sync.reset_flagged = False
         pending = []
         for g in p.sync.drain():
             if not (p.map_built and p.init_done and p.ready
@@ -447,6 +450,9 @@ class LivoBlockReplayer:
 
     def run(self) -> List:
         p = self.pipe
+        if p.sync.reset_flagged:
+            p._reset_imu()
+            p.sync.reset_flagged = False
         pending = []
         for g in p.sync.drain():
             if not self._steady(g):
@@ -603,6 +609,18 @@ class LivoBlockReplayer:
                 v.last_stats = {"tracked": int(n1[k]), "added": 0,
                                 "err": 0.0}
                 continue
+            if p.cfg.pose_output_en and p.logger is not None:
+                rcw_k = np.asarray(v.Rci) @ po_R[k].astype(np.float32).T
+                pcw_k = (-rcw_k @ po_p[k].astype(np.float32)
+                         + np.asarray(v.Pci))
+                p.logger.log_camera_pose(groups[k].scan.beg_time, rcw_k, pcw_k)
+            if p.logger is not None:
+                post_k = NavState(po_R[k], po_p[k], po_v[k], po_bg[k],
+                                  po_ba[k], po_gv[k], st.cov)
+                p.logger.log_pos(
+                    groups[k].scan.beg_time - (p.first_lidar_time or 0.0),
+                    post_k,
+                )
             quat = _rot_to_quat(po_R[k].astype(np.float64))
             out = FrameOutput(
                 t=ts[k], pos=po_p[k].astype(np.float64), quat=quat,
