@@ -56,3 +56,53 @@ def test_socket_stream_lio(tmp_path):
                 return
             lines.append(d)
     raise AssertionError("no flush ack received")
+
+
+def test_socket_stream_livo(tmp_path):
+    """Full LIVO over the socket: images interleave with scans."""
+    from test_pipeline_livo import RCL, W, H, F, livo_config
+
+    ds = SyntheticDataset(duration=2.5, points_per_scan=2048,
+                          lidar_noise=0.004, seed=7,
+                          cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL)
+    srv = serve.Server(livo_config(), str(tmp_path / "sock"))
+    srv.start_background()
+    cli = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    cli.connect(srv.address)
+    cli.settimeout(180)
+
+    events = []
+    for t, acc, gyr in ds.imu_stream():
+        events.append((t, serve.encode_imu(t, acc, gyr)))
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        events.append((beg, serve.encode_lidar(
+            beg, pts[:, :3], t_rel.astype(np.float32))))
+    for t, img in ds.images():
+        events.append((t, serve.encode_image(t, np.asarray(img, np.uint8))))
+    events.sort(key=lambda e: e[0])
+    for _, msg in events:
+        cli.sendall(msg)
+    cli.sendall(serve.encode_flush())
+
+    buf = b""
+    frames = []
+    while True:
+        chunk = cli.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+        done = False
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            d = json.loads(line)
+            if d.get("flushed"):
+                done = True
+                break
+            frames.append(d)
+        if done:
+            break
+    cli.close()
+    srv.wait(10)
+    assert len(frames) > 5
+    # the server's pipeline ran VIO frames
+    assert srv.pipe.vio is not None and srv.pipe.vio.fid > 3
