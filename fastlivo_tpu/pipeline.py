@@ -550,6 +550,19 @@ class Pipeline:
         elif self._map_mod is vm:
             if float(self.map.count) > 0.7 * self.map.check.shape[0]:
                 self.map = vm.rebuild(self.map)
+        # visual-map capacity: drop points outside the local cube when
+        # the point pool nears exhaustion (the reference's feat_map only
+        # ever grows; see visual_map.compact)
+        if self.vio is not None:
+            vmap = self.vio.vmap
+            if int(vmap.n_pts) > 0.9 * vmap.pos.shape[0]:
+                from . import visual_map as vmap_mod
+
+                self.vio.vmap = vmap_mod.compact(
+                    vmap,
+                    jnp.asarray(np.asarray(self.state.pos), jnp.float32),
+                    jnp.float32(self.cfg.cube_side_length),
+                )
 
     def _to_world(self, pts_body, mask, lid_rot, lid_off):
         p = jnp.asarray(pts_body)

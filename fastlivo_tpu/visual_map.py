@@ -163,7 +163,21 @@ def add_points(
         obs_level=m.obs_level.at[idx, 0].set(0, mode="drop"),
     )
 
-    # --- voxel-hash insert ----------------------------------------------
+    vk, vc, vi = _voxel_index_insert(
+        mm.vox_keys, mm.vox_count, mm.vox_idx, pts, idx, mask, max_probe
+    )
+    return mm._replace(vox_keys=vk, vox_count=vc, vox_idx=vi)
+
+
+def _voxel_index_insert(vk, vc, vi, pts, idx, mask, max_probe):
+    """Insert point indices into the feat_map voxel hash (AddPoint
+    :204-230 batched): group the batch by voxel, claim/find the voxel's
+    slot, append up to the per-voxel capacity. Shared by add_points and
+    compact's index rebuild."""
+    B = pts.shape[0]
+    T = vk.shape[0]
+    VC = vi.shape[1]
+    tmask = T - 1
     keys = voxel_of(pts)
     # invalid rows get a shared sentinel key so they can't sit inside (and
     # block) a real voxel's sorted group
@@ -185,7 +199,6 @@ def add_points(
     rank = pos_in_batch.astype(jnp.int32) - first_of_grp[grp]
     is_leader = seg_start & mask[ord_]
 
-    vk, vc, vi = mm.vox_keys, mm.vox_count, mm.vox_idx
     slot = slot0[ord_]
     done = ~mask[ord_]
     resolved = jnp.full(B, T, jnp.int32)
@@ -214,7 +227,47 @@ def add_points(
     # applied once at each group's leader row
     inc = jnp.zeros(B, jnp.int32).at[grp].add(ok.astype(jnp.int32))
     vc = vc.at[jnp.where(is_leader, res_all, T)].add(inc[grp], mode="drop")
-    return mm._replace(vox_keys=vk, vox_count=vc, vox_idx=vi)
+    return vk, vc, vi
+
+
+@jax.jit
+def compact(m: VisualMap, center: jnp.ndarray, radius) -> VisualMap:
+    """Reclaim visual-map capacity: keep only points within `radius`
+    (inf-norm) of `center`, compacted to the front in original order,
+    and rebuild the voxel index from scratch.
+
+    The reference's feat_map grows without bound (AddPoint only ever
+    appends); this is the visual analogue of its sliding LOCAL MAP
+    (lasermap_fov_segment, laserMapping.cpp:363-421) so unbounded
+    trajectories cannot exhaust the fixed point pool. Triggered by the
+    pipeline on a load-factor threshold, like the lidar-map rebuild."""
+    NP = m.pos.shape[0]
+    alive = jnp.arange(NP, dtype=jnp.int32) < m.n_pts
+    keep = alive & (
+        jnp.max(jnp.abs(m.pos - center[None, :]), axis=-1) <= radius
+    )
+    perm = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    n2 = jnp.sum(keep, dtype=jnp.int32)
+
+    def g(a):
+        return a[perm]
+
+    m2 = m._replace(
+        pos=g(m.pos), value=g(m.value), n_obs=g(m.n_obs), n_pts=n2,
+        obs_px=g(m.obs_px), obs_f=g(m.obs_f), obs_rcw=g(m.obs_rcw),
+        obs_pcw=g(m.obs_pcw), obs_campos=g(m.obs_campos),
+        obs_slot=g(m.obs_slot), obs_fid=g(m.obs_fid),
+        obs_level=g(m.obs_level),
+        vox_keys=jnp.full_like(m.vox_keys, EMPTY),
+        vox_count=jnp.zeros_like(m.vox_count),
+        vox_idx=jnp.zeros_like(m.vox_idx),
+    )
+    new_alive = jnp.arange(NP, dtype=jnp.int32) < n2
+    vk, vc, vi = _voxel_index_insert(
+        m2.vox_keys, m2.vox_count, m2.vox_idx, m2.pos,
+        jnp.arange(NP, dtype=jnp.int32), new_alive, 12,
+    )
+    return m2._replace(vox_keys=vk, vox_count=vc, vox_idx=vi)
 
 
 @functools.partial(jax.jit, static_argnames=("max_probe",))

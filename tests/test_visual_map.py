@@ -128,3 +128,54 @@ def test_recycled_image_slot_invalidates_obs():
     ref = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
                               jnp.asarray([0.0, 0.0, 0.0], jnp.float32))
     assert not bool(ref["ok"][0])
+
+
+def test_compact_reclaims_capacity_and_keeps_queries():
+    """visual_map.compact drops far points, keeps near ones, and the
+    rebuilt voxel index answers gather_voxel_points identically for the
+    surviving content."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastlivo_tpu import visual_map as vmap_mod
+
+    m = vmap_mod.empty_visual_map(
+        n_points=512, n_obs=4, table_size=1 << 12, voxel_cap=8, ring=4,
+        height=32, width=32,
+    )
+    rng = np.random.default_rng(0)
+    near = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    far = rng.uniform(50, 60, (100, 3)).astype(np.float32)
+    pts = np.concatenate([near, far])
+    B = len(pts)
+    m = vmap_mod.add_points(
+        m, jnp.asarray(pts), jnp.zeros((B, 2), jnp.float32),
+        jnp.zeros((B, 3), jnp.float32), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.ones(B, jnp.float32),
+        jnp.int32(0), jnp.ones(B, bool),
+    )
+    assert int(m.n_pts) == 200
+    m2 = vmap_mod.compact(m, jnp.zeros(3, jnp.float32), jnp.float32(10.0))
+    assert int(m2.n_pts) == 100
+    # surviving points sit at the front, positions preserved
+    np.testing.assert_allclose(np.asarray(m2.pos[:100]), near, atol=1e-6)
+    # the rebuilt index resolves every near voxel to its points
+    vox = np.unique(np.floor(near / vmap_mod.VOXEL_SIZE).astype(np.int32),
+                    axis=0)
+    pad = np.zeros((128, 3), np.int32)
+    pad[: len(vox)] = vox
+    vmask = np.zeros(128, bool)
+    vmask[: len(vox)] = True
+    idx, valid = vmap_mod.gather_voxel_points(
+        m2, jnp.asarray(pad), jnp.asarray(vmask)
+    )
+    got = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert got == set(range(100)), (len(got), min(got, default=-1))
+    # far voxels resolve to nothing
+    fvox = np.unique(np.floor(far / vmap_mod.VOXEL_SIZE).astype(np.int32),
+                     axis=0)
+    pad[: len(fvox)] = fvox[:128]
+    idx, valid = vmap_mod.gather_voxel_points(
+        m2, jnp.asarray(pad), jnp.asarray(vmask)
+    )
+    assert not np.asarray(valid)[: len(fvox)].any()
