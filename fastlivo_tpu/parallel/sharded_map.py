@@ -226,3 +226,23 @@ def sharded_blockmap_scan_step(
     )
     return fn(state, shards, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
               acc_s_last, angvel_last, pts_body, t_rel, pmask)
+
+
+def sharded_compact(mesh: Mesh, shards: tm.TiledMap,
+                    axis: str = "dp") -> tm.TiledMap:
+    """Per-shard pool compaction (tiled_map.compact on every device's
+    shard) — the distributed form of the pipeline's load-factor
+    maintenance. Ownership is untouched (compact only renumbers slots
+    within a shard)."""
+    def local(shard):
+        l = jax.tree.map(lambda x: x[0], shard)
+        l2 = tm.compact(l)
+        return jax.tree.map(lambda x: x[None], l2)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), shards),),
+        out_specs=jax.tree.map(lambda _: P(axis), shards),
+        check_vma=False,
+    )
+    return fn(shards)

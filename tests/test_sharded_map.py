@@ -209,3 +209,50 @@ def test_blockmap_scan_step_matches_single_device(built):
     n_f, d_f, v_f = tm.knn(full2, q, 5, 1)
     np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_f))
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_f), atol=1e-5)
+
+
+def test_blockmap_multi_frame_trajectory(built):
+    """Several consecutive scan steps with a moving sensor: the
+    block-sharded path tracks the single-device path across frames
+    (halo exchange + ownership inserts compose over time), and
+    per-shard compaction reclaims pool slots after deletes."""
+    world, full0, shards, mesh = built
+    calib = _calib()
+    z3 = jnp.zeros(3, jnp.float32)
+    state_s = identity_state()._replace(grav=jnp.asarray([0.0, 0.0, -9.81]))
+    state_f = state_s
+    full = full0
+    acc, gyr, dt, offs, valid, tail = _imu_block()
+    for k in range(3):
+        ridx = rng.choice(len(world), N_PTS, replace=False)
+        scan = (world[ridx] + rng.normal(0, 0.003, (N_PTS, 3))).astype(np.float32)
+        t_rel = np.linspace(0, 0.08, N_PTS).astype(np.float32)
+        pmask = np.ones(N_PTS, bool)
+        state_s, shards, n_s, _ = sm.sharded_blockmap_scan_step(
+            mesh, state_s, shards,
+            acc, gyr, dt, offs, jnp.asarray(valid), tail, z3, z3, calib,
+            jnp.asarray(scan), jnp.asarray(t_rel), jnp.asarray(pmask),
+            laser_point_cov=0.001, max_iter=4, knn_radius=1, k_exch=512,
+        )
+        st1, pose, _, _ = imu_mod.propagate(
+            state_f, acc, gyr, dt, offs, jnp.asarray(valid), tail, z3, z3,
+            calib,
+        )
+        und = imu_mod.undistort(
+            st1, pose, jnp.asarray(scan), jnp.asarray(t_rel),
+            jnp.asarray(pmask), calib,
+        )
+        res = lio_mod.lio_update(
+            st1, full, und, jnp.asarray(pmask), calib.lid_rot, calib.lid_off,
+            laser_point_cov=0.001, max_iter=4, knn_radius=1,
+        )
+        state_f = res.state
+        full = tm.insert(full, res.pts_world, jnp.asarray(pmask))
+        np.testing.assert_allclose(
+            np.asarray(state_s.pos), np.asarray(state_f.pos), atol=5e-5
+        ), k
+    # distributed compaction keeps shard pools consistent
+    shards2 = sm.sharded_compact(mesh, shards)
+    tot_before = int(np.asarray(shards.n_alloc).sum())
+    tot_after = int(np.asarray(shards2.n_alloc).sum())
+    assert 0 < tot_after <= tot_before
