@@ -129,15 +129,7 @@ def bench_lidar(backend="tiled"):
     if backend == "dense":
         from fastlivo_tpu.ops import dense_map as mod
 
-        m = mod.empty_dense_map((256, 256, 64), 0.5)
-        B = 65536
-        for i in range(0, len(world), B):
-            chunk = np.zeros((B, 3), np.float32)
-            k = min(B, len(world) - i)
-            chunk[:k] = world[i : i + k]
-            mask = np.zeros(B, bool)
-            mask[:k] = True
-            m = mod.insert(m, jnp.asarray(chunk), jnp.asarray(mask))
+        m = mod.build_host(world, (256, 256, 64), 0.5)
     else:
         from fastlivo_tpu.ops import tiled_map as mod
 

@@ -154,3 +154,45 @@ def extract_points(m: DenseMap):
     occ = np.asarray(m.check) != int(EMPTY_CHECK)
     pts = np.asarray(m.pts)[occ]
     return pts, len(pts)
+
+
+def build_host(pts: np.ndarray, dims=(256, 256, 64),
+               voxel_size=0.5) -> DenseMap:
+    """Bulk map construction on the host (vectorized numpy), equivalent
+    to ONE device `insert` of the whole batch: per wrapped cell, the
+    point nearest its own voxel center wins (ties across aliased voxels
+    resolve by distance, like the packed scatter-min). Removes the
+    standalone-insert compile from bootstrap paths."""
+    for d in dims:
+        assert d & (d - 1) == 0
+    pts = np.asarray(pts, np.float32)
+    vs = np.float32(voxel_size)
+    keys = np.floor(pts / vs).astype(np.int32)
+    center = (keys.astype(np.float32) + 0.5) * vs
+    d2c = np.sum((pts - center) ** 2, axis=1)
+    l2 = [int(np.log2(d)) for d in dims]
+    kx = keys[:, 0] & ((1 << l2[0]) - 1)
+    ky = keys[:, 1] & ((1 << l2[1]) - 1)
+    kz = keys[:, 2] & ((1 << l2[2]) - 1)
+    cell = ((kx.astype(np.int64) << (l2[1] + l2[2]))
+            | (ky.astype(np.int64) << l2[2]) | kz.astype(np.int64))
+    chk = np.asarray(
+        (_mix64(jnp.asarray(keys)) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    )
+    order = np.lexsort((d2c, cell))
+    cs = cell[order]
+    head = np.ones(len(cs), bool)
+    head[1:] = cs[1:] != cs[:-1]
+    win = order[head]
+    G = dims[0] * dims[1] * dims[2]
+    check = np.full(G, int(EMPTY_CHECK), np.int32)
+    pool = np.zeros((G, 3), np.float32)
+    check[cell[win]] = chk[win]
+    pool[cell[win]] = pts[win]
+    return DenseMap(
+        check=jnp.asarray(check),
+        pts=jnp.asarray(pool),
+        count=jnp.int32(len(win)),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32),
+        log2_dims=jnp.asarray(l2, jnp.int32),
+    )

@@ -91,3 +91,18 @@ def test_lio_update_with_dense_backend():
     )
     assert np.linalg.norm(np.asarray(res.state.pos) - pos_t) < 2e-2
     assert int(res.n_active) > 1500
+
+
+def test_build_host_matches_bulk_device_insert():
+    pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
+    pad = np.zeros((3072, 3), np.float32); pad[:3000] = pts
+    mask = np.zeros(3072, bool); mask[:3000] = True
+    md = dm.insert(dm.empty_dense_map(DIMS, 0.5), jnp.asarray(pad),
+                   jnp.asarray(mask))
+    mh = dm.build_host(pts, DIMS, 0.5)
+    assert int(mh.count) == int(md.count)
+    q = jnp.asarray(pts[:512] + 0.03)
+    nd_, dd, vd = dm.knn(md, q, 5, 1)
+    nh_, dh, vh = dm.knn(mh, q, 5, 1)
+    np.testing.assert_array_equal(np.asarray(vd), np.asarray(vh))
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(dh), atol=1e-6)
