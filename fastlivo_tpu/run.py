@@ -211,9 +211,12 @@ def main(argv=None):
     if args.load_ckpt:
         from .io import checkpoint as ckpt_mod
 
+        from . import lio as lio_mod
+
         st, m, vm_ = ckpt_mod.load(args.load_ckpt)
         pipe.state = st
         pipe.map = m
+        pipe._map_mod = lio_mod.map_module(m)  # checkpoint wins over cfg
         pipe.map_built = True
         if vm_ is not None and pipe.vio is not None:
             pipe.vio.vmap = vm_

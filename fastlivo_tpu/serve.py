@@ -31,6 +31,7 @@ from .config import Config
 from .pipeline import Pipeline
 
 IMU, LIDAR, IMAGE, FLUSH = 0, 1, 2, 3
+MAX_MSG = 256 << 20  # reject absurd length prefixes (corrupt stream)
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
@@ -84,6 +85,10 @@ class Server:
             self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         else:
+            import os
+
+            if os.path.exists(address):
+                os.unlink(address)  # stale socket from a prior run
             self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self.sock.bind(address)
         self.sock.listen(1)
@@ -115,6 +120,9 @@ class Server:
             if hdr is None:
                 break
             (n,) = struct.unpack("<I", hdr)
+            if n == 0 or n > MAX_MSG:
+                conn.sendall(b'{"error": "bad message length"}\n')
+                break
             payload = _recv_exact(conn, n)
             if payload is None:
                 break
