@@ -68,6 +68,9 @@ class CapacityConfig:
     dense_dims: tuple = (256, 256, 64)  # rolling-grid dims (powers of two)
     tiled_dir_dims: tuple = (128, 128, 64)  # tile-directory dims (tiles)
     tiled_pool: int = 16384  # pool capacity in tiles (512 cells each)
+    # opt-in numerics/perf switches (see lio.lio_update docstrings)
+    cache_knn: bool = False  # re-rank cached kNN candidates on rematches
+    mixed_gain: bool = False  # f32 gain solve + one f64 refinement
     map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
     max_probe: int = 12  # open-addressing probe depth (= insert's depth)
     knn_voxel_radius: int = 1  # 3x3x3 neighborhood for the 5-NN gather;
@@ -203,6 +206,8 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
                 continue
             if k == "map_backend":
                 kw[k] = str(v)
+            elif k in ("cache_knn", "mixed_gain"):
+                kw[k] = bool(v)
             elif k in ("dense_dims", "tiled_dir_dims"):
                 kw[k] = tuple(int(x) for x in v)
             else:

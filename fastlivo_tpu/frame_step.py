@@ -29,7 +29,8 @@ from .state import NavState
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_points", "max_iter", "knn_radius", "max_probe", "dense_out"
+        "max_points", "max_iter", "knn_radius", "max_probe", "dense_out",
+        "cache_knn", "mixed_gain",
     ),
 )
 def lidar_frame_step(
@@ -47,6 +48,8 @@ def lidar_frame_step(
     knn_radius: int,
     max_probe: int,
     dense_out: bool = True,
+    cache_knn: bool = False,
+    mixed_gain: bool = False,
 ):
     """Returns (posterior state, new map, down (max_points,3), dmask,
     n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,)).
@@ -62,6 +65,7 @@ def lidar_frame_step(
         state, m, down, dmask, calib.lid_rot, calib.lid_off,
         laser_point_cov=laser_point_cov, max_iter=max_iter,
         knn_radius=knn_radius, max_probe=max_probe,
+        cache_knn=cache_knn, mixed_gain=mixed_gain,
     )
     # map insert at the posterior (map_incremental, laserMapping.cpp:692)
     rot32 = res.state.rot.astype(down.dtype)

@@ -352,6 +352,8 @@ class Pipeline:
                 knn_radius=cap.knn_voxel_radius,
                 max_probe=cap.max_probe,
                 dense_out=self.cfg.dense_map_enable,
+                cache_knn=cap.cache_knn,
+                mixed_gain=cap.mixed_gain,
             )
             self.state = st
             self.map = m2
