@@ -135,7 +135,10 @@ def bench_lidar(backend="tiled"):
 
         # host-side bulk build: the standalone insert executable would be
         # pure compile overhead (frame_step fuses its own insert)
-        m = mod.build_host(world, (128, 128, 64), 4096, 0.5)
+        # small dims/pool: the bench world occupies ~260 tiles, and
+        # host->device transfer through the relay can run at KB/s —
+        # upload bytes are the dominant variable cost of this bench
+        m = mod.build_host(world, (64, 64, 32), 512, 0.5)
 
     rng = np.random.default_rng(1)
     idx = rng.choice(len(world), N_SCAN, replace=False)
