@@ -187,3 +187,32 @@ def plot_traces(log_dir: str | Path, out_png: Optional[str | Path] = None):
     fig.savefig(out, dpi=110)
     plt.close(fig)
     return out
+
+
+def ate_rmse_aligned(est: np.ndarray, gt: np.ndarray,
+                     assoc_tol: float = 0.02):
+    """evo-style ATE: associate by timestamp, rigidly align (Umeyama,
+    rotation+translation, no scale), then translation RMSE — the metric
+    the reference's TUM exports are evaluated with externally
+    (README.md's evo workflow over Log/camera_pose.txt)."""
+    pairs_e, pairs_g = [], []
+    gt_t = gt[:, 0]
+    for r in np.asarray(est):
+        i = np.argmin(np.abs(gt_t - r[0]))
+        if abs(gt_t[i] - r[0]) <= assoc_tol:
+            pairs_e.append(r[1:4])
+            pairs_g.append(gt[i, 1:4])
+    if len(pairs_e) < 3:
+        return np.nan
+    E = np.asarray(pairs_e)
+    G = np.asarray(pairs_g)
+    mu_e, mu_g = E.mean(0), G.mean(0)
+    H = (E - mu_e).T @ (G - mu_g) / len(E)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        S[2, 2] = -1.0
+    R = Vt.T @ S @ U.T  # gt <- est rotation
+    t = mu_g - R @ mu_e
+    errs = np.linalg.norm((E @ R.T + t) - G, axis=1)
+    return float(np.sqrt(np.mean(errs ** 2)))

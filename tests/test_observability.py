@@ -144,3 +144,24 @@ def test_bgr_normalize():
     rgba = np.dstack([img, np.full((4, 4), 255, np.uint8)])
     out4 = bgr_normalize(rgba, "rgba8")
     assert out4.shape[2] == 3 and out4[0, 0, 0] == 30
+
+
+def test_ate_aligned_umeyama():
+    """Aligned ATE removes a rigid offset exactly; unaligned does not."""
+    from fastlivo_tpu.logging_util import ate_rmse, ate_rmse_aligned
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 10, 101)
+    gt_pos = np.stack([np.sin(t), np.cos(t), 0.1 * t], 1)
+    gt = np.hstack([t[:, None], gt_pos, np.zeros((101, 4))])
+    # estimate = gt rotated 5 deg + shifted, plus mm noise
+    ang = np.deg2rad(5.0)
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    est_pos = gt_pos @ R.T + np.array([0.3, -0.2, 0.1])
+    est_pos += rng.normal(0, 1e-3, est_pos.shape)
+    est = np.hstack([t[:, None], est_pos, np.zeros((101, 4))])
+    raw = ate_rmse(est, gt)
+    aligned = ate_rmse_aligned(est, gt)
+    assert raw > 0.1  # offset dominates
+    assert aligned < 5e-3  # alignment removes it, noise remains
