@@ -197,3 +197,32 @@ def test_fused_vs_staged_equivalence(ds):
         nf, ns = int(vio.vmap.n_pts), int(ref.vmap.n_pts)
         assert abs(nf - ns) <= max(3, 0.05 * ns), (nf, ns)
         # continue from the fused branch (arbitrary; they stay close)
+
+
+def test_rollback_guards_catastrophic_prior(ds):
+    """With a hopeless prior (~17 deg, 0.5 m off) the photometric
+    gradient points nowhere useful; the error-monotonicity rollback
+    (lidar_selection.cpp:889-892) must keep the posterior from running
+    away: it stays within the prior's neighborhood instead of diverging
+    on garbage residuals."""
+    vio = Vio(make_cfg())
+    vio.set_last_cloud(world_cloud(ds))
+    s0 = state_at(ds, 2.0)
+    vio.update(s0, s0, ds.render_image(2.0))
+    assert int(vio.vmap.n_pts) > 20
+
+    s1_true = state_at(ds, 2.05)
+    drot = so3.exp(jnp.asarray([0.1, -0.2, 0.2]))
+    s1_bad = s1_true._replace(
+        rot=s1_true.rot @ drot,
+        pos=s1_true.pos + jnp.asarray([0.3, -0.3, 0.2]),
+    )
+    vio.set_last_cloud(world_cloud(ds, seed=1))
+    out = vio.update(s1_bad, s1_bad, ds.render_image(2.05))
+    # posterior must not run further than ~2x the (already huge) prior
+    # offset in either rotation or translation
+    d_pos = np.linalg.norm(np.asarray(out.pos - s1_bad.pos))
+    d_rot = np.linalg.norm(np.asarray(so3.log(s1_bad.rot.T @ out.rot)))
+    assert d_pos < 1.0, d_pos
+    assert d_rot < 0.6, d_rot
+    assert np.all(np.isfinite(np.asarray(out.cov)))
