@@ -221,3 +221,32 @@ def test_decode_ouster():
     pts, t = pp.decode_ouster(xyz, np.zeros(N), t_ns, np.zeros(N), cfg)
     assert len(pts) == 3  # stride 3
     np.testing.assert_allclose(t, [0.002, 0.005, 0.008])
+
+
+def test_decode_compressed_image_png():
+    """CompressedImage decode via PIL, with the RGB->BGR flip the
+    pipeline expects (rosbag.py:decode_compressed_image)."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    from fastlivo_tpu.io.rosbag import decode_compressed_image
+
+    img = np.zeros((8, 10, 3), np.uint8)
+    img[..., 0] = 200  # red channel in RGB
+    buf = _io.BytesIO()
+    PILImage.fromarray(img).save(buf, format="PNG")
+    raw = buf.getvalue()
+    # serialized CompressedImage: header (seq,u32|stamp 2xu32|frame str),
+    # format string, data bytes
+    payload = (
+        np.uint32(1).tobytes()
+        + np.uint32(100).tobytes() + np.uint32(0).tobytes()
+        + np.uint32(2).tobytes() + b"f0"
+        + np.uint32(3).tobytes() + b"png"
+        + np.uint32(len(raw)).tobytes() + raw
+    )
+    out = decode_compressed_image(payload)
+    assert out["image"].shape == (8, 10, 3)
+    # red in RGB -> channel 2 in BGR
+    assert out["image"][0, 0, 2] == 200 and out["image"][0, 0, 0] == 0

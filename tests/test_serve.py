@@ -106,3 +106,38 @@ def test_socket_stream_livo(tmp_path):
     assert len(frames) > 5
     # the server's pipeline ran VIO frames
     assert srv.pipe.vio is not None and srv.pipe.vio.fid > 3
+
+
+def test_tcp_server_binds_and_streams():
+    """TCP transport variant (the unix-socket tests cover the protocol)."""
+    srv = serve.Server(small_config(), ("127.0.0.1", 0))
+    srv.start_background()
+    host, port = srv.address
+    cli = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    cli.connect((host, port))
+    cli.settimeout(30)
+    cli.sendall(serve.encode_imu(1.0, [0, 0, 9.81], [0, 0, 0]))
+    cli.sendall(serve.encode_flush())
+    buf = b""
+    while b"\n" not in buf:
+        buf += cli.recv(4096)
+    assert json.loads(buf.split(b"\n")[0]).get("flushed")
+    cli.close()
+    srv.wait(5)
+
+
+def test_bad_length_prefix_rejected():
+    srv = serve.Server(small_config(), ("127.0.0.1", 0))
+    srv.start_background()
+    cli = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    cli.connect(srv.address)
+    cli.settimeout(30)
+    import struct
+
+    cli.sendall(struct.pack("<I", 1 << 30))  # absurd length
+    buf = b""
+    while b"\n" not in buf:
+        buf += cli.recv(4096)
+    assert b"bad message length" in buf
+    cli.close()
+    srv.wait(5)
