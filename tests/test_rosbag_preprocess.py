@@ -250,3 +250,86 @@ def test_decode_compressed_image_png():
     assert out["image"].shape == (8, 10, 3)
     # red in RGB -> channel 2 in BGR
     assert out["image"][0, 0, 2] == 200 and out["image"][0, 0, 0] == 0
+
+
+def make_image_msg(stamp, img) -> bytes:
+    """Serialize a sensor_msgs/Image (bgr8) in the rosbag wire format."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    out = _ros_header(stamp)
+    out += struct.pack("<II", h, w)
+    out += _ros_string(b"bgr8" if ch == 3 else b"mono8")
+    out += struct.pack("<B", 0)  # is_bigendian
+    out += struct.pack("<I", w * ch)  # step
+    out += struct.pack("<I", h * w * ch) + img.tobytes()
+    return out
+
+
+def test_cli_bag_replay_livo(tmp_path):
+    """Full LIVO through the bag path: Image messages interleave with
+    livox scans; the pipeline must run VIO frames from the bag."""
+    import yaml
+
+    from fastlivo_tpu import run as run_mod
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+    from test_pipeline_livo import RCL, W, H, F
+
+    ds = SyntheticDataset(duration=3.0, points_per_scan=2048, seed=11,
+                          cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL)
+    msgs = []
+    for t, acc, gyr in ds.imu_stream():
+        msgs.append((0, "/imu", "sensor_msgs/Imu", 100.0 + t,
+                     make_imu_msg(100.0 + t, acc, gyr)))
+    pdtype = np.dtype([("offset_time", "u4"), ("x", "f4"), ("y", "f4"),
+                       ("z", "f4"), ("reflectivity", "u1"), ("tag", "u1"),
+                       ("line", "u1")])
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        arr = np.zeros(len(pts), pdtype)
+        arr["x"], arr["y"], arr["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+        arr["offset_time"] = (t_rel * 1e9).astype(np.uint64)
+        arr["tag"] = 0x10
+        msgs.append((1, "/lidar", "livox_ros_driver/CustomMsg", 100.0 + beg,
+                     make_livox_msg(100.0 + beg, arr)))
+    for t, img in ds.images():
+        msgs.append((2, "/img", "sensor_msgs/Image", 100.0 + t,
+                     make_image_msg(100.0 + t, np.asarray(img, np.uint8))))
+    msgs.sort(key=lambda m: m[3])
+    bag = tmp_path / "livo.bag"
+    build_bag(bag, [("none", msgs)])
+
+    cam_yaml = tmp_path / "cam.yaml"
+    cam_yaml.write_text(yaml.safe_dump({
+        "cam_model": "Pinhole", "cam_width": W, "cam_height": H,
+        "cam_fx": F, "cam_fy": F, "cam_cx": (W - 1) / 2.0,
+        "cam_cy": (H - 1) / 2.0,
+        "cam_d0": 0.0, "cam_d1": 0.0, "cam_d2": 0.0, "cam_d3": 0.0,
+    }))
+    cfg = {
+        "img_enable": 1, "lidar_enable": 1, "max_iteration": 4,
+        "filter_size_surf": 0.3, "filter_size_map": 0.3,
+        "laser_point_cov": 0.001, "point_filter_num": 1,
+        "grid_size": 32, "patch_size": 8, "outlier_threshold": 300.0,
+        "img_point_cov": 100.0,
+        "common": {"lid_topic": "/lidar", "imu_topic": "/imu"},
+        "camera": {"img_topic": "/img",
+                   "Rcl": RCL.ravel().tolist(), "Pcl": [0.0, 0.0, 0.0]},
+        "preprocess": {"lidar_type": 1, "scan_line": 6, "blind": 0.1},
+        "mapping": {"acc_cov_scale": 1.0, "gyr_cov_scale": 1.0,
+                    "extrinsic_T": [0.0, 0.0, 0.0],
+                    "extrinsic_R": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+        "capacity": {"map_table_size": 1 << 16, "max_points": 4096,
+                     "max_raw_points": 8192, "max_imu_per_group": 64,
+                     "vmap_points": 8192, "vmap_table_size": 1 << 15,
+                     "frame_ring": 16, "max_cands": 4096},
+    }
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "traj.txt"
+    rc = run_mod.main([
+        "--config", str(cfg_yaml), "--camera", str(cam_yaml),
+        "--bag", str(bag), "--out", str(out),
+    ])
+    assert rc == 0
+    traj = np.loadtxt(out).reshape(-1, 8)
+    assert len(traj) > 10
