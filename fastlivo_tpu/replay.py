@@ -18,7 +18,9 @@ Semantics vs the per-frame path (both deviations bounded and tested):
 
 Per-frame pre/post states are emitted from the scan (`ys`), so the
 mat_pre/mat_out trace surface and the TUM trajectory are identical in
-shape to the per-frame path.
+shape to the per-frame path. PCD/RGB-cloud accumulation and the debug
+overlay stay on the per-frame path (they need per-frame host access to
+the dense cloud/image).
 """
 from __future__ import annotations
 
