@@ -70,3 +70,39 @@ def test_camera_model_instantiates_all():
         f = cam_mod.cam2world(cam, px)
         assert np.isfinite(np.asarray(px)).all()
         assert abs(float(jnp.linalg.norm(f[0])) - 1.0) < 1e-5
+
+
+def test_vio_constructs_and_steps_at_all_rig_camera_sizes():
+    """Static-shape smoke at each shipped camera geometry (grid dims,
+    pack caps, candidate sizes): one fused VIO update on a flat image
+    must run without shape/capacity asserts."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastlivo_tpu.config import load_config
+    from fastlivo_tpu.state import identity_state
+    from fastlivo_tpu.vio import Vio
+
+    pairs = [
+        ("avia.yaml", "camera_pinhole.yaml"),
+        ("NTU_VIRAL.yaml", "camera_NTU_VIRAL.yaml"),
+        ("MARS_LVIG.yaml", "camera_MARS_LVIG.yaml"),
+    ]
+    rng = np.random.default_rng(0)
+    for rig, cam in pairs:
+        cfg = load_config(f"/root/reference/config/{rig}",
+                          f"/root/reference/config/{cam}")
+        cfg.capacity = dataclasses.replace(
+            cfg.capacity, vmap_points=2048, vmap_table_size=1 << 13,
+            frame_ring=4, max_cands=2048, max_raw_points=4096,
+        )
+        vio = Vio(cfg)
+        h, w = cfg.camera.height, cfg.camera.width
+        img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        cloud = rng.uniform(2, 10, (512, 3)).astype(np.float32)
+        vio.set_last_cloud(cloud)
+        s = identity_state()
+        out = vio.update(s, s, img)
+        assert np.all(np.isfinite(np.asarray(out.pos))), rig
