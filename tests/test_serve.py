@@ -141,3 +141,50 @@ def test_bad_length_prefix_rejected():
     assert b"bad message length" in buf
     cli.close()
     srv.wait(5)
+
+
+def test_socket_loopback_reset_survives(tmp_path):
+    """A timestamp regression arriving over the wire (client restarted
+    its bag) must trigger the loop-back reset, not crash the server."""
+    import warnings
+
+    ds = SyntheticDataset(duration=2.5, points_per_scan=2048,
+                          lidar_noise=0.004, seed=3)
+    srv = serve.Server(small_config(), str(tmp_path / "sock"))
+    srv.start_background()
+    cli = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    cli.connect(srv.address)
+    cli.settimeout(120)
+
+    def send_all():
+        events = []
+        for t, acc, gyr in ds.imu_stream():
+            events.append((t, serve.encode_imu(t, acc, gyr)))
+        for beg, pts, t_rel in ds.lidar_scans_fast():
+            events.append((beg, serve.encode_lidar(
+                beg, pts[:, :3], t_rel.astype(np.float32))))
+        events.sort(key=lambda e: e[0])
+        for _, m in events:
+            cli.sendall(m)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        send_all()
+        cli.sendall(serve.encode_flush())
+        send_all()  # restart from t=0: regression
+        cli.sendall(serve.encode_flush())
+
+        buf = b""
+        flushes = 0
+        while flushes < 2:
+            chunk = cli.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                if json.loads(line).get("flushed"):
+                    flushes += 1
+    cli.close()
+    srv.wait(10)
+    assert flushes == 2  # server survived the regression
