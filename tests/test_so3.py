@@ -77,3 +77,18 @@ def test_quat_from_rot():
     q_ref = Rotation.from_matrix(R).as_quat()  # (x, y, z, w)
     sign = np.sign(np.sum(q * q_ref, axis=-1, keepdims=True))
     np.testing.assert_allclose(q * sign, q_ref, atol=1e-5)
+
+
+def test_log_near_pi():
+    """Matrix log near the theta=pi branch cut stays finite and
+    round-trips (the reference's Log, so3_math.h:75-81, is also used at
+    large attitude errors during aggressive-motion recovery)."""
+    for ax in ([1.0, 0, 0], [0, 1.0, 0], [0.6, -0.8, 0.0]):
+        for th in (np.pi - 1e-4, np.pi - 1e-2, 3.0):
+            w = np.asarray(ax) / np.linalg.norm(ax) * th
+            R = so3.exp(jnp.asarray(w))
+            w2 = np.asarray(so3.log(R))
+            assert np.all(np.isfinite(w2))
+            R2 = so3.exp(jnp.asarray(w2))
+            np.testing.assert_allclose(np.asarray(R2), np.asarray(R),
+                                       atol=5e-4)
