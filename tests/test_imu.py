@@ -209,3 +209,42 @@ def test_imu_initializer():
     c = ini.calib(100.0, 10000.0, np.eye(3), np.zeros(3))
     assert float(c.acc_scale) > 9.0  # G / ~1.0
     assert np.all(np.asarray(c.cov_acc) > 0)
+
+
+def test_undistort_point_before_table_start():
+    """Points stamped before the first pose row extrapolate backward
+    from row 0 (the reference walks IMUpose backward and the earliest
+    interval covers everything before it, IMU_Processing.cpp:774-808):
+    with constant velocity, a point at t=-dt lands exactly where the
+    constant-velocity model puts it."""
+    vel = np.array([2.0, 0.0, 0.0], np.float32)
+    P = 4
+    pose = imu_mod.PoseTable(
+        offs=jnp.asarray([0.0, 0.02, 0.04, 0.06], jnp.float32),
+        rot=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (P, 1, 1)),
+        pos=jnp.asarray(np.outer([0.0, 0.02, 0.04, 0.06], vel), jnp.float32),
+        vel=jnp.tile(jnp.asarray(vel), (P, 1)),
+        acc=jnp.zeros((P, 3), jnp.float32),
+        gyr=jnp.zeros((P, 3), jnp.float32),
+    )
+    s_end = st.identity_state()._replace(
+        pos=jnp.asarray(0.06 * vel, jnp.float64)
+    )
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0),
+        cov_acc=jnp.ones(3, jnp.float32), cov_gyr=jnp.ones(3, jnp.float32),
+        cov_bias_acc=jnp.ones(3, jnp.float32),
+        cov_bias_gyr=jnp.ones(3, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
+    )
+    pts = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+    # point observed 10 ms BEFORE the segment start
+    out = imu_mod.undistort(
+        s_end, pose, pts, jnp.asarray([-0.01], jnp.float32),
+        jnp.ones(1, bool), calib,
+    )
+    # world position at t=-0.01 was pos=-0.01*vel; compensated into the
+    # scan-end frame the point shifts by (that - end pos)
+    want = np.asarray(pts[0]) + (-0.01 - 0.06) * vel
+    np.testing.assert_allclose(np.asarray(out[0]), want, atol=1e-5)
