@@ -148,8 +148,9 @@ def lio_update(
         # reference's full re-search (laserMapping.cpp:1543): queries
         # whose base voxel shifts by the first correction see a clipped
         # neighborhood (measured: ~1 mm pose delta, ~5% match-count
-        # delta at a 5 cm prior error) — kept OFF by default for
-        # reference parity; see tests/test_lio.py.
+        # delta at a 5 cm prior error; END-TO-END ATE-neutral — 5.71 vs
+        # 5.76 mm on a 10 s real-config LIVO run) — kept OFF by default
+        # for strict reference parity; see tests/test_lio.py.
         cand0, found0 = map_mod.knn_candidates(
             m, world_pts(prior.rot, prior.pos), radius=knn_radius,
             max_probe=max_probe,
