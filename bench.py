@@ -195,7 +195,7 @@ def bench_lidar(backend="tiled"):
     }
 
 
-def bench_vio():
+def bench_vio(mixed_gain: bool = False):
     """Photometric UpdateState workload: 3 pyramid levels x iterated EKF
     on VIO_PTS tracked points with 8x8 patch pyramids; throughput in
     H-rows (point-pixels) per second, counted from the iterations the
@@ -248,6 +248,7 @@ def bench_vio():
     Jdp_dR = jnp.zeros((3, 3), jnp.float32)
     args = dict(
         img_point_cov=100.0, patch_size=P, max_iter=VIO_ITERS,
+        mixed_gain=mixed_gain,
     )
     tr_pos = jnp.asarray(pos)
     tr_patch = jnp.asarray(patch)

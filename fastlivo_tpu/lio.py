@@ -171,9 +171,20 @@ def lio_update(
     def keep_search(sel, pabcd, plane_ok):
         return sel, pabcd, plane_ok
 
+    # loop-invariant f64 prior terms, hoisted out of the body (the relay
+    # charges per executed op in composite executables)
+    f64 = jnp.float64
+    P = prior.cov.astype(f64) / jnp.asarray(laser_point_cov, f64)
+    prior_x = jnp.concatenate(
+        [prior.pos, prior.vel, prior.bg, prior.ba, prior.grav]
+    )  # (15,) f64
+    gain = (linalg_ops.kalman_gain6_mixed if mixed_gain
+            else linalg_ops.kalman_gain6)
+
     def body(carry):
-        (it, rot, pos, vel, bg, ba, grav, sel, pabcd, plane_ok,
-         search_en, rematch, stop, G, _conv) = carry
+        (it, rot, x, sel, pabcd, plane_ok,
+         search_en, rematch, stop, HTH6b, _conv) = carry
+        pos = x[0:3]
 
         sel, pabcd, plane_ok = jax.lax.cond(
             search_en,
@@ -195,24 +206,22 @@ def lio_update(
         h = jnp.concatenate([A, n_vec], axis=-1)  # (N,6)
         w = active.astype(dtype)[:, None]
         hw = h * w
-        HTH6 = hw.T @ h  # (6,6)
-        HTz = hw.T @ (-pd2)  # (6,)
+        # [HᵀH₆ | Hᵀz] in one (6,7) matmul (and one psum)
+        HT = hw.T @ jnp.concatenate([h, -pd2[:, None]], axis=-1)
         if axis_name is not None:
-            HTH6 = jax.lax.psum(HTH6, axis_name)
-            HTz = jax.lax.psum(HTz, axis_name)
+            HT = jax.lax.psum(HT, axis_name)
+        HTH6 = HT[:, 0:6].astype(f64)
+        HTz = HT[:, 6].astype(f64)
 
         # gain in f64 (tiny; keeps parity with the reference's
         # double-precision solve) via the exact 6x6 reduction
-        f64 = jnp.float64
-        P = prior.cov.astype(f64) / jnp.asarray(laser_point_cov, f64)
-        gain = (linalg_ops.kalman_gain6_mixed if mixed_gain
-                else linalg_ops.kalman_gain6)
-        K16 = gain(P, HTH6.astype(f64))  # (18,6)
-        G_new = K16 @ HTH6.astype(f64)  # (18,6)
-        vec = _boxminus_vec(prior, rot, pos, vel, bg, ba, grav)
-        sol = K16 @ HTz.astype(f64) + vec - G_new @ vec[0:6]
+        K16 = gain(P, HTH6)  # (18,6)
+        vec = jnp.concatenate([so3.log(rot.T @ prior.rot), prior_x - x])
+        # == K16·HTz + vec - (K16·HTH6)·vec[:6], with K16 factored out
+        sol = vec + K16 @ (HTz - HTH6 @ vec[0:6])
 
-        rot, pos, vel, bg, ba, grav = _apply_sol(rot, pos, vel, bg, ba, grav, sol)
+        rot = rot @ so3.exp(sol[0:3])
+        x = x + sol[3:18]
 
         conv = (jnp.linalg.norm(sol[0:3]) * 57.3 < CONV_ROT_DEG) & (
             jnp.linalg.norm(sol[3:6]) * 100.0 < CONV_POS_CM
@@ -221,27 +230,34 @@ def lio_update(
         rematch = rematch + do_rematch.astype(jnp.int32)
         stop = (rematch >= 2) | (it == max_iter - 1)
 
-        return (it + 1, rot, pos, vel, bg, ba, grav, sel, pabcd, plane_ok,
-                do_rematch, rematch, stop, G_new, conv)
+        return (it + 1, rot, x, sel, pabcd, plane_ok,
+                do_rematch, rematch, stop, HTH6, conv)
 
+    x0 = jnp.concatenate(
+        [state.pos, state.vel, state.bg, state.ba, state.grav]
+    )
     init = (
         jnp.int32(-1),
-        state.rot, state.pos, state.vel, state.bg, state.ba, state.grav,
+        state.rot, x0,
         jnp.zeros(N, bool),
         jnp.zeros((N, 4), dtype),
         jnp.zeros(N, bool),
         jnp.bool_(True),  # nearest_search_en starts true (:1473)
         jnp.int32(0),
         jnp.bool_(False),
-        jnp.zeros((DIM_STATE, 6), jnp.float64),
+        jnp.zeros((6, 6), jnp.float64),
         jnp.bool_(False),
     )
-    (it, rot, pos, vel, bg, ba, grav, sel, pabcd, plane_ok,
-     _se, _rm, _stop, G, _conv) = jax.lax.while_loop(
-        lambda c: ~c[12], body, init
+    (it, rot, x, sel, pabcd, plane_ok,
+     _se, _rm, _stop, HTH6b, _conv) = jax.lax.while_loop(
+        lambda c: ~c[8], body, init
     )
+    pos, vel, bg, ba, grav = (x[0:3], x[3:6], x[6:9], x[9:12], x[12:15])
 
-    # covariance update at stop: P <- (I - [G|0]) P  (:1712)
+    # covariance update at stop: P <- (I - [G|0]) P  (:1712), with
+    # G = K·HᵀH of the final iteration reconstructed ONCE here instead
+    # of materializing an (18,6) product every iteration
+    G = gain(P, HTH6b) @ HTH6b
     cov = prior.cov - G @ prior.cov[0:6, :]
     post = NavState(rot, pos, vel, bg, ba, grav, cov)
 

@@ -85,14 +85,27 @@ def extract_patches(
     if scale.ndim == 0:
         scale = jnp.broadcast_to(scale, pc.shape[:-1])
     u_i, v_i, (w_tl, w_tr, w_bl, w_br) = _anchor_weights(pc, scale)
-    rows, cols = _strided_grid(u_i, v_i, patch_size, scale)
+    P = patch_size
+    half = P // 2
+    # one (P+1)x(P+1) strided gather; the 4 bilinear corners are static
+    # slices of it (index-identical to 4 separate gathers, incl. clamp)
+    ext = jnp.arange(P + 1) - half
     s = scale[:, None, None]
-    tl = _gather(img, rows, cols)
-    tr = _gather(img, rows, cols + s)
-    bl = _gather(img, rows + s, cols)
-    br = _gather(img, rows + s, cols + s)
+    rows = v_i[:, None, None] + ext[None, :, None] * s
+    cols = u_i[:, None, None] + ext[None, None, :] * s
+    K = u_i.shape[0]
+    R = _gather(
+        img,
+        jnp.broadcast_to(rows, (K, P + 1, P + 1)),
+        jnp.broadcast_to(cols, (K, P + 1, P + 1)),
+    )
     w = lambda a: a[:, None, None]
-    return w(w_tl) * tl + w(w_tr) * tr + w(w_bl) * bl + w(w_br) * br
+    return (
+        w(w_tl) * R[:, :P, :P]
+        + w(w_tr) * R[:, :P, 1:]
+        + w(w_bl) * R[:, 1:, :P]
+        + w(w_br) * R[:, 1:, 1:]
+    )
 
 
 def patches_and_grads(
@@ -108,22 +121,40 @@ def patches_and_grads(
     if scale.ndim == 0:
         scale = jnp.broadcast_to(scale, pc.shape[:-1])
     u_i, v_i, (w_tl, w_tr, w_bl, w_br) = _anchor_weights(pc, scale)
-    rows, cols = _strided_grid(u_i, v_i, patch_size, scale)
+    P = patch_size
+    half = P // 2
+    # Every sample this function needs (patch, +/-1-stride neighbors for
+    # the centered differences, and their bilinear corners) lies on ONE
+    # (P+3)x(P+3) scale-strided grid around the anchor — gather it once
+    # and take static slices, instead of 20 separate (K,P,P) gathers
+    # (5 sample positions x 4 bilinear corners). Indices are formed
+    # identically and clamped identically, so this is exact-equal.
+    ext = jnp.arange(P + 3) - (half + 1)  # (P+3,)
     s = scale[:, None, None]
+    rows = v_i[:, None, None] + ext[None, :, None] * s  # (K, P+3, 1)
+    cols = u_i[:, None, None] + ext[None, None, :] * s  # (K, 1, P+3)
+    K = u_i.shape[0]
+    R = _gather(
+        img,
+        jnp.broadcast_to(rows, (K, P + 3, P + 3)),
+        jnp.broadcast_to(cols, (K, P + 3, P + 3)),
+    )
     w = lambda a: a[:, None, None]
 
-    def sample(dr, dc):
+    def sample(a, b):
+        # offsets in stride units: a,b in {-1,0,1}; grid origin at idx 1
+        r0, c0 = 1 + a, 1 + b
         return (
-            w(w_tl) * _gather(img, rows + dr, cols + dc)
-            + w(w_tr) * _gather(img, rows + dr, cols + dc + s)
-            + w(w_bl) * _gather(img, rows + dr + s, cols + dc)
-            + w(w_br) * _gather(img, rows + dr + s, cols + dc + s)
+            w(w_tl) * R[:, r0 : r0 + P, c0 : c0 + P]
+            + w(w_tr) * R[:, r0 : r0 + P, c0 + 1 : c0 + P + 1]
+            + w(w_bl) * R[:, r0 + 1 : r0 + P + 1, c0 : c0 + P]
+            + w(w_br) * R[:, r0 + 1 : r0 + P + 1, c0 + 1 : c0 + P + 1]
         )
 
     val = sample(0, 0)
     sf = s.astype(img.dtype)
-    du = 0.5 * (sample(0, s) - sample(0, -s)) / sf
-    dv = 0.5 * (sample(s, 0) - sample(-s, 0)) / sf
+    du = 0.5 * (sample(0, 1) - sample(0, -1)) / sf
+    dv = 0.5 * (sample(1, 0) - sample(-1, 0)) / sf
     return val, du, dv
 
 

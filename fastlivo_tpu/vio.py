@@ -384,63 +384,61 @@ def photometric_update(
             ],
             axis=-2,
         )
-        # Jimg (G,P,P,2) -> chain (:826-832)
-        Jimg = jnp.stack([du, dv], axis=-1)
-        JIp = jnp.einsum("gxyc,gcd->gxyd", Jimg, Jdpi)  # (G,P,P,3)
+        # chain rule (:826-832), factored so only ONE einsum touches a
+        # (G,P,P,*) tensor: h = Jimg·Jdpi·[p_hat·Jdphi_dR − Jdp_dR | −Jdp_dt]
+        # (the original JIp/Jdphi/JdR/Jdt formulation is 4 big einsums;
+        # composite-executable per-op cost makes op count the latency)
         p_hat = so3.skew(pf)  # (G,3,3)
-        Jdphi = jnp.einsum("gxyd,gde->gxye", JIp, p_hat)
-        JdR = jnp.einsum("gxye,ef->gxyf", Jdphi, Jdphi_dR) + jnp.einsum(
-            "gxyd,df->gxyf", -JIp, Jdp_dR
-        )
-        Jdt = jnp.einsum("gxyd,df->gxyf", -JIp, Jdp_dt)
-        h = jnp.concatenate([JdR, Jdt], axis=-1)  # (G,P,P,6)
+        Mg = jnp.concatenate(
+            [
+                jnp.einsum("gde,ef->gdf", p_hat, Jdphi_dR) - Jdp_dR,
+                jnp.broadcast_to(-Jdp_dt, p_hat.shape),
+            ],
+            axis=-1,
+        )  # (G,3,6)
+        N = jnp.einsum("gcd,gdf->gcf", Jdpi, Mg)  # (G,2,6)
+        Jimg = jnp.stack([du, dv], axis=-1)  # (G,P,P,2)
+        h = jnp.einsum("gxyc,gcf->gxyf", Jimg, N)  # (G,P,P,6)
         w = (tr_valid & front).astype(dtype)[:, None, None]
         res_w = res * w
         n_meas = jnp.maximum(jnp.sum(w) * P * P, 1.0)
         perr = jnp.sum(res_w * res_w, axis=(1, 2))  # (G,)
         err = jnp.sum(perr) / n_meas
         hw = (h * w[..., None]).reshape(-1, 6)
-        hf = h.reshape(-1, 6)
-        HTH6 = hw.T @ hf
-        HTz = hw.T @ res.reshape(-1)
+        # [HᵀH₆ | Hᵀz] in one (6,7) matmul (and one psum)
+        rhs = jnp.concatenate(
+            [h.reshape(-1, 6), res.reshape(-1, 1)], axis=1
+        )
+        HT = hw.T @ rhs  # (6,7)
         if axis_name is not None:
-            HTH6 = jax.lax.psum(HTH6, axis_name)
-            HTz = jax.lax.psum(HTz, axis_name)
+            HT = jax.lax.psum(HT, axis_name)
             err_num = jax.lax.psum(jnp.sum(perr), axis_name)
             n_all = jax.lax.psum(n_meas, axis_name)
             err = err_num / jnp.maximum(n_all, 1.0)
-        return err, HTH6, HTz, perr
+        return err, HT[:, 0:6], HT[:, 6], perr
+
+    # loop-invariant f64 prior terms, hoisted out of the body (the relay
+    # charges per executed op in composite executables)
+    P_ = prior.cov.astype(f64) / jnp.asarray(img_point_cov, f64)
+    prior_x = jnp.concatenate(
+        [prior.pos, prior.vel, prior.bg, prior.ba, prior.grav]
+    )  # (15,) f64
+    gain = (linalg_ops.kalman_gain6_mixed if mixed_gain
+            else linalg_ops.kalman_gain6)
 
     def body(carry):
-        (it, rot, pos, vel, bg, ba, grav,
-         o_rot, o_pos, o_vel, o_bg, o_ba, o_grav,
-         last_err, Gmat, perr_out, end) = carry
-        err, HTH6, HTz, perr = compute_err_H(rot, pos)
+        (it, rot, x, o_rot, o_x, last_err, HTH6b, perr_out, end) = carry
+        err, HTH6, HTz, perr = compute_err_H(rot, x[0:3])
         improved = err <= last_err
 
-        P_ = prior.cov.astype(f64) / jnp.asarray(img_point_cov, f64)
-        gain = (linalg_ops.kalman_gain6_mixed if mixed_gain
-                else linalg_ops.kalman_gain6)
-        K16 = gain(P_, HTH6.astype(f64))
-        G_new = K16 @ HTH6.astype(f64)
-        vec = jnp.concatenate(
-            [
-                so3.log(rot.T @ prior.rot),
-                prior.pos - pos,
-                prior.vel - vel,
-                prior.bg - bg,
-                prior.ba - ba,
-                prior.grav - grav,
-            ]
-        )
-        sol = -K16 @ HTz.astype(f64) + vec - G_new @ vec[0:6]
+        HTH6 = HTH6.astype(f64)
+        K16 = gain(P_, HTH6)
+        vec = jnp.concatenate([so3.log(rot.T @ prior.rot), prior_x - x])
+        # == -K16·HTz + vec - (K16·HTH6)·vec[:6], with K16 factored out
+        sol = vec - K16 @ (HTz.astype(f64) + HTH6 @ vec[0:6])
 
         n_rot = rot @ so3.exp(sol[0:3])
-        n_pos = pos + sol[3:6]
-        n_vel = vel + sol[6:9]
-        n_bg = bg + sol[9:12]
-        n_ba = ba + sol[12:15]
-        n_grav = grav + sol[15:18]
+        n_x = x + sol[3:18]
         conv = (jnp.linalg.norm(sol[0:3]) * 57.3 < CONV_ROT_DEG) & (
             jnp.linalg.norm(sol[3:6]) * 100.0 < CONV_POS_CM
         )
@@ -448,34 +446,36 @@ def photometric_update(
         # improved: save current as rollback point, apply solution
         # not improved: roll back to old state and stop (:889-892)
         sel = lambda a, b: jnp.where(improved, a, b)
-        rot2 = sel(n_rot, o_rot); pos2 = sel(n_pos, o_pos)
-        vel2 = sel(n_vel, o_vel); bg2 = sel(n_bg, o_bg)
-        ba2 = sel(n_ba, o_ba); grav2 = sel(n_grav, o_grav)
-        o2 = (sel(rot, o_rot), sel(pos, o_pos), sel(vel, o_vel),
-              sel(bg, o_bg), sel(ba, o_ba), sel(grav, o_grav))
         return (
-            it + 1, rot2, pos2, vel2, bg2, ba2, grav2, *o2,
+            it + 1, sel(n_rot, o_rot), sel(n_x, o_x),
+            sel(rot, o_rot), sel(x, o_x),
             jnp.where(improved, err, last_err),
-            jnp.where(improved, G_new, Gmat),
+            jnp.where(improved, HTH6, HTH6b),
             jnp.where(improved, perr, perr_out),
             end | ~improved | conv,
         )
 
+    x0 = jnp.concatenate(
+        [state.pos, state.vel, state.bg, state.ba, state.grav]
+    )
     init = (
         jnp.int32(0),
-        state.rot, state.pos, state.vel, state.bg, state.ba, state.grav,
-        state.rot, state.pos, state.vel, state.bg, state.ba, state.grav,
+        state.rot, x0, state.rot, x0,
         jnp.asarray(1e10, f64),
-        jnp.zeros((DIM_STATE, 6), f64),
+        jnp.zeros((6, 6), f64),
         jnp.full(G_, 1e10, dtype),
         jnp.bool_(False),
     )
     out = jax.lax.while_loop(
         lambda c: (~c[-1]) & (c[0] < max_iter), body, init
     )
-    (it, rot, pos, vel, bg, ba, grav, *_rest) = out
-    last_err, Gmat, perr = out[13], out[14], out[15]
-    new_state = NavState(rot, pos, vel, bg, ba, grav, state.cov)
+    (it, rot, x, _o_rot, _o_x, last_err, HTH6b, perr, _end) = out
+    # G = K·HᵀH of the last accepted iteration, reconstructed ONCE here
+    # instead of materializing an (18,6) product every iteration; zero
+    # when nothing was tracked (HTH6b = 0 ⇒ K·0 = 0)
+    Gmat = gain(P_, HTH6b) @ HTH6b
+    new_state = NavState(rot, x[0:3], x[3:6], x[6:9], x[9:12], x[12:15],
+                         state.cov)
     return new_state, Gmat, perr, last_err, it
 
 
