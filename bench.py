@@ -257,15 +257,12 @@ def bench_vio(mixed_gain: bool = False):
 
     @jax.jit
     def run(state):
-        # all 3 coarse-to-fine levels in ONE dispatch (the shipped
-        # vio_frame_step shape: one host->device round trip per frame)
-        s, its_total = state, jnp.int32(0)
-        for level in (2, 1, 0):
-            s, _, _, _, its = vio_mod.photometric_update(
-                s, prior, cam, img, tr_pos, tr_patch, tr_sl, tr_v,
-                Rci, Pci, Jdphi_dR, Jdp_dR, level=level, **args,
-            )
-            its_total = its_total + its
+        # all 3 coarse-to-fine levels in ONE dispatch AND one while_loop
+        # (the shipped vio_frame_step shape)
+        s, _, _, _, its_total = vio_mod.photometric_update_levels(
+            state, prior, cam, img, tr_pos, tr_patch, tr_sl, tr_v,
+            Rci, Pci, Jdphi_dR, Jdp_dR, levels=(2, 1, 0), **args,
+        )
         return s, its_total
 
     s, its_total = run(state)

@@ -357,12 +357,57 @@ def photometric_update(
     Multi-chip: with the tracked set row-partitioned over `axis_name`
     (image + map replicated), the HtH/Htz partials and the error
     normalization are psum-all-reduced, mirroring lio.lio_update."""
+    return photometric_update_levels(
+        state, prior, cam, img, tr_pos, tr_patch, tr_slevel, tr_valid,
+        Rci, Pci, Jdphi_dR, Jdp_dR, img_point_cov, patch_size,
+        levels=(level,), max_iter=max_iter, axis_name=axis_name,
+        mixed_gain=mixed_gain,
+    )
+
+
+def photometric_update_levels(
+    state: NavState,
+    prior: NavState,
+    cam: cam_mod.Camera,
+    img: jnp.ndarray,
+    tr_pos: jnp.ndarray,  # (G, 3)
+    tr_patch: jnp.ndarray,  # (G, 3, P, P)
+    tr_slevel: jnp.ndarray,  # (G,)
+    tr_valid: jnp.ndarray,  # (G,)
+    Rci: jnp.ndarray,  # (3,3) f32
+    Pci: jnp.ndarray,  # (3,)
+    Jdphi_dR: jnp.ndarray,  # (3,3)
+    Jdp_dR: jnp.ndarray,  # (3,3)
+    img_point_cov: float,
+    patch_size: int,
+    levels: tuple = (2, 1, 0),
+    max_iter: int = 10,
+    axis_name: str | None = None,
+    mixed_gain: bool = False,
+):
+    """The coarse-to-fine UpdateState cascade in ONE while_loop.
+
+    The reference runs UpdateState once per pyramid level (level 2 -> 0,
+    lidar_selection.cpp:1052-1066); a naive transcription is one
+    while_loop per level. Here the level index is part of the loop carry:
+    when a level converges / rolls back / exhausts max_iter, the carry
+    advances to the next level and resets the per-level protocol state
+    (last_err, rollback anchor, HtH) exactly as a fresh UpdateState call
+    would — same iteration sequence, one loop. Returns
+    (state, G (18,6) f64, per-point errors, mean_error, iters_total)
+    where the G/errors are the LAST level's (what `detect` consumes)."""
     G_, P = tr_pos.shape[0], patch_size
     dtype = img.dtype
     f64 = jnp.float64
-    scale = (1 << level) * (2 ** tr_slevel)  # (G,) int
+    lv_arr = jnp.asarray(levels, jnp.int32)
+    n_lv = len(levels)
+    if max_iter <= 0:
+        return (state, jnp.zeros((DIM_STATE, 6), f64),
+                jnp.full(G_, 1e10, dtype), jnp.asarray(1e10, f64),
+                jnp.int32(0))
 
-    def compute_err_H(rot, pos):
+    def compute_err_H(rot, pos, level):
+        scale = (jnp.int32(1) << level) * (2 ** tr_slevel)  # (G,) int
         rot32 = rot.astype(dtype)
         pos32 = pos.astype(dtype)
         rcw = Rci @ rot32.T
@@ -427,8 +472,9 @@ def photometric_update(
             else linalg_ops.kalman_gain6)
 
     def body(carry):
-        (it, rot, x, o_rot, o_x, last_err, HTH6b, perr_out, end) = carry
-        err, HTH6, HTz, perr = compute_err_H(rot, x[0:3])
+        (it_l, its, li, rot, x, o_rot, o_x, last_err, HTH6b, perr_out,
+         done) = carry
+        err, HTH6, HTz, perr = compute_err_H(rot, x[0:3], lv_arr[li])
         improved = err <= last_err
 
         HTH6 = HTH6.astype(f64)
@@ -446,30 +492,45 @@ def photometric_update(
         # improved: save current as rollback point, apply solution
         # not improved: roll back to old state and stop (:889-892)
         sel = lambda a, b: jnp.where(improved, a, b)
+        rot2, x2 = sel(n_rot, o_rot), sel(n_x, o_x)
+        o_rot2, o_x2 = sel(rot, o_rot), sel(x, o_x)
+        last_err2 = jnp.where(improved, err, last_err)
+        HTH6b2 = jnp.where(improved, HTH6, HTH6b)
+        perr2 = jnp.where(improved, perr, perr_out)
+
+        # level transition: this level stops on rollback / convergence /
+        # iteration budget; the next level starts from a fresh
+        # UpdateState protocol state (:1052-1066 call boundary)
+        level_done = (~improved) | conv | (it_l + 1 >= max_iter)
+        done2 = done | (level_done & (li == n_lv - 1))
+        advance = level_done & ~done2
         return (
-            it + 1, sel(n_rot, o_rot), sel(n_x, o_x),
-            sel(rot, o_rot), sel(x, o_x),
-            jnp.where(improved, err, last_err),
-            jnp.where(improved, HTH6, HTH6b),
-            jnp.where(improved, perr, perr_out),
-            end | ~improved | conv,
+            jnp.where(level_done, 0, it_l + 1),
+            its + 1,
+            jnp.where(advance, li + 1, li),
+            rot2, x2,
+            jnp.where(advance, rot2, o_rot2),
+            jnp.where(advance, x2, o_x2),
+            jnp.where(advance, jnp.asarray(1e10, f64), last_err2),
+            jnp.where(advance, jnp.zeros((6, 6), f64), HTH6b2),
+            jnp.where(advance, jnp.full(G_, 1e10, dtype), perr2),
+            done2,
         )
 
     x0 = jnp.concatenate(
         [state.pos, state.vel, state.bg, state.ba, state.grav]
     )
     init = (
-        jnp.int32(0),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0),
         state.rot, x0, state.rot, x0,
         jnp.asarray(1e10, f64),
         jnp.zeros((6, 6), f64),
         jnp.full(G_, 1e10, dtype),
         jnp.bool_(False),
     )
-    out = jax.lax.while_loop(
-        lambda c: (~c[-1]) & (c[0] < max_iter), body, init
-    )
-    (it, rot, x, _o_rot, _o_x, last_err, HTH6b, perr, _end) = out
+    out = jax.lax.while_loop(lambda c: ~c[-1], body, init)
+    (_it_l, it, _li, rot, x, _o_rot, _o_x, last_err, HTH6b, perr,
+     _done) = out
     # G = K·HᵀH of the last accepted iteration, reconstructed ONCE here
     # instead of materializing an (18,6) product every iteration; zero
     # when nothing was tracked (HTH6b = 0 ⇒ K·0 = 0)
@@ -575,20 +636,13 @@ def vio_frame_step(
         grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
     )
 
-    st = state
-    Gmat = jnp.zeros((DIM_STATE, 6), jnp.float64)
-    perr = jnp.zeros(tracked.idx.shape[0], f32)
-    err = jnp.asarray(0.0, jnp.float64)
-    its = jnp.int32(0)
-    for level in (2, 1, 0):
-        st, Gmat, perr, err, it_l = photometric_update(
-            st, prior, cam, gray,
-            tracked.pos, tracked.patch, tracked.search_level, tracked.valid,
-            Rci, Pci, Jdphi_dR, Jdp_dR,
-            img_point_cov=img_point_cov, patch_size=patch_size,
-            level=level, max_iter=max_iter,
-        )
-        its = its + it_l
+    st, Gmat, perr, err, its = photometric_update_levels(
+        state, prior, cam, gray,
+        tracked.pos, tracked.patch, tracked.search_level, tracked.valid,
+        Rci, Pci, Jdphi_dR, Jdp_dR,
+        img_point_cov=img_point_cov, patch_size=patch_size,
+        levels=(2, 1, 0), max_iter=max_iter,
+    )
     # cov <- cov - G cov (:980); Gmat = 0 when nothing was tracked
     st = st._replace(cov=st.cov - Gmat @ st.cov[0:6, :])
 
