@@ -4,9 +4,9 @@ The reference consumes its benchmark datasets exclusively as ROS1 bags
 (README.md:118-138); this module replaces the rosbag/roscpp transport
 stack for offline replay. Supports:
 
-  - bag format v2.0: record framing, chunk records with `none` and
-    `bz2` compression (lz4 raises — the package is not available here),
-    connection records, message records;
+  - bag format v2.0: record framing, chunk records with `none`, `bz2`
+    and `lz4` compression (the roslz4 frame format, decoded by the
+    pure-Python `io.lz4` module), connection records, message records;
   - decoders for the message types the reference subscribes to
     (laserMapping.cpp:1146-1150): livox_ros_driver/CustomMsg,
     sensor_msgs/PointCloud2 (velodyne/ouster/xt32 layouts),
@@ -24,6 +24,8 @@ from pathlib import Path
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
+
+from . import lz4
 
 MAGIC = b"#ROSBAG V2.0\n"
 
@@ -277,6 +279,8 @@ def read_bag(
                 block = rec
             elif comp == "bz2":
                 block = bz2.decompress(rec)
+            elif comp == "lz4":
+                block = lz4.decompress_frame(rec)
             else:
                 raise NotImplementedError(f"chunk compression {comp!r}")
             for h2, r2 in _records(block):

@@ -105,9 +105,17 @@ def _dir_of(m: TiledMap, tkey: jnp.ndarray):
 def insert(m: TiledMap, pts: jnp.ndarray, valid: jnp.ndarray,
            max_probe: int = 0) -> TiledMap:
     """Insert-with-downsample (ikd_Tree.cpp:391-417 semantics).
-    `max_probe` accepted (ignored) for API parity."""
+    `max_probe` accepted (ignored) for API parity.
+
+    ONE sort serves both winner selections: the key packs
+    (dir_idx, in-tile cell, distance-to-center bits), so the head of
+    each dir_idx group is the tile winner (any point of the tile writes
+    identical directory values) and the head of each (dir_idx, cell)
+    group is the nearest-to-center cell winner. The relay charges
+    composites per executed op — two argsorts were the insert's cost."""
     T = m.slot_key.shape[0]
     D = m.dir_check.shape[0]
+    assert D <= 1 << 22, "directory too large for the packed sort key"
     B = pts.shape[0]
     vs = m.voxel_size
     keys = voxel_of(pts, vs)
@@ -116,20 +124,35 @@ def insert(m: TiledMap, pts: jnp.ndarray, valid: jnp.ndarray,
 
     cur_chk = m.dir_check[dir_idx]
     cur_slot = m.dir_slot[dir_idx]
-    miss = valid & (cur_chk != chk)
 
-    # -- one winner per missing tile, via a single sort (no grid scatter)
-    rows = jnp.arange(B, dtype=jnp.int32)
-    sort_key = jnp.where(miss, dir_idx, D).astype(jnp.int64) * B + rows
-    order = jnp.argsort(sort_key)
-    sorted_dir = jnp.where(miss, dir_idx, D)[order]
-    head = jnp.concatenate(
-        [jnp.ones(1, bool), sorted_dir[1:] != sorted_dir[:-1]]
-    ) & (sorted_dir < D)
-    is_winner = jnp.zeros(B, bool).at[order].set(head)
+    center = (keys.astype(pts.dtype) + 0.5) * vs
+    d2c = jnp.sum((pts - center) ** 2, axis=-1)
+    d2c_bits = jax.lax.bitcast_convert_type(
+        d2c.astype(jnp.float32), jnp.int32
+    ).astype(jnp.int64)  # non-negative float: bit order == value order
+    gkey = (dir_idx.astype(jnp.int64) << 40) | (
+        cofs.astype(jnp.int64) << 31) | d2c_bits
+    gkey = jnp.where(valid, gkey, jnp.int64(D) << 40)  # invalid -> end
+    order = jnp.argsort(gkey)
+    sg = gkey[order]
+    sdir = sg >> 40  # == dir_idx for valid rows, D for invalid
+    scell = sg >> 31  # == (dir_idx << 9) | cofs for valid rows
+    tile_head = jnp.concatenate(
+        [jnp.ones(1, bool), sdir[1:] != sdir[:-1]]
+    ) & (sdir < D)
+    cell_head = jnp.concatenate(
+        [jnp.ones(1, bool), scell[1:] != scell[:-1]]
+    ) & (sdir < D)
+    packed = jnp.zeros(B, jnp.int32).at[order].set(
+        tile_head.astype(jnp.int32) | (cell_head.astype(jnp.int32) << 1)
+    )
+    is_winner = (packed & 1) != 0
+    cell_winner = (packed & 2) != 0
 
     # aliased tiles reuse the evicted occupant's slot (old cells
-    # self-invalidate by hash mismatch); fresh tiles allocate
+    # self-invalidate by hash mismatch); fresh tiles allocate. Heads of
+    # already-live tiles take the aliased branch and rewrite their
+    # current directory values (harmless no-op writes).
     aliased = is_winner & (cur_chk != EMPTY_CHECK)
     fresh = is_winner & (cur_chk == EMPTY_CHECK)
     rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
@@ -153,24 +176,10 @@ def insert(m: TiledMap, pts: jnp.ndarray, valid: jnp.ndarray,
     ok = valid & (got_chk == chk)
     pool_idx = jnp.clip(slot, 0, T - 1) * TC + cofs
 
-    # -- in-batch nearest-to-center winner per cell: one int64 sort
-    center = (keys.astype(pts.dtype) + 0.5) * vs
-    d2c = jnp.sum((pts - center) ** 2, axis=-1)
-    d2c_bits = jax.lax.bitcast_convert_type(
-        d2c.astype(jnp.float32), jnp.int32
-    ).astype(jnp.int64)
-    ckey = jnp.where(ok, pool_idx, T * TC).astype(jnp.int64) << 31 | d2c_bits
-    corder = jnp.argsort(ckey)
-    csorted = jnp.where(ok, pool_idx, T * TC)[corder]
-    chead = jnp.concatenate(
-        [jnp.ones(1, bool), csorted[1:] != csorted[:-1]]
-    ) & (csorted < T * TC)
-    cell_winner = jnp.zeros(B, bool).at[corder].set(chead)
-
     stored = m.pts[pool_idx]
     stored_live = m.cell_check[pool_idx] == chk
     stored_d2c = jnp.sum((stored - center) ** 2, axis=-1)
-    write = cell_winner & (~stored_live | (d2c < stored_d2c))
+    write = cell_winner & ok & (~stored_live | (d2c < stored_d2c))
     pidx = jnp.where(write, pool_idx, T * TC)
     cell_check2 = m.cell_check.at[pidx].set(chk, mode="drop")
     pts2 = m.pts.at[pidx].set(pts, mode="drop")

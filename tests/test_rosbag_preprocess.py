@@ -108,7 +108,14 @@ def build_bag(path, chunks):
                  b"time": struct.pack("<II", secs, nsecs)},
                 raw,
             )
-        data = bz2.compress(inner) if comp == "bz2" else inner
+        if comp == "bz2":
+            data = bz2.compress(inner)
+        elif comp == "lz4":
+            from fastlivo_tpu.io import lz4 as lz4_mod
+
+            data = lz4_mod.compress_frame(inner)
+        else:
+            data = inner
         blob += _record(
             {b"op": b"\x05", b"compression": comp.encode(),
              b"size": struct.pack("<I", len(inner))},
@@ -153,6 +160,57 @@ def test_roundtrip_bag(tmp_path):
     np.testing.assert_allclose(m2["points"]["x"], [1, 0, 0])
     np.testing.assert_allclose(m2["points"]["time"], [0, 0.01, 0.02], atol=1e-8)
     assert m2["points"]["ring"].tolist() == [0, 1, 2]
+
+
+def test_lz4_block_and_frame_roundtrip():
+    """Pure-Python LZ4 (io/lz4.py): known xxh32 vector, block round-trips
+    covering literal-only / matched / overlapping-match paths, frame
+    checksum enforcement."""
+    import random
+
+    from fastlivo_tpu.io import lz4
+
+    assert lz4.xxh32(b"") == 0x02CC5D05  # reference test vector
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"x",
+        b"abcd" * 200,              # long matches
+        b"ab" * 30000,              # overlapping matches (offset < len)
+        bytes(rng.getrandbits(8) for _ in range(5000)),  # incompressible
+        bytes(2048),                # zero runs
+        bytes(rng.getrandbits(8) for _ in range(64)) * 500,
+    ]
+    for c in cases:
+        frame = lz4.compress_frame(c)
+        assert lz4.decompress_frame(frame) == c
+    # corrupt one content byte -> the content checksum must catch it
+    frame = bytearray(lz4.compress_frame(b"fastlivo " * 1000))
+    frame[len(frame) // 2] ^= 0xFF
+    try:
+        lz4.decompress_frame(bytes(frame))
+        assert False, "corruption went undetected"
+    except ValueError:
+        pass
+
+
+def test_lz4_compressed_bag_chunk(tmp_path):
+    """An lz4-compressed chunk decodes through read_bag like bz2/none
+    (rosbag storage spec's lz4 chunk compression, via roslz4 framing)."""
+    bag = tmp_path / "lz.bag"
+    build_bag(bag, [
+        ("lz4", [
+            (0, "/livox/imu", "sensor_msgs/Imu", 5.0,
+             make_imu_msg(5.0, [0, 0, 9.8], [0.0, 0.02, 0.0])),
+            (0, "/livox/imu", "sensor_msgs/Imu", 5.01,
+             make_imu_msg(5.01, [0, 0.1, 9.8], [0.0, 0.02, 0.0])),
+        ]),
+    ])
+    got = list(rb.read_bag(bag))
+    assert len(got) == 2
+    _, ty, _, m = got[1]
+    assert ty == "sensor_msgs/Imu"
+    np.testing.assert_allclose(m["acc"], [0, 0.1, 9.8])
 
 
 def test_decode_avia_gates():
