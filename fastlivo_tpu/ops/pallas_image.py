@@ -1,29 +1,48 @@
-"""Pallas TPU kernel: fused patch + gradient sampling from a VMEM image.
+"""Pallas TPU kernel: fused patch + gradient sampling, MXU formulation.
 
 The VIO hot loop samples, per tracked point and EKF iteration, an 8x8
-patch and its centered-difference gradients at a scale-strided grid
+patch plus centered-difference gradients on a scale-strided grid
 (`ops/image.patches_and_grads`, = lidar_selection.cpp:805-832). The XLA
-version issues 12 gathers of (K, P, P) indices into the HBM-resident
-image; this kernel instead keeps the whole grayscale image in VMEM
-(640x512 f32 = 1.3 MB << 16 MB) and walks the tracked points on the
-grid, each step doing one dynamic-sliced window load plus vectorized
-strided taps — no HBM traffic after the initial image load.
+version issues strided gathers of (K, P+3, P+3) indices into the
+HBM-resident image. This kernel instead keeps the whole grayscale image
+resident in VMEM (640x512 f32 = 1.3 MB << 16 MB) and extracts each
+point's (P+3)x(P+3) strided tap grid with TWO one-hot matmuls on the
+MXU — TPUs have no efficient in-kernel gather, but a selection matmul
+against iota-comparison one-hot matrices IS the hardware's gather:
 
-Supported scales: 1, 2, 4, 8, 16 (= 1 << (pyramid_level + search_level)
-with pyramid <= 2, search <= 2). Each scale is a static `lax.switch`
-branch so every slice has static shape.
+    G = R @ window @ C        R: (16, ROWS) one-hot rows (strided taps)
+                              C: (W, 128)  one-hot cols (strided taps)
 
-`patches_and_grads_pallas` matches `ops.image.patches_and_grads`
-bit-for-bit on in-bounds anchors (verified in tests, interpret mode on
-CPU); out-of-range anchors are clamped to keep slices in-bounds, like
-the XLA version's clamped gathers.
+with `Precision.HIGHEST` both matmuls move exactly one f32 image value
+per output element, so G is an EXACT gather. The bilinear weighting and
+centered differences then use the same arithmetic as the XLA version
+(static (P,P) slices of G), giving bit-identical results.
 
-STATUS: interpret-mode verified; NOT compilable in this container — the
-axon relay's remote-compile helper rejects Mosaic kernels (HTTP 500 on
-even a minimal valid kernel; jnp.clip on prefetch scalars and
-lax.switch additionally recurse in the local Mosaic lowering of this
-jax version). Wire it into vio.photometric_update once running against
-a directly-attached TPU.
+Mosaic lowering constraints discovered on this toolchain (jax 0.9.0,
+axon remote-compile), which shaped the design:
+  - dynamic slices must be *provably* sublane-aligned: `x_ref[pl.dslice(
+    (v // 8) * 8, ROWS), :]` compiles, an unproven start HTTP-500s;
+  - the lane (last) dim cannot be dynamically sliced at all — hence the
+    one-hot matmul column selection;
+  - strided loads, gather/scatter (`.at[].set`), reshape-with-stride all
+    fail to lower; `lax.switch`, `fori_loop`, f32 scalar prefetch, and
+    static value slices all work.
+
+Out-of-range anchors are clamped tap-by-tap to the image border exactly
+like the XLA `_gather` clamp, so results match everywhere including the
+borders (callers gate with isInFrame margins first, matching the
+reference lidar_selection.cpp:749-758).
+
+STATUS: compiles and runs on the TPU (v5e through the axon relay);
+verified BIT-EXACT vs ops.image.patches_and_grads at K=400 over all
+scales including border clamps. Measured A/B (2026-08-17, serial
+in-dispatch repetition to exclude dispatch overhead): XLA gather path
+35 us/call vs this kernel 541 us/call at K=400 — the per-point
+(16,ROWS)x(ROWS,W) selection matmuls at Precision.HIGHEST underutilize
+the 128x128 MXU ~8x, while XLA lowers the strided gathers efficiently.
+The XLA path therefore remains the production default; this kernel is
+the validated in-kernel-gather recipe for ops where XLA's lowering is
+NOT efficient (and the record of this toolchain's lowering limits).
 """
 from __future__ import annotations
 
@@ -34,126 +53,140 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SCALES = (1, 2, 4, 8, 16)
+from fastlivo_tpu.ops.image import _anchor_weights
+
+MAX_SCALE = 16  # 1 << (pyramid_level + search_level), both <= 2
 
 
-def _kernel(ui_ref, vi_ref, sidx_ref, wtl_ref, wtr_ref, wbl_ref, wbr_ref,
-            img_ref, val_ref, du_ref, dv_ref,
-            *, patch_size: int, scales: tuple):
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(u_ref, v_ref, s_ref, su_ref, sv_ref, img_ref,
+            val_ref, du_ref, dv_ref,
+            *, patch_size: int, rows: int, h_real: int, w_real: int,
+            h_pad: int, grows: int):
     P = patch_size
     half = P // 2
     i = pl.program_id(0)
-    u0 = ui_ref[i]
-    v0 = vi_ref[i]
-    sidx = sidx_ref[i]
-    H, W = img_ref.shape
+    u0 = u_ref[i]
+    v0 = v_ref[i]
+    s = s_ref[i]
+    su = su_ref[i]
+    sv = sv_ref[i]
+    W = img_ref.shape[1]
 
-    # float scalar reads from SMEM recurse in the Mosaic lowering on this
-    # jax version; weights travel as int32 bit patterns instead
-    def fbits(x):
-        return jax.lax.bitcast_convert_type(x, jnp.float32)
+    # Aligned VMEM window covering every row tap v0 + (e-(half+1))*s,
+    # e in [0, P+3), after border clamping. Alignment must be provable
+    # (see module docstring), hence the explicit //8*8. All scalar math
+    # stays in lax + explicit int32: with x64 enabled, jnp's binop
+    # promotion recurses when tracing pallas SMEM scalars.
+    i32 = lambda c: jnp.int32(c)
+    start = jax.lax.max(
+        jax.lax.min(
+            jax.lax.sub(v0, jax.lax.mul(s, i32(half + 1))),
+            i32(h_pad - rows)),
+        i32(0))
+    v0a = jax.lax.mul(jax.lax.div(start, i32(8)), i32(8))
+    win = img_ref[pl.dslice(v0a, rows), :]  # (rows, W)
 
-    w_tl = fbits(wtl_ref[i])
-    w_tr = fbits(wtr_ref[i])
-    w_bl = fbits(wbl_ref[i])
-    w_br = fbits(wbr_ref[i])
+    # Row-tap one-hot: R[e, r] = [r == clamp(v0+(e-half-1)s) - v0a]
+    ei = jax.lax.broadcasted_iota(jnp.int32, (grows, rows), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (grows, rows), 1)
+    trow = jax.lax.clamp(
+        i32(0), (ei - i32(half + 1)) * s + v0, i32(h_real - 1)) - v0a
+    R = ((ri == trow) & (ei < i32(P + 3))).astype(jnp.float32)
+    M = jax.lax.dot_general(R, win, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
 
-    def branch(s):
-        # window spans taps at rows v0 + (x-half)*s .. +s and the +/-s
-        # gradient taps: origin v0-(half+1)*s, size (P+3)*s
-        size = (P + 3) * s
+    # Col-tap one-hot: C[c, f] = [c == clamp(u0+(f-half-1)s)]
+    ci = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+    tcol = jax.lax.clamp(
+        i32(0), (fi - i32(half + 1)) * s + u0, i32(w_real - 1))
+    C = ((ci == tcol) & (fi < i32(P + 3))).astype(jnp.float32)
+    G = jax.lax.dot_general(M, C, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    # G[e, f] == img[clamp(v0+(e-half-1)s), clamp(u0+(f-half-1)s)], exact
 
-        def body():
-            r0 = jax.lax.clamp(jnp.int32(0), v0 - (half + 1) * s,
-                               jnp.int32(H - size))
-            c0 = jax.lax.clamp(jnp.int32(0), u0 - (half + 1) * s,
-                               jnp.int32(W - size))
-            win = img_ref[pl.ds(r0, size), pl.ds(c0, size)]  # (size, size)
+    w_tl = (1.0 - su) * (1.0 - sv)
+    w_tr = su * (1.0 - sv)
+    w_bl = (1.0 - su) * sv
+    w_br = su * sv
 
-            def tap(dr, dc):
-                # anchor of patch(0,0) inside the window is (x+1)*s rows
-                return jax.lax.slice(
-                    win,
-                    (s + dr, s + dc),
-                    (s + dr + P * s, s + dc + P * s),
-                    (s, s),
-                )  # (P, P)
+    def sample(a, b):
+        # identical association to ops.image.patches_and_grads.sample
+        r0, c0 = 1 + a, 1 + b
+        return (
+            w_tl * G[r0:r0 + P, c0:c0 + P]
+            + w_tr * G[r0:r0 + P, c0 + 1:c0 + P + 1]
+            + w_bl * G[r0 + 1:r0 + P + 1, c0:c0 + P]
+            + w_br * G[r0 + 1:r0 + P + 1, c0 + 1:c0 + P + 1]
+        )
 
-            def sample(dr, dc):
-                return (
-                    w_tl * tap(dr, dc)
-                    + w_tr * tap(dr, dc + s)
-                    + w_bl * tap(dr + s, dc)
-                    + w_br * tap(dr + s, dc + s)
-                )
-
-            val = sample(0, 0)
-            sf = jnp.float32(s)
-            du = 0.5 * (sample(0, s) - sample(0, -s)) / sf
-            dv = 0.5 * (sample(s, 0) - sample(-s, 0)) / sf
-            return val, du, dv
-
-        return body
-
-    val, du, dv = jax.lax.switch(
-        jnp.clip(sidx, 0, len(scales) - 1),
-        [branch(s) for s in scales],
-    )
-    val_ref[0] = val
-    du_ref[0] = du
-    dv_ref[0] = dv
+    sfl = jax.lax.convert_element_type(s, jnp.float32)
+    val_ref[:, :P] = sample(0, 0)
+    du_ref[:, :P] = 0.5 * (sample(0, 1) - sample(0, -1)) / sfl
+    dv_ref[:, :P] = 0.5 * (sample(1, 0) - sample(-1, 0)) / sfl
 
 
 @functools.partial(jax.jit, static_argnames=("patch_size", "interpret"))
 def patches_and_grads_pallas(
     img: jnp.ndarray,  # (H, W) f32
     pc: jnp.ndarray,  # (K, 2) f32 centers
-    scale: jnp.ndarray,  # (K,) int32, each in SCALES
+    scale: jnp.ndarray,  # (K,) int32, 1..MAX_SCALE
     patch_size: int = 8,
     interpret: bool = False,
 ):
-    """Fused (val, du, dv) sampling; same contract as
-    ops.image.patches_and_grads but `scale` must be one of SCALES."""
+    """Fused (val, du, dv) sampling; same contract and bit-identical
+    output vs ops.image.patches_and_grads for scales in [1, MAX_SCALE]."""
     K = pc.shape[0]
     P = patch_size
-    scale = scale.astype(jnp.int32)
-    u, v = pc[:, 0], pc[:, 1]
-    sf = scale.astype(img.dtype)
-    u_i = jnp.floor(u / sf).astype(jnp.int32) * scale
-    v_i = jnp.floor(v / sf).astype(jnp.int32) * scale
-    su = (u - u_i) / sf
-    sv = (v - v_i) / sf
-    bits = lambda x: jax.lax.bitcast_convert_type(
-        x.astype(jnp.float32), jnp.int32
-    )
-    w_tl = bits((1 - su) * (1 - sv))
-    w_tr = bits(su * (1 - sv))
-    w_bl = bits((1 - su) * sv)
-    w_br = bits(su * sv)
-    # branches must have in-bounds static window shapes: only scales whose
-    # (P+3)*s window fits the image get a branch (a prefix of SCALES)
     H, W = img.shape
-    allowed = tuple(s for s in SCALES if (P + 3) * s <= min(H, W))
-    sidx = jnp.round(jnp.log2(sf)).astype(jnp.int32)
-    sidx = jnp.minimum(sidx, len(allowed) - 1)
+    scale = jnp.clip(jnp.asarray(scale, jnp.int32), 1, MAX_SCALE)
+    if scale.ndim == 0:
+        scale = jnp.broadcast_to(scale, (K,))
+    u_i, v_i, (w_tl, w_tr, _, _) = _anchor_weights(pc, scale)
+    # recover su/sv from the weights' factors: w_tl=(1-su)(1-sv), but the
+    # direct form is cheaper and identical to _anchor_weights' internals
+    sf = scale.astype(img.dtype)
+    su = (pc[:, 0] - u_i) / sf
+    sv = (pc[:, 1] - v_i) / sf
+
+    rows = min(_round_up((P + 2) * MAX_SCALE + 8, 8), _round_up(H, 8))
+    grows = _round_up(P + 3, 8)
+    h_pad = max(_round_up(H, 8), rows)
+    w_pad = _round_up(W, 128)
+    if (h_pad, w_pad) != (H, W):
+        img = jnp.pad(img, ((0, h_pad - H), (0, w_pad - W)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,  # u_i, v_i, sidx + 4 weight bit patterns
+        num_scalar_prefetch=5,  # u_i, v_i, scale, su, sv (1-D each:
+        # 2-D SMEM prefetch arrays fail to legalize in the index maps)
         grid=(K,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # image (whole, resident)
-        ],
+        # Whole image resident in VMEM across the grid (constant index
+        # map). Index-map constants MUST be explicit int32: the package
+        # enables x64, under which plain-int returns trace to i64 and
+        # Mosaic fails to legalize the transform function.
+        in_specs=[pl.BlockSpec(
+            (h_pad, w_pad), lambda i, *_: (jnp.int32(0), jnp.int32(0)))],
         out_specs=[
-            pl.BlockSpec((1, P, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, P, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, P, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((P, 128), lambda i, *_: (i, jnp.int32(0))),
+            pl.BlockSpec((P, 128), lambda i, *_: (i, jnp.int32(0))),
+            pl.BlockSpec((P, 128), lambda i, *_: (i, jnp.int32(0))),
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((K, P, P), img.dtype)] * 3
+    out_shape = [jax.ShapeDtypeStruct((K * P, 128), jnp.float32)] * 3
     val, du, dv = pl.pallas_call(
-        functools.partial(_kernel, patch_size=P, scales=allowed),
+        functools.partial(
+            _kernel, patch_size=P, rows=rows, h_real=H, w_real=W,
+            h_pad=h_pad, grows=grows),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(u_i, v_i, sidx, w_tl, w_tr, w_bl, w_br, img)
-    return val, du, dv
+    )(u_i.astype(jnp.int32), v_i.astype(jnp.int32), scale,
+      su.astype(jnp.float32), sv.astype(jnp.float32),
+      img.astype(jnp.float32))
+    shape = (K, P, 128)
+    return (val.reshape(shape)[:, :, :P], du.reshape(shape)[:, :, :P],
+            dv.reshape(shape)[:, :, :P])
