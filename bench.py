@@ -267,20 +267,28 @@ def bench_vio(mixed_gain: bool = False):
 
     s, its_total = run(state)
     jax.block_until_ready(s.pos)  # compile + warmup
-    times, rows = [], []
+    times, its = [], []
     for _ in range(max(REPS // 3, 5)):
         t0 = time.perf_counter()
         s, its_total = run(state)
         jax.block_until_ready(s.pos)
         times.append(time.perf_counter() - t0)
-        rows.append(int(its_total) * VIO_PTS * P * P)
+        # DEFER the its_total readback: the first device->host transfer
+        # of any size flips the relay session into a ~27 ms blocking-
+        # dispatch mode (see voxel_map._mix64_np), which would poison
+        # every subsequent timed section of this bench
+        its.append(its_total)
     times = np.asarray(times)
-    rows = np.asarray(rows, float)
-    return {
-        "vio_pixels_per_sec": float((rows / times).mean()),
-        "vio_iters_per_frame": float(np.mean(rows) / (VIO_PTS * P * P)),
-        "vio_ms_mean": times.mean() * 1e3,
-    }
+
+    def finish():
+        rows = np.asarray([int(i) for i in its], float) * (VIO_PTS * P * P)
+        return {
+            "vio_pixels_per_sec": float((rows / times).mean()),
+            "vio_iters_per_frame": float(np.mean(rows) / (VIO_PTS * P * P)),
+            "vio_ms_mean": times.mean() * 1e3,
+        }
+
+    return finish
 
 
 def bench_block(K=8):
@@ -411,9 +419,9 @@ def main():
             lid_dense = None
     _progress("vio start")
     try:
-        vio = bench_vio()
+        vio_finish = bench_vio()
     except Exception:
-        vio = None
+        vio_finish = None
     _progress("vio done")
     blk = None
     if os.environ.get("FASTLIVO_BENCH_BLOCK"):
@@ -421,7 +429,16 @@ def main():
             blk = bench_block()
         except Exception:
             blk = None
+    # overhead BEFORE any deferred readback: with the readback-free
+    # ordering the session should still be untainted here, so this
+    # measures the floor the timed sections actually ran under
     overhead_ms = measured_dispatch_overhead()
+    vio = None
+    if vio_finish is not None:
+        try:
+            vio = vio_finish()  # materializes deferred device scalars
+        except Exception:
+            vio = None
     _progress("overhead done; baseline start")
     base = measured_cpp_baseline()
     _progress("baseline done")

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .voxel_map import BIG, EMPTY_CHECK, _mix64, _neighbor_offsets, voxel_of
+from .voxel_map import (
+    BIG, EMPTY_CHECK, _mix64, _mix64_np, _neighbor_offsets, voxel_of,
+)
 
 
 class DenseMap(NamedTuple):
@@ -176,9 +178,9 @@ def build_host(pts: np.ndarray, dims=(256, 256, 64),
     kz = keys[:, 2] & ((1 << l2[2]) - 1)
     cell = ((kx.astype(np.int64) << (l2[1] + l2[2]))
             | (ky.astype(np.int64) << l2[2]) | kz.astype(np.int64))
-    chk = np.asarray(
-        (_mix64(jnp.asarray(keys)) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    )
+    # host-side hash (a device readback here would taint the relay
+    # session's dispatch floor — see voxel_map._mix64_np)
+    chk = (_mix64_np(keys) & np.uint32(0x7FFFFFFF)).astype(np.int32)
     order = np.lexsort((d2c, cell))
     cs = cell[order]
     head = np.ones(len(cs), bool)

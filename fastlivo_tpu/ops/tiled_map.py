@@ -38,7 +38,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .voxel_map import BIG, EMPTY_CHECK, _mix64, _neighbor_offsets, voxel_of
+from .voxel_map import (
+    BIG, EMPTY_CHECK, _mix64, _mix64_np, _neighbor_offsets, voxel_of,
+)
 
 TS = 8  # tile side (voxels); tile = TS^3 = 512 cells
 TC = TS * TS * TS
@@ -329,9 +331,10 @@ def build_host(pts: np.ndarray, dims=(128, 128, 64), pool_tiles=16384,
     kz = tkey[:, 2] & ((1 << l2[2]) - 1)
     dir_idx = ((kx.astype(np.int64) << (l2[1] + l2[2]))
                | (ky.astype(np.int64) << l2[2]) | kz.astype(np.int64))
-    chk = np.asarray(
-        (_mix64(jnp.asarray(tkey)) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    )
+    # host-side hash: a device _mix64 + readback here would taint the
+    # relay session's dispatch floor for the whole process (see
+    # voxel_map._mix64_np)
+    chk = (_mix64_np(tkey) & np.uint32(0x7FFFFFFF)).astype(np.int32)
 
     D = dims[0] * dims[1] * dims[2]
     T = pool_tiles

@@ -42,8 +42,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-EMPTY_CHECK = jnp.int32(-2147483648)  # sentinel in check[]
-BIG = jnp.float32(1e30)
+# numpy (NOT jnp) scalars: these are read on the host (e.g. build_host's
+# int(EMPTY_CHECK)); as device scalars every such read would be a D2H
+# transfer, and the FIRST D2H of any size flips this container's relay
+# session into a ~27 ms blocking-dispatch mode (see _mix64_np docstring)
+EMPTY_CHECK = np.int32(-2147483648)  # sentinel in check[]
+BIG = np.float32(1e30)
 
 
 class VoxelMap(NamedTuple):
@@ -88,6 +92,30 @@ def _mix64(keys: jnp.ndarray) -> jnp.ndarray:
     h = _fmix32(u[..., 0] * jnp.uint32(0x9E3779B1))
     h = _fmix32(h ^ (u[..., 1] * jnp.uint32(0x85EBCA77)))
     return _fmix32(h ^ (u[..., 2] * jnp.uint32(0xC2B2AE3D)))
+
+
+def _mix64_np(keys) -> "np.ndarray":
+    """Host-side numpy twin of `_mix64`, bit-identical (uint32 wraps).
+
+    Exists so bulk host builders (tiled_map/dense_map `build_host`) never
+    touch the device: on this container's relay, the FIRST device->host
+    readback of any size permanently degrades the session's blocking-
+    dispatch floor from ~0.06 ms to ~27 ms (measured 2026-08-17), so the
+    check-hash must be computable without a device round-trip."""
+    import numpy as np
+
+    def fmix32(h):
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        return h ^ (h >> np.uint32(16))
+
+    u = np.asarray(keys).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = fmix32(u[..., 0] * np.uint32(0x9E3779B1))
+        h = fmix32(h ^ (u[..., 1] * np.uint32(0x85EBCA77)))
+        return fmix32(h ^ (u[..., 2] * np.uint32(0xC2B2AE3D)))
 
 
 def _slot_check(keys: jnp.ndarray, mask: int):

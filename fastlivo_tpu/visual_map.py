@@ -33,7 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 VOXEL_SIZE = 0.5  # lidar_selection.cpp:210
-EMPTY = jnp.int32(-2147483648)
+# numpy scalar, not jnp: host-side reads of a device scalar would be a
+# D2H transfer, which taints the relay session (voxel_map._mix64_np)
+EMPTY = np.int32(-2147483648)
 
 
 class VisualMap(NamedTuple):

@@ -113,3 +113,16 @@ def test_insert_after_delete_still_queryable():
     neigh, d2, nvalid = vm.knn(m, jnp.asarray(pts2), k=1, radius=1)
     assert np.all(np.asarray(nvalid)[:, 0])
     assert np.all(np.asarray(d2)[:, 0] < 0.75)
+
+
+def test_mix64_np_matches_device():
+    # the host twin must be bit-identical: build_host uses it for check
+    # hashes that device-side lookups later compare against
+    keys = rng.integers(-(1 << 20), 1 << 20, size=(4096, 3)).astype(np.int32)
+    keys[:8] = [[0, 0, 0], [1, 0, 0], [-1, -1, -1],
+                [2**31 - 1 >> 12, 0, 5], [7, -7, 7],
+                [1 << 19, -(1 << 19), 3], [42, 42, 42], [-1, 0, 1]]
+    dev = np.asarray(vm._mix64(jnp.asarray(keys)))
+    host = vm._mix64_np(keys)
+    assert dev.dtype == host.dtype == np.uint32
+    np.testing.assert_array_equal(dev, host)
