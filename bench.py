@@ -39,7 +39,7 @@ import fastlivo_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
 
-from fastlivo_tpu.state import identity_state
+from fastlivo_tpu.state import host_identity_state, identity_state
 
 N_SCAN = 16384
 MAX_ITER = 6
@@ -56,12 +56,13 @@ VIO_W, VIO_H, VIO_F = 640, 512, 400.0
 
 
 def measured_dispatch_overhead() -> float:
-    """Per-dispatch session overhead (ms), measured AFTER the map
-    workload has run (map-update executables permanently degrade every
-    subsequent dispatch through the axon relay — see BASELINE.md): the
-    wall time of a minimal jitted elementwise op on a tiny resident
-    array. Subtracting this floor from the frame time gives the
-    kernel-bound (net) number reported alongside the raw one."""
+    """Per-dispatch session overhead (ms): wall time of a minimal jitted
+    elementwise op on a tiny resident array, measured after the timed
+    sections. With the D2H-taint fixes (no device-constant closures, no
+    readbacks before this point — see ops/voxel_map._mix64_np) this
+    should report the clean ~0.06 ms relay floor; a large value here
+    flags that some timed section re-introduced a readback and its
+    numbers are overhead-bound."""
     x = jnp.arange(8, dtype=jnp.float32)
     f = jax.jit(lambda v: v + 1.0)
     jax.block_until_ready(f(x))
@@ -96,7 +97,11 @@ def measured_cpp_baseline() -> dict:
         pass
     best = {}
     for k, runs in raw.items():
-        best[k] = max(runs) if runs else FALLBACK_BASELINE[k]
+        # denominator honesty: never divide by a baseline slower than the
+        # best this container has ever recorded (FALLBACK_BASELINE pins
+        # the historical best) — a noisy slow C++ run must not inflate
+        # the speedup ratio (VERDICT r1 "baseline inconsistency")
+        best[k] = max(runs + [FALLBACK_BASELINE[k]])
     best["raw_runs"] = raw
     return best
 
@@ -210,12 +215,16 @@ def bench_vio(mixed_gain: bool = False):
         + 60.0 * np.sin(0.17 * xx) * np.cos(0.23 * yy)
         + 20.0 * rng.uniform(size=(VIO_H, VIO_W))
     ).astype(np.float32)
-    img = jnp.asarray(img_np)
+    # HOST (numpy) constants only below: a jit that closure-captures a
+    # DEVICE array must read it back at lower() time, and the first D2H
+    # taints the relay session's dispatch floor (voxel_map._mix64_np) —
+    # which would poison this bench's own timing loop
+    img = img_np
 
     cam = Camera(
-        fx=jnp.float32(VIO_F), fy=jnp.float32(VIO_F),
-        cx=jnp.float32(VIO_W / 2), cy=jnp.float32(VIO_H / 2),
-        d=jnp.zeros(4, jnp.float32), width=VIO_W, height=VIO_H,
+        fx=np.float32(VIO_F), fy=np.float32(VIO_F),
+        cx=np.float32(VIO_W / 2), cy=np.float32(VIO_H / 2),
+        d=np.zeros(4, np.float32), width=VIO_W, height=VIO_H,
     )
     G = VIO_TRACK_CAP
     z = rng.uniform(3.0, 10.0, G).astype(np.float32)
@@ -241,36 +250,42 @@ def bench_vio(mixed_gain: bool = False):
                 patch[:, lvl, r, c] = img_np[vv, uu]
 
     state = identity_state()
-    prior = state
-    Rci = jnp.eye(3, dtype=jnp.float32)
-    Pci = jnp.zeros(3, jnp.float32)
+    prior = host_identity_state()  # closure constant: host copy, no D2H
+    Rci = np.eye(3, dtype=np.float32)
+    Pci = np.zeros(3, np.float32)
     Jdphi_dR = Rci
-    Jdp_dR = jnp.zeros((3, 3), jnp.float32)
+    Jdp_dR = np.zeros((3, 3), np.float32)
     args = dict(
         img_point_cov=100.0, patch_size=P, max_iter=VIO_ITERS,
         mixed_gain=mixed_gain,
     )
-    tr_pos = jnp.asarray(pos)
-    tr_patch = jnp.asarray(patch)
-    tr_sl = jnp.asarray(slevel)
-    tr_v = jnp.asarray(valid)
+    tr_pos = pos
+    tr_patch = patch
+    tr_sl = slevel
+    tr_v = valid
 
     @jax.jit
-    def run(state):
+    def run(state, img, tr_pos, tr_patch, tr_sl, tr_v):
         # all 3 coarse-to-fine levels in ONE dispatch AND one while_loop
-        # (the shipped vio_frame_step shape)
+        # (the shipped vio_frame_step shape). Arrays indexed by tracers
+        # (img, tracked set) are ARGS, not closures: a device-constant
+        # closure would D2H at lower() and taint the session floor.
         s, _, _, _, its_total = vio_mod.photometric_update_levels(
             state, prior, cam, img, tr_pos, tr_patch, tr_sl, tr_v,
             Rci, Pci, Jdphi_dR, Jdp_dR, levels=(2, 1, 0), **args,
         )
         return s, its_total
 
-    s, its_total = run(state)
+    # one H2D upload of the batch, reused across reps
+    img, tr_pos, tr_patch, tr_sl, tr_v = map(
+        jnp.asarray, (img, tr_pos, tr_patch, tr_sl, tr_v)
+    )
+    s, its_total = run(state, img, tr_pos, tr_patch, tr_sl, tr_v)
     jax.block_until_ready(s.pos)  # compile + warmup
     times, its = [], []
     for _ in range(max(REPS // 3, 5)):
         t0 = time.perf_counter()
-        s, its_total = run(state)
+        s, its_total = run(state, img, tr_pos, tr_patch, tr_sl, tr_v)
         jax.block_until_ready(s.pos)
         times.append(time.perf_counter() - t0)
         # DEFER the its_total readback: the first device->host transfer
@@ -367,16 +382,16 @@ WATCHDOG_S = 520
 # the stale-fallback path below when the relay stalls the live run.
 LAST_KNOWN = {
     "metric": "lidar_frame_step_points_per_sec",
-    "value": 185734.3,
+    "value": 6113295.2,
     "unit": "points/s",
-    "vs_baseline": 2.61,
-    "baseline_points_per_sec": 71101.9,
-    "dispatch_overhead_ms": 27.156,
-    "points_per_sec_net": 268343.0,
-    "vs_baseline_net": 3.77,
-    "vio_pixels_per_sec": 2871451.1,
-    "vio_baseline_pixels_per_sec": 28236573.4,
-    "vio_vs_baseline": 0.1,
+    "vs_baseline": 71.5,
+    "baseline_points_per_sec": 85500.0,
+    "dispatch_overhead_ms": 0.078,
+    "points_per_sec_net": 6295946.4,
+    "vs_baseline_net": 73.6,
+    "vio_pixels_per_sec": 863546504.0,
+    "vio_baseline_pixels_per_sec": 36800000.0,
+    "vio_vs_baseline": 23.47,
 }
 
 

@@ -61,6 +61,26 @@ def identity_state(dtype=jnp.float64) -> NavState:
     )
 
 
+def host_identity_state(dtype="float64") -> NavState:
+    """`identity_state` twin built from HOST (numpy) arrays.
+
+    For values a jit will close over as constants: lowering a jit that
+    embeds a *device* constant forces a device->host readback, and the
+    first D2H degrades this container's relay-session dispatch floor
+    ~500x (see ops/voxel_map._mix64_np). Host constants embed free."""
+    import numpy as np
+
+    return NavState(
+        rot=np.eye(3, dtype=dtype),
+        pos=np.zeros(3, dtype=dtype),
+        vel=np.zeros(3, dtype=dtype),
+        bg=np.zeros(3, dtype=dtype),
+        ba=np.zeros(3, dtype=dtype),
+        grav=np.zeros(3, dtype=dtype),
+        cov=np.eye(DIM_STATE, dtype=dtype) * INIT_COV,
+    )
+
+
 def boxplus(s: NavState, delta: jnp.ndarray) -> NavState:
     """s [+] delta  (StatesGroup::operator+=, common_lib.h:343-352).
 
