@@ -112,6 +112,7 @@ class Pipeline:
         self._scan_tables: List[dict] = []
         self._scan_id = None
         self.outputs: List[FrameOutput] = []
+        self.on_frame = None  # per-frame callback (e.g. viz.LiveViewer.update)
         self.trajectory: List[np.ndarray] = []  # TUM rows
         # /cloud_effected parity: (down_pts, active_mask) of the last frame
         self.last_effect = None
@@ -472,6 +473,10 @@ class Pipeline:
                     np.concatenate([out.pts_world[cmask], rgb[cmask]], axis=1)
                 )
         self.outputs.append(out)
+        if self.on_frame is not None:
+            # live-visualization / user hook (rviz publish point,
+            # laserMapping.cpp:1377-1389 publish_* call sites)
+            self.on_frame(out)
         self.trajectory.append(
             np.array([out.t, *pos_np, quat[1], quat[2], quat[3], quat[0]])
         )

@@ -195,6 +195,14 @@ def main(argv=None):
         help="restore state+map(+visual map) before replay",
     )
     ap.add_argument(
+        "--viz-dir", default=None,
+        help="live visualization: render the world cloud + path to PNG "
+        "frames in this directory (latest.png always tracks the newest "
+        "frame; the rviz surface, laserMapping.cpp:1377-1389)",
+    )
+    ap.add_argument("--viz-every", type=int, default=5,
+                    help="render every N-th frame (with --viz-dir)")
+    ap.add_argument(
         "--profile-every", type=int, default=0,
         help="every N frames, also dispatch the LIO stages separately to "
         "record a per-stage timing breakdown (laserMapping.cpp:1805)",
@@ -208,6 +216,10 @@ def main(argv=None):
         cfg.pcd_save_en = True
     pipe = Pipeline(cfg, log_dir=args.log_dir)
     pipe.profile_every = args.profile_every
+    if args.viz_dir:
+        from .viz import LiveViewer
+
+        pipe.on_frame = LiveViewer(args.viz_dir, every=args.viz_every).update
     if args.load_ckpt:
         from .io import checkpoint as ckpt_mod
 

@@ -1,0 +1,89 @@
+"""Live-visualization surface (viz.py — the reference's rviz publishers,
+laserMapping.cpp:710-957, rendered headlessly)."""
+import numpy as np
+import pytest
+
+from fastlivo_tpu import viz
+
+mpl = pytest.importorskip("matplotlib")
+
+
+def _fake_out(t, pos, pts=None):
+    class O:  # minimal FrameOutput stand-in
+        pass
+
+    o = O()
+    o.t = t
+    o.pos = np.asarray(pos, float)
+    o.iters = 3
+    o.n_points = 0 if pts is None else len(pts)
+    o.pts_world = pts
+    return o
+
+
+def test_live_viewer_renders_frames(tmp_path):
+    v = viz.LiveViewer(tmp_path / "viz", every=2, per_frame=256)
+    rng = np.random.default_rng(0)
+    for k in range(5):
+        pts = rng.uniform(-3, 3, (1000, 3)).astype(np.float32)
+        v.update(_fake_out(0.1 * k, [0.01 * k, 0, 1], pts))
+    frames = sorted((tmp_path / "viz").glob("frame_*.png"))
+    assert len(frames) == 3  # frames 0, 2, 4
+    latest = tmp_path / "viz" / "latest.png"
+    assert latest.exists()
+    for f in frames + [latest]:
+        assert f.read_bytes()[:4] == viz._PNG_MAGIC
+    # per-frame decimation: 1000-pt input capped at per_frame
+    assert v._n_cloud == 5 * 256
+
+
+def test_cloud_reservoir_bounded(tmp_path):
+    v = viz.LiveViewer(tmp_path, every=1000, max_cloud=1000, per_frame=400)
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        v.add_cloud(rng.uniform(-1, 1, (400, 3)))
+    assert v._n_cloud <= 1000
+
+
+def test_rgb_cloud_roundtrip(tmp_path):
+    v = viz.LiveViewer(tmp_path, every=1)
+    pts = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+    rgb = np.array([[255, 0, 0], [0, 255, 0]], np.float32)
+    v.add_cloud(pts, rgb)
+    v._path.append(np.array([0.0, 0, 0, 0]))
+    out = v.render()
+    assert out.read_bytes()[:4] == viz._PNG_MAGIC
+
+
+def test_playback_from_pos_log(tmp_path):
+    # synthesize a 22-column pos_log.txt (logging_util.log_pos layout)
+    log = tmp_path / "Log"
+    log.mkdir()
+    rows = []
+    for k in range(12):
+        r = np.zeros(22)
+        r[0] = 0.1 * k
+        r[4:7] = [0.05 * k, 0.02 * k, 1.0]
+        rows.append(r)
+    np.savetxt(log / "pos_log.txt", np.asarray(rows))
+    n = viz.playback(log, tmp_path / "frames", every=4)
+    assert n == 3
+    assert (tmp_path / "frames" / "latest.png").exists()
+
+
+def test_playback_with_pcd_background(tmp_path):
+    from fastlivo_tpu.run import save_pcd
+
+    log = tmp_path / "Log"
+    log.mkdir()
+    r = np.zeros((2, 22))
+    r[1, 0] = 0.1
+    r[:, 4:7] = [[0, 0, 1], [0.1, 0, 1]]
+    np.savetxt(log / "pos_log.txt", r)
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-2, 2, (500, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 255, (500, 3)).astype(np.float32)
+    save_pcd(tmp_path / "map.pcd", pts, rgb)
+    n = viz.playback(log, tmp_path / "frames", every=1,
+                     pcd=tmp_path / "map.pcd")
+    assert n == 2
