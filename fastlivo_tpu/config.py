@@ -71,6 +71,11 @@ class CapacityConfig:
     # opt-in numerics/perf switches (see lio.lio_update docstrings)
     cache_knn: bool = False  # re-rank cached kNN candidates on rematches
     mixed_gain: bool = False  # f32 gain solve + one f64 refinement
+    # IRLS robust weighting of VIO photometric rows: "none" (reference
+    # behavior) | "huber" | "tukey" — completes the vk::robust_cost
+    # scaffolding the reference leaves commented out
+    # (lidar_selection.cpp:75-78, 839-842)
+    vio_robust: str = "none"
     map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
     max_probe: int = 12  # open-addressing probe depth (= insert's depth)
     knn_voxel_radius: int = 1  # 3x3x3 neighborhood for the 5-NN gather;
@@ -204,7 +209,7 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
         for k, v in cap.items():
             if k not in fields:
                 continue
-            if k == "map_backend":
+            if k in ("map_backend", "vio_robust"):
                 kw[k] = str(v)
             elif k in ("cache_knn", "mixed_gain"):
                 kw[k] = bool(v)

@@ -166,6 +166,7 @@ def sharded_photometric_update(
     level: int,
     max_iter: int,
     axis: str = "dp",
+    robust: str = "none",
 ):
     """vio.photometric_update with the tracked set row-partitioned over
     `axis` (image and state replicated): each device assembles its
@@ -179,6 +180,7 @@ def sharded_photometric_update(
             Rci, Pci, Jdphi_dR, Jdp_dR,
             img_point_cov=img_point_cov, patch_size=patch_size,
             level=level, max_iter=max_iter, axis_name=axis,
+            robust=robust,
         )
 
     rep = P()

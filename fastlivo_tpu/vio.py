@@ -325,7 +325,7 @@ def select_new_points(
 @functools.partial(
     jax.jit,
     static_argnames=("patch_size", "level", "max_iter", "axis_name",
-                     "mixed_gain"),
+                     "mixed_gain", "robust", "robust_scale"),
 )
 def photometric_update(
     state: NavState,
@@ -346,6 +346,8 @@ def photometric_update(
     max_iter: int,
     axis_name: str | None = None,
     mixed_gain: bool = False,
+    robust: str = "none",
+    robust_scale: float = 10.0,
 ):
     """UpdateState for one pyramid level (lidar_selection.cpp:743-902).
 
@@ -361,7 +363,7 @@ def photometric_update(
         state, prior, cam, img, tr_pos, tr_patch, tr_slevel, tr_valid,
         Rci, Pci, Jdphi_dR, Jdp_dR, img_point_cov, patch_size,
         levels=(level,), max_iter=max_iter, axis_name=axis_name,
-        mixed_gain=mixed_gain,
+        mixed_gain=mixed_gain, robust=robust, robust_scale=robust_scale,
     )
 
 
@@ -384,8 +386,20 @@ def photometric_update_levels(
     max_iter: int = 10,
     axis_name: str | None = None,
     mixed_gain: bool = False,
+    robust: str = "none",
+    robust_scale: float = 10.0,
 ):
     """The coarse-to-fine UpdateState cascade in ONE while_loop.
+
+    `robust`: optional IRLS weighting of the photometric rows —
+    "huber" (k=1.345) or "tukey" (b=4.6851), residuals pre-scaled by
+    `robust_scale` (`weight_scale_=10`, lidar_selection.cpp:74). The
+    reference instantiates exactly these vk::robust_cost functions but
+    leaves the weighting commented out (lidar_selection.cpp:75-78,
+    839-842); "none" (default) reproduces the shipped behavior, the
+    others complete the scaffolding as an opt-in. Weights scale the
+    HᵀWH/HᵀWz rows only; the rollback error metric stays unweighted
+    (patch_error is unweighted in the reference loop :843).
 
     The reference runs UpdateState once per pyramid level (level 2 -> 0,
     lidar_selection.cpp:1052-1066); a naive transcription is one
@@ -449,7 +463,23 @@ def photometric_update_levels(
         n_meas = jnp.maximum(jnp.sum(w) * P * P, 1.0)
         perr = jnp.sum(res_w * res_w, axis=(1, 2))  # (G,)
         err = jnp.sum(perr) / n_meas
-        hw = (h * w[..., None]).reshape(-1, 6)
+        if robust == "none":
+            wr = w[..., None]
+        else:
+            # IRLS row weight on |res|/weight_scale (vk::robust_cost
+            # defaults; the mask w is 0/1 so multiplying composes)
+            t = jnp.abs(res) / jnp.asarray(robust_scale, dtype)
+            if robust == "huber":
+                k = jnp.asarray(1.345, dtype)
+                wh = jnp.minimum(1.0, k / jnp.maximum(t, 1e-12))
+            elif robust == "tukey":
+                b = jnp.asarray(4.6851, dtype)
+                u = jnp.clip(1.0 - (t / b) ** 2, 0.0, 1.0)
+                wh = u * u
+            else:
+                raise ValueError(f"robust={robust!r}")
+            wr = (w * wh)[..., None]
+        hw = (h * wr).reshape(-1, 6)
         # [HᵀH₆ | Hᵀz] in one (6,7) matmul (and one psum)
         rhs = jnp.concatenate(
             [h.reshape(-1, 6), res.reshape(-1, 1)], axis=1
@@ -571,7 +601,7 @@ def _unique_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
     jax.jit,
     static_argnames=(
         "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_iter",
-        "max_vox", "max_pg",
+        "max_vox", "max_pg", "robust",
     ),
 )
 def vio_frame_step(
@@ -599,6 +629,7 @@ def vio_frame_step(
     max_iter: int,
     max_vox: int,
     max_pg: int,
+    robust: str = "none",
 ):
     """The ENTIRE image frame in one dispatch — `detect`
     (lidar_selection.cpp:1027-1075) fused: image ring push, device voxel
@@ -641,7 +672,7 @@ def vio_frame_step(
         tracked.pos, tracked.patch, tracked.search_level, tracked.valid,
         Rci, Pci, Jdphi_dR, Jdp_dR,
         img_point_cov=img_point_cov, patch_size=patch_size,
-        levels=(2, 1, 0), max_iter=max_iter,
+        levels=(2, 1, 0), max_iter=max_iter, robust=robust,
     )
     # cov <- cov - G cov (:980); Gmat = 0 when nothing was tracked
     st = st._replace(cov=st.cov - Gmat @ st.cov[0:6, :])
@@ -847,7 +878,7 @@ class Vio:
             grid_size=self.grid_size, patch_size=self.patch_size,
             gw=self.gw, gh=self.gh, ncc_en=cfg.ncc_en,
             max_iter=cfg.max_iteration, max_vox=self.max_vox,
-            max_pg=self.max_pg,
+            max_pg=self.max_pg, robust=cfg.capacity.vio_robust,
         )
         self.vmap = vm2
         self.last_stats = {
