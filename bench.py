@@ -122,15 +122,18 @@ def build_world(n, seed=0):
     return pts.astype(np.float32)
 
 
-def bench_lidar(backend="tiled"):
+def bench_lidar(backend="tiled", n_scan=N_SCAN, world_n=400_000,
+                dims=(64, 64, 32), pool=512):
     """Fused frame step against the given map backend. The headline run
     uses "tiled" — the SHIPPED DEFAULT (config.CapacityConfig) — so the
     recorded number measures the path a stock config takes; "dense" (the
-    fastest, bounded-extent backend) is reported as a detail field."""
+    fastest, bounded-extent backend) is reported as a detail field.
+    `n_scan`/`world_n` scale the workload (FASTLIVO_BENCH_BIG runs a
+    128k-point scan to show batch-throughput scaling)."""
     from fastlivo_tpu import imu as imu_mod
     from fastlivo_tpu.frame_step import lidar_frame_step
 
-    world = build_world(400_000)
+    world = build_world(world_n)
     if backend == "dense":
         from fastlivo_tpu.ops import dense_map as mod
 
@@ -143,10 +146,10 @@ def bench_lidar(backend="tiled"):
         # small dims/pool: the bench world occupies ~260 tiles, and
         # host->device transfer through the relay can run at KB/s —
         # upload bytes are the dominant variable cost of this bench
-        m = mod.build_host(world, (64, 64, 32), 512, 0.5)
+        m = mod.build_host(world, dims, pool, 0.5)
 
     rng = np.random.default_rng(1)
-    idx = rng.choice(len(world), N_SCAN, replace=False)
+    idx = rng.choice(len(world), n_scan, replace=False)
     pos0 = np.array([0.0, 0.0, 2.0])
     scan = (world[idx] - pos0).astype(np.float32)
     scan += rng.normal(0, 0.004, scan.shape).astype(np.float32)
@@ -169,14 +172,14 @@ def bench_lidar(backend="tiled"):
         acc=jnp.zeros((P, 3), jnp.float32),
         gyr=jnp.zeros((P, 3), jnp.float32),
     )
-    t_rel = jnp.asarray(rng.uniform(0, 0.1, N_SCAN).astype(np.float32))
-    rmask = jnp.ones(N_SCAN, bool)
+    t_rel = jnp.asarray(rng.uniform(0, 0.1, n_scan).astype(np.float32))
+    rmask = jnp.ones(n_scan, bool)
 
     def run():
         return lidar_frame_step(
             s, m, pose, calib, jnp.asarray(scan), t_rel, rmask,
             jnp.float32(0.5), laser_point_cov=0.001,
-            max_points=N_SCAN, max_iter=MAX_ITER,
+            max_points=n_scan, max_iter=MAX_ITER,
             knn_radius=1, max_probe=8, dense_out=False,
         )
 
@@ -193,7 +196,7 @@ def bench_lidar(backend="tiled"):
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
     return {
-        "points_per_sec": N_SCAN / times.mean(),
+        "points_per_sec": n_scan / times.mean(),
         "frame_ms_mean": times.mean() * 1e3,
         "frame_ms_min": times.min() * 1e3,
         "frame_ms_max": times.max() * 1e3,
@@ -432,6 +435,19 @@ def main():
             lid_dense = bench_lidar("dense")
         except Exception:
             lid_dense = None
+    lid_big = None
+    if os.environ.get("FASTLIVO_BENCH_BIG"):
+        # batch-scaling demonstration: a 128k-point scan (Pandar128-scale)
+        # against a 1M-point map; opt-in — the extra shape costs another
+        # remote compile, and the driver's run stays on the pinned 16k
+        # protocol shape
+        try:
+            _progress("lidar big (128k) start")
+            lid_big = bench_lidar("tiled", n_scan=131072, world_n=1_000_000,
+                                  dims=(128, 128, 32), pool=4096)
+            _progress("lidar big done")
+        except Exception:
+            lid_big = None
     _progress("vio start")
     try:
         vio_finish = bench_vio()
@@ -487,6 +503,11 @@ def main():
         )
         out["detail"]["vio"] = {k: round(v, 2) for k, v in vio.items()}
         out["detail"]["vio_pixels_per_sec_net"] = round(vio_net, 1)
+    if lid_big is not None:
+        out["big_points_per_sec"] = round(lid_big["points_per_sec"], 1)
+        out["detail"]["lidar_big_128k"] = {
+            k: round(v, 2) for k, v in lid_big.items()
+        }
     if lid_dense is not None:
         out["dense_points_per_sec"] = round(lid_dense["points_per_sec"], 1)
         out["dense_vs_baseline"] = round(
