@@ -126,3 +126,19 @@ def test_mix64_np_matches_device():
     host = vm._mix64_np(keys)
     assert dev.dtype == host.dtype == np.uint32
     np.testing.assert_array_equal(dev, host)
+
+
+def test_sentinels_are_host_scalars():
+    """Regression guard for the relay-taint rules (voxel_map._mix64_np):
+    module-level sentinels must be HOST (numpy) scalars — as device
+    scalars, any host-side int()/comparison is a D2H readback, and the
+    first D2H permanently degrades the relay session's dispatch floor
+    ~500x. (jnp scalars would still compute correctly, which is why only
+    a type check catches the regression.)"""
+    from fastlivo_tpu import visual_map as vmap_mod
+
+    for name, v in (("voxel_map.EMPTY_CHECK", vm.EMPTY_CHECK),
+                    ("voxel_map.BIG", vm.BIG),
+                    ("visual_map.EMPTY", vmap_mod.EMPTY)):
+        assert isinstance(v, np.generic), (
+            f"{name} is {type(v)}; must be a numpy scalar (host-side)")
