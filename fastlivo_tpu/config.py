@@ -211,6 +211,12 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
                 continue
             if k in ("map_backend", "vio_robust"):
                 kw[k] = str(v)
+                allowed = {"map_backend": ("tiled", "dense", "hash"),
+                           "vio_robust": ("none", "huber", "tukey")}[k]
+                if kw[k] not in allowed:
+                    # fail at LOAD time, not minutes later mid-jit-trace
+                    raise ValueError(
+                        f"capacity.{k}={kw[k]!r}: must be one of {allowed}")
             elif k in ("cache_knn", "mixed_gain"):
                 kw[k] = bool(v)
             elif k in ("dense_dims", "tiled_dir_dims"):

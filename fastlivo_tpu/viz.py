@@ -57,7 +57,7 @@ class LiveViewer:
         self.max_cloud = max_cloud
         self.per_frame = per_frame
         self.dpi = dpi
-        self._cloud: list[np.ndarray] = []  # (N,3) or (N,6) xyzrgb chunks
+        self._cloud: list[np.ndarray] = []  # (N,7) x y z r g b has_rgb
         self._n_cloud = 0
         self._path: list[np.ndarray] = []  # (4,) t,x,y,z
         self._frame = 0
@@ -75,12 +75,17 @@ class LiveViewer:
             pts_idx = np.linspace(0, len(pts) - 1, self.per_frame).astype(int)
             pts = pts[pts_idx]
             rgb = rgb[pts_idx] if rgb is not None else None
-        chunk = (pts if rgb is None
-                 else np.concatenate([pts, np.asarray(rgb, np.float32)], 1))
+        chunk = np.zeros((len(pts), 7), np.float32)
+        chunk[:, :3] = pts[:, :3]
+        if rgb is not None:
+            # per-POINT color flag: colorless live chunks keep the height
+            # colormap even after an rgb background was added
+            chunk[:, 3:6] = np.asarray(rgb, np.float32)
+            chunk[:, 6] = 1.0
         self._cloud.append(chunk)
         self._n_cloud += len(chunk)
         if self._n_cloud > self.max_cloud:
-            allc = _pad6(self._cloud)
+            allc = np.concatenate(self._cloud)
             keep = np.linspace(0, len(allc) - 1, self.max_cloud // 2).astype(int)
             self._cloud = [allc[keep]]
             self._n_cloud = len(keep)
@@ -88,31 +93,42 @@ class LiveViewer:
     def update(self, out) -> Optional[Path]:
         """Per-frame hook (`out` is a pipeline FrameOutput). Returns the
         written PNG path when this frame rendered, else None."""
-        self._path.append(np.array([out.t, *np.asarray(out.pos)[:3]]))
         self.add_cloud(out.pts_world)
+        return self._step(out.t, np.asarray(out.pos)[:3],
+                          stats=f"t={out.t:.2f}s  iters={out.iters}  "
+                                f"pts={out.n_points}")
+
+    def _step(self, t: float, pos, stats: str = "") -> Optional[Path]:
+        """Shared cadence: append a path row, advance the frame counter,
+        render on every `every`-th frame (used by live update() and
+        offline playback())."""
+        self._path.append(np.array([t, *pos]))
         self._frame += 1
         if (self._frame - 1) % self.every == 0:
-            return self.render(stats=f"t={out.t:.2f}s  iters={out.iters}  "
-                                     f"pts={out.n_points}")
+            return self.render(stats=stats)
         return None
 
     # ---- rendering -------------------------------------------------------
 
     def render(self, stats: str = "") -> Path:
         plt = _plt()
-        cloud = _pad6(self._cloud) if self._cloud else np.zeros((0, 6))
+        cloud = (np.concatenate(self._cloud) if self._cloud
+                 else np.zeros((0, 7), np.float32))
         path = np.asarray(self._path) if self._path else np.zeros((0, 4))
 
         fig, axes = plt.subplots(1, 2, figsize=(12, 6), dpi=self.dpi)
+        colored = cloud[:, 6] > 0
         for ax, (a, b, la, lb) in zip(
             axes, [(0, 1, "x [m]", "y [m]"), (0, 2, "x [m]", "z [m]")]
         ):
-            if len(cloud):
-                has_rgb = np.any(cloud[:, 3:6] > 0)
-                col = (np.clip(cloud[:, 3:6] / 255.0, 0, 1) if has_rgb
-                       else cloud[:, 2])
-                ax.scatter(cloud[:, a], cloud[:, b], s=0.3, c=col,
-                           cmap=None if has_rgb else "viridis",
+            plain = cloud[~colored]
+            if len(plain):
+                ax.scatter(plain[:, a], plain[:, b], s=0.3, c=plain[:, 2],
+                           cmap="viridis", linewidths=0, rasterized=True)
+            rgbc = cloud[colored]
+            if len(rgbc):
+                ax.scatter(rgbc[:, a], rgbc[:, b], s=0.3,
+                           c=np.clip(rgbc[:, 3:6] / 255.0, 0, 1),
                            linewidths=0, rasterized=True)
             if len(path):
                 ax.plot(path[:, 1 + a], path[:, 1 + b], "r-", lw=1.2)
@@ -124,25 +140,19 @@ class LiveViewer:
         fig.suptitle(f"fastlivo_tpu  frame {self._frame}  "
                      f"cloud {self._n_cloud} pts  {stats}")
         fig.tight_layout()
+        # rasterize ONCE; frame_N.png and latest.png share the bytes
+        # (latest via atomic replace so a polling viewer never sees a
+        # torn file)
+        import shutil
+
         out = self.dir / f"frame_{self._rendered:05d}.png"
-        fig.savefig(out)
-        # atomic latest.png: a viewer polling it never sees a torn file
         tmp = self.dir / ".latest.tmp"
         fig.savefig(tmp, format="png")
-        os.replace(tmp, self.dir / "latest.png")
         plt.close(fig)
+        shutil.copyfile(tmp, out)
+        os.replace(tmp, self.dir / "latest.png")
         self._rendered += 1
         return out
-
-
-def _pad6(chunks: list[np.ndarray]) -> np.ndarray:
-    """Concatenate (N,3)/(N,6) chunks to one (M,6) array (rgb=0 fill)."""
-    out = []
-    for c in chunks:
-        if c.shape[1] == 3:
-            c = np.concatenate([c, np.zeros_like(c)], 1)
-        out.append(c)
-    return np.concatenate(out) if out else np.zeros((0, 6), np.float32)
 
 
 # ---- offline playback of a recorded Log/ directory -----------------------
@@ -150,27 +160,42 @@ def _pad6(chunks: list[np.ndarray]) -> np.ndarray:
 
 def _load_pcd(path: str | Path):
     """Minimal ASCII/binary PCD reader for run.save_pcd output: returns
-    (pts (N,3), rgb (N,3) or None)."""
+    (pts (N,3), rgb (N,3) or None). The packed rgb field decodes by its
+    declared TYPE: U (our ASCII writer) is the packed integer VALUE;
+    F (pcl::PointXYZRGB binary convention) is the float whose BITS hold
+    the packed value."""
     with open(path, "rb") as f:
-        fields, sizes, types, counts, n, fmt = [], [], [], [], 0, "ascii"
+        fields, types, n, fmt = [], [], 0, "ascii"
         while True:
-            line = f.readline().decode("ascii", "replace").strip()
+            raw = f.readline()
+            if not raw:
+                raise ValueError(f"{path}: truncated PCD header (no DATA line)")
+            line = raw.decode("ascii", "replace").strip()
             if line.startswith("FIELDS"):
                 fields = line.split()[1:]
+            elif line.startswith("TYPE"):
+                types = line.split()[1:]
             elif line.startswith("POINTS"):
                 n = int(line.split()[1])
             elif line.startswith("DATA"):
                 fmt = line.split()[1]
                 break
         if fmt == "ascii":
-            data = np.loadtxt(f, dtype=np.float32, max_rows=n)
+            # float64 parse keeps packed-uint32 rgb values exact (2^24 max)
+            data = np.loadtxt(f, dtype=np.float64, max_rows=n, ndmin=2)
         else:
-            data = np.frombuffer(f.read(4 * len(fields) * n),
-                                 np.float32).reshape(n, len(fields))
-    pts = data[:, :3]
+            data = np.frombuffer(
+                f.read(4 * len(fields) * n), np.float32
+            ).reshape(n, len(fields)).astype(np.float64)
+    pts = data[:, :3].astype(np.float32)
     rgb = None
     if "rgb" in fields:
-        packed = data[:, fields.index("rgb")].view(np.uint32)
+        i = fields.index("rgb")
+        rgb_type = types[i] if i < len(types) else "F"
+        if fmt == "ascii" and rgb_type in ("U", "I"):
+            packed = data[:, i].astype(np.int64).astype(np.uint32)
+        else:
+            packed = data[:, i].astype(np.float32).view(np.uint32)
         rgb = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
                         packed & 0xFF], 1).astype(np.float32)
     return pts, rgb
@@ -188,10 +213,7 @@ def playback(log_dir: str | Path, out_dir: str | Path, every: int = 10,
         pts, rgb = _load_pcd(pcd)
         viewer.add_cloud(pts, rgb)
     for t, x, y, z in rows[:, [0, 4, 5, 6]]:
-        viewer._path.append(np.array([t, x, y, z]))
-        viewer._frame += 1
-        if (viewer._frame - 1) % viewer.every == 0:
-            viewer.render(stats=f"t={t:.2f}s (playback)")
+        viewer._step(t, (x, y, z), stats=f"t={t:.2f}s (playback)")
     return viewer._rendered
 
 

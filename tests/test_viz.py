@@ -87,3 +87,49 @@ def test_playback_with_pcd_background(tmp_path):
     n = viz.playback(log, tmp_path / "frames", every=1,
                      pcd=tmp_path / "map.pcd")
     assert n == 2
+
+
+def test_pcd_rgb_roundtrip_exact(tmp_path):
+    """save_pcd writes rgb as a TYPE-U packed integer; _load_pcd must
+    decode the VALUE (not reinterpret float bits) — regression test."""
+    from fastlivo_tpu.run import save_pcd
+
+    pts = np.array([[1, 2, 3], [4, 5, 6]], np.float32)
+    rgb = np.array([[255, 0, 0], [0, 255, 128]], np.float32)
+    save_pcd(tmp_path / "c.pcd", pts, rgb)
+    p2, r2 = viz._load_pcd(tmp_path / "c.pcd")
+    np.testing.assert_allclose(p2, pts, atol=1e-3)
+    np.testing.assert_array_equal(r2, rgb)
+
+
+def test_pcd_single_point_and_truncated(tmp_path):
+    from fastlivo_tpu.run import save_pcd
+
+    save_pcd(tmp_path / "one.pcd", np.array([[1.0, 2.0, 3.0]], np.float32))
+    p, r = viz._load_pcd(tmp_path / "one.pcd")
+    assert p.shape == (1, 3) and r is None
+    (tmp_path / "bad.pcd").write_bytes(b"VERSION 0.7\nFIELDS x y z\n")
+    with pytest.raises(ValueError, match="truncated"):
+        viz._load_pcd(tmp_path / "bad.pcd")
+
+
+def test_rgb_background_keeps_live_colormap(tmp_path):
+    """Colorless live clouds must keep the height colormap even after an
+    rgb background chunk was added (per-point flag, not whole-cloud)."""
+    v = viz.LiveViewer(tmp_path, every=1)
+    v.add_cloud(np.array([[0, 0, 0.0]], np.float32),
+                np.array([[10, 20, 30]], np.float32))
+    v.add_cloud(np.array([[1, 1, 1.0]], np.float32))
+    cloud = np.concatenate(v._cloud)
+    assert cloud[0, 6] == 1.0 and cloud[1, 6] == 0.0
+    assert v.render().exists()
+
+
+def test_vio_robust_validated_at_load(tmp_path):
+    from fastlivo_tpu.config import load_config
+
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "common:\n  img_enable: 0\ncapacity:\n  vio_robust: hubar\n")
+    with pytest.raises(ValueError, match="vio_robust"):
+        load_config(str(y))
