@@ -242,7 +242,10 @@ class SyntheticDataset:
             t_rel = bin_t[idx]  # points timestamped at their pose bin
             if self.lidar_noise:
                 pts += self.rng.normal(0, self.lidar_noise, pts.shape)
-            out.append((beg, pts, t_rel))
+            # 4th column: surface-texture reflectivity (real decoders emit
+            # [x y z intensity]; feeds the LIO-mode PointXYZI cloud)
+            inten = self.room.texture(w)[:, None]
+            out.append((beg, np.concatenate([pts, inten], 1), t_rel))
         return out
 
     def cam_pose(self, t: float):

@@ -54,6 +54,7 @@ class FrameOutput:
     n_points: int
     timing: dict
     pts_world: Optional[np.ndarray] = None  # dense undistorted world cloud
+    intensity: Optional[np.ndarray] = None  # per-point, aligned with pts_world
 
 
 class Pipeline:
@@ -305,8 +306,10 @@ class Pipeline:
             pts_np = scan.pts[sel, :3]
             t_rel_np = scan.t_rel[sel]
             N = len(pts_np)
+            inten_np = (scan.pts[sel, 3] if scan.pts.shape[1] > 3 else None)
         else:
             pts_np, t_rel_np = scan.pts[:, :3], scan.t_rel
+            inten_np = (scan.pts[:, 3] if scan.pts.shape[1] > 3 else None)
         buf = np.zeros((rawcap, 3), np.float32)
         buf[:N] = pts_np
         trel = np.full(rawcap, 0.0, np.float32)
@@ -447,6 +450,12 @@ class Pipeline:
             # world-frame dense cloud at the posterior (pcl_wait_pub,
             # laserMapping.cpp:1764-1772) — feeds the VIO depth pipeline
             out.pts_world = dense_world
+            if inten_np is not None:
+                # per-point intensity rides along in scan order (the
+                # reference's LIO-mode PCD is intensity-colored
+                # PointXYZI, README 4.1 / laserMapping.cpp:780-807)
+                out.intensity = np.asarray(inten_np[: len(dense_world)],
+                                           np.float32)
         if self.cfg.pose_output_en and self.logger is not None:
             # camera_pose.txt (fout_tum, laserMapping.cpp:1738-1748):
             # world->camera pose of the latest image frame

@@ -136,11 +136,26 @@ def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool,
     return len(outs), ds
 
 
-def save_pcd(path: str, pts: np.ndarray, rgb: np.ndarray | None = None):
+def save_pcd(path: str, pts: np.ndarray, rgb: np.ndarray | None = None,
+             intensity: np.ndarray | None = None):
     """Minimal ASCII PCD writer (pcd_save_en path, laserMapping.cpp:
-    1839-1855). With `rgb` (N, 3) in [0,255], writes the packed-float
-    rgb field of pcl::PointXYZRGB (the reference's RGB map cloud)."""
+    1839-1855). With `rgb` (N, 3) in [0,255], writes the packed rgb
+    field of pcl::PointXYZRGB (the reference's LIVO RGB map cloud);
+    with `intensity` (N,), writes PointXYZI (the reference's LIO-mode
+    intensity-colored cloud, README 4.1)."""
     with open(path, "w") as f:
+        if rgb is None and intensity is not None:
+            f.write(
+                "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+                "FIELDS x y z intensity\nSIZE 4 4 4 4\nTYPE F F F F\n"
+                "COUNT 1 1 1 1\n"
+                f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+                f"POINTS {len(pts)}\nDATA ascii\n"
+            )
+            np.savetxt(f, np.concatenate(
+                [pts[:, :3], np.asarray(intensity, np.float32)[:, None]], 1
+            ), fmt="%.4f")
+            return
         if rgb is not None:
             packed = (
                 (np.asarray(rgb[:, 0], np.uint32) << 16)
@@ -251,9 +266,15 @@ def main(argv=None):
             acc = np.concatenate(pipe.rgb_cloud)
             save_pcd(args.pcd_out, acc[:, :3], acc[:, 3:6])
         else:
-            clouds = [o.pts_world for o in pipe.outputs if o.pts_world is not None]
-            if clouds:
-                save_pcd(args.pcd_out, np.concatenate(clouds))
+            keep = [o for o in pipe.outputs if o.pts_world is not None]
+            if keep:
+                pts = np.concatenate([o.pts_world for o in keep])
+                inten = None
+                if all(o.intensity is not None
+                       and len(o.intensity) == len(o.pts_world) for o in keep):
+                    # LIO mode: intensity-colored cloud (README 4.1)
+                    inten = np.concatenate([o.intensity for o in keep])
+                save_pcd(args.pcd_out, pts, intensity=inten)
     tm = {}
     if pipe.outputs:
         tm = {

@@ -198,6 +198,10 @@ def _load_pcd(path: str | Path):
             packed = data[:, i].astype(np.float32).view(np.uint32)
         rgb = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
                         packed & 0xFF], 1).astype(np.float32)
+    elif "intensity" in fields:
+        # LIO-mode PointXYZI → grayscale display
+        i = np.clip(data[:, fields.index("intensity")], 0, 255)
+        rgb = np.repeat(i[:, None], 3, axis=1).astype(np.float32)
     return pts, rgb
 
 

@@ -133,3 +133,19 @@ def test_vio_robust_validated_at_load(tmp_path):
         "common:\n  img_enable: 0\ncapacity:\n  vio_robust: hubar\n")
     with pytest.raises(ValueError, match="vio_robust"):
         load_config(str(y))
+
+
+def test_intensity_pcd_roundtrip(tmp_path):
+    """LIO-mode PCD is intensity-colored PointXYZI (reference README 4.1);
+    the viewer decodes intensity to grayscale."""
+    from fastlivo_tpu.run import save_pcd
+
+    pts = np.array([[1, 2, 3], [4, 5, 6]], np.float32)
+    inten = np.array([10.0, 200.0], np.float32)
+    save_pcd(tmp_path / "i.pcd", pts, intensity=inten)
+    txt = (tmp_path / "i.pcd").read_text()
+    assert "FIELDS x y z intensity" in txt
+    p2, r2 = viz._load_pcd(tmp_path / "i.pcd")
+    np.testing.assert_allclose(p2, pts, atol=1e-3)
+    np.testing.assert_allclose(r2[:, 0], inten, atol=1e-3)
+    assert np.all(r2[:, 0] == r2[:, 1])
