@@ -16,10 +16,12 @@ BASELINE_RUNS times in sequence; each metric's baseline is the BEST
 raw run is reported in the JSON so round-over-round drift is visible.
 TPU timings report mean over REPS dispatches plus min/max.
 
-NOTE: through the axon TPU relay every dispatch carries a multi-ms
-session overhead once map-update executables have run (documented in
-ops/voxel_map.py); the fused single-dispatch-per-frame design bounds
-that cost at one per frame.
+NOTE: on the axon TPU relay the FIRST device->host readback of any size
+permanently degrades the session's dispatch floor ~500x (see
+ops/voxel_map._mix64_np). This bench is therefore readback-free until
+all timed sections finish (host-side constants, deferred result reads)
+and re-measures the floor afterwards as proof (`dispatch_overhead_ms`
+~0.07 ms when clean).
 """
 import json
 import sys
