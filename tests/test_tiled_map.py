@@ -203,3 +203,39 @@ def test_build_host_matches_device_inserts():
     np.testing.assert_array_equal(np.asarray(vd), np.asarray(vh))
     np.testing.assert_allclose(np.asarray(dd), np.asarray(dh), atol=1e-6)
     assert int(mh.n_alloc) == int(md.n_alloc)
+
+
+def test_randomized_churn_differential_vs_hash():
+    """Randomized insert/delete/query sequence: the tiled backend must
+    agree with the hash backend (same downsample-to-voxel-center
+    semantics) on every kNN answer after every mutation step."""
+    from fastlivo_tpu.ops import voxel_map as vm
+
+    rng = np.random.default_rng(42)
+    t = tm.empty_tiled_map((32, 32, 16), 256, 0.5)
+    h = vm.empty_map(1 << 14, 0.5)
+    for step in range(6):
+        pts = rng.uniform(-6, 6, (512, 3)).astype(np.float32)
+        mask = rng.uniform(size=512) < 0.9
+        t = tm.insert(t, jnp.asarray(pts), jnp.asarray(mask))
+        h = vm.insert(h, jnp.asarray(pts), jnp.asarray(mask))
+        if step % 2 == 1:
+            lo = rng.uniform(-6, 0, (1, 3)).astype(np.float32)
+            hi = lo + rng.uniform(0.5, 2.0, (1, 3)).astype(np.float32)
+            t = tm.delete_boxes(t, jnp.asarray(lo), jnp.asarray(hi))
+            h = vm.delete_boxes(h, jnp.asarray(lo), jnp.asarray(hi))
+        q = rng.uniform(-5, 5, (128, 3)).astype(np.float32)
+        tn, td2, tv = tm.knn(t, jnp.asarray(q), k=5, radius=1)
+        hn, hd2, hv = vm.knn(h, jnp.asarray(q), k=5, radius=1)
+        np.testing.assert_array_equal(np.asarray(tv), np.asarray(hv))
+        np.testing.assert_allclose(
+            np.where(np.asarray(tv), np.asarray(td2), 0.0),
+            np.where(np.asarray(hv), np.asarray(hd2), 0.0),
+            atol=1e-5,
+        )
+        # the realized neighbor POINTS agree too (sorted per query)
+        tp = np.sort(np.where(np.asarray(tv)[..., None],
+                              np.asarray(tn), 0.0), axis=1)
+        hp = np.sort(np.where(np.asarray(hv)[..., None],
+                              np.asarray(hn), 0.0), axis=1)
+        np.testing.assert_allclose(tp, hp, atol=1e-5)
