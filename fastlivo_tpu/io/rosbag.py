@@ -55,13 +55,23 @@ def _records(buf, i: int = 0) -> Iterator[Tuple[dict, bytes]]:
     while i + 8 <= L:
         (hlen,) = struct.unpack_from("<I", buf, i)
         i += 4
+        if i + hlen + 4 > L:
+            raise ValueError(
+                f"truncated bag: record header runs past EOF at byte {i}")
         hdr = _parse_header(buf[i : i + hlen])
         i += hlen
         (dlen,) = struct.unpack_from("<I", buf, i)
         i += 4
+        if i + dlen > L:
+            raise ValueError(
+                f"truncated bag: record data runs past EOF at byte {i} "
+                f"(need {dlen}, have {L - i})")
         data = buf[i : i + dlen]
         i += dlen
         yield hdr, data
+    if i != L:
+        # a partial length prefix (1-7 trailing bytes) is still corruption
+        raise ValueError(f"truncated bag: {L - i} trailing bytes at EOF")
 
 
 class _Reader:

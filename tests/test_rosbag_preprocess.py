@@ -391,3 +391,31 @@ def test_cli_bag_replay_livo(tmp_path):
     assert rc == 0
     traj = np.loadtxt(out).reshape(-1, 8)
     assert len(traj) > 10
+
+
+def test_truncated_bag_fails_cleanly(tmp_path):
+    """A bag cut off mid-record must raise a normal exception (not hang
+    or segfault the mmap reader) — production IO robustness."""
+    import pytest
+
+    n = 4
+    raw = make_pc2_msg(0.5, np.zeros((n, 3), np.float32),
+                       np.zeros(n), np.zeros(n), np.zeros(n, int))
+    p = tmp_path / "full.bag"
+    build_bag(p, [("none", [(1, "/points", "sensor_msgs/PointCloud2",
+                             0.5, raw)])])
+    blob = p.read_bytes()
+    for frac in (0.3, 0.7, 0.95):
+        q = tmp_path / f"cut_{frac}.bag"
+        q.write_bytes(blob[: int(len(blob) * frac)])
+        with pytest.raises(Exception):
+            list(rb.read_bag(q))
+
+
+def test_non_bag_file_rejected(tmp_path):
+    import pytest
+
+    p = tmp_path / "not.bag"
+    p.write_bytes(b"definitely not a rosbag v2.0 file" * 10)
+    with pytest.raises(Exception):
+        list(rb.read_bag(p))
