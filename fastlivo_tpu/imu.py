@@ -65,6 +65,57 @@ class PoseTable(NamedTuple):
     gyr: jnp.ndarray  # (M, 3) bias-corrected body angular velocity
 
 
+@jax.jit
+def _pack_pose(pose: "PoseTable", pos_end: jnp.ndarray) -> jnp.ndarray:
+    """Flatten a PoseTable (+ the segment-end position) to one (M+1, 22)
+    array so the host can read it in a SINGLE device->host transfer
+    (each blocking transfer through the relay costs a full ~30 ms round
+    trip once the session streams results; 6 leaf reads per group
+    dominated interactive frame time)."""
+    M = pose.offs.shape[0]
+    f = jnp.float32
+    base = jnp.concatenate(
+        [pose.offs[:, None].astype(f), pose.rot.reshape(M, 9).astype(f),
+         pose.pos.astype(f), pose.vel.astype(f), pose.acc.astype(f),
+         pose.gyr.astype(f)], axis=1)
+    extra = jnp.zeros((1, 22), f).at[0, 10:13].set(pos_end.astype(f))
+    return jnp.concatenate([base, extra], axis=0)
+
+
+def pose_table_to_host(pose: "PoseTable", state) -> tuple:
+    """One-transfer host copy of a PoseTable (as the dict-of-arrays shape
+    the pipeline's merged-scan-table builder consumes) plus the
+    propagated segment-end position (for the host-side local-map
+    slider, which otherwise costs its own transfer)."""
+    return _pose_pack_to_host(_pack_pose(pose, state.pos))
+
+
+def _pose_pack_to_host(t) -> tuple:
+    import numpy as np
+
+    t = np.asarray(t)
+    tbl = {
+        "offs": t[:-1, 0], "rot": t[:-1, 1:10].reshape(-1, 3, 3),
+        "pos": t[:-1, 10:13], "vel": t[:-1, 13:16], "acc": t[:-1, 16:19],
+        "gyr": t[:-1, 19:22],
+    }
+    return tbl, t[-1, 10:13].astype(np.float64)
+
+
+@jax.jit
+def propagate_packed(s, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
+                     acc_s_last, angvel_last, calib, row0_off=0.0):
+    """`propagate` with the pose table pre-packed ON DEVICE: one fused
+    dispatch returning (state, (M+1,22) pack, acc_s_last, angvel_last),
+    so an interactive frame pays one dispatch + one blocking read per
+    IMU group instead of two dispatches + six reads."""
+    st, pose, a_last, g_last = propagate(
+        s, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
+        acc_s_last, angvel_last, calib, row0_off,
+    )
+    return st, _pack_pose(pose, st.pos), a_last, g_last
+
+
 class ImuInitializer:
     """Host-side static initializer (IMU_init, IMU_Processing.cpp:137-181).
 

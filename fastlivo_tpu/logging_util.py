@@ -68,17 +68,23 @@ class TraceLogger:
         self._tum = None  # camera_pose.txt, opened on first use
 
     def _row(self, f, t, state):
-        R = np.asarray(state.rot, np.float64)
-        row = np.concatenate(
-            [
-                _euler_deg(R),
-                np.asarray(state.pos, np.float64),
-                np.asarray(state.vel, np.float64),
-                np.asarray(state.bg, np.float64),
-                np.asarray(state.ba, np.float64),
-                np.asarray(state.grav, np.float64),
-            ]
-        )
+        # `state` is either a NavState or the packed 24-vector from
+        # state.pack24_host (one transfer instead of six per row)
+        if isinstance(state, np.ndarray):
+            R = state[0:9].reshape(3, 3)
+            rest = state[9:24]
+        else:
+            R = np.asarray(state.rot, np.float64)
+            rest = np.concatenate(
+                [
+                    np.asarray(state.pos, np.float64),
+                    np.asarray(state.vel, np.float64),
+                    np.asarray(state.bg, np.float64),
+                    np.asarray(state.ba, np.float64),
+                    np.asarray(state.grav, np.float64),
+                ]
+            )
+        row = np.concatenate([_euler_deg(R), rest])
         f.write("%20.8f " % t + " ".join("%.8f" % v for v in row) + "\n")
 
     def log_pre(self, t, state):
@@ -98,7 +104,17 @@ class TraceLogger:
         but the format is part of its Log/ surface)."""
         if not hasattr(self, "_pos") or self._pos is None:
             self._pos = open(self.dir / "pos_log.txt", "w")
-        R = np.asarray(state.rot, np.float64)
+        if isinstance(state, np.ndarray):  # packed 24-vector (pack24_host)
+            R = state[0:9].reshape(3, 3)
+            pos, vel = state[9:12], state[12:15]
+            bg, ba, grav = state[15:18], state[18:21], state[21:24]
+        else:
+            R = np.asarray(state.rot, np.float64)
+            pos = np.asarray(state.pos, np.float64)
+            vel = np.asarray(state.vel, np.float64)
+            bg = np.asarray(state.bg, np.float64)
+            ba = np.asarray(state.ba, np.float64)
+            grav = np.asarray(state.grav, np.float64)
         # matrix log (so3): theta * axis
         cs = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
         th = np.arccos(cs)
@@ -109,13 +125,7 @@ class TraceLogger:
                           R[1, 0] - R[0, 1]]) / (2.0 * np.sin(th))
             ang = th * w
         z = np.zeros(3)
-        row = np.concatenate([
-            ang, np.asarray(state.pos, np.float64), z,
-            np.asarray(state.vel, np.float64), z,
-            np.asarray(state.bg, np.float64),
-            np.asarray(state.ba, np.float64),
-            np.asarray(state.grav, np.float64),
-        ])
+        row = np.concatenate([ang, pos, z, vel, z, bg, ba, grav])
         self._pos.write("%f " % t + " ".join("%f" % v for v in row) + "\n")
 
     def log_camera_pose(self, t: float, rcw: np.ndarray, pcw: np.ndarray):

@@ -33,6 +33,7 @@ import numpy as np
 
 from . import imu as imu_mod
 from . import lio as lio_mod
+from . import state as state_mod
 from .config import Config
 from .ops import voxel_map as vm
 from .ops.voxel_filter import voxel_downsample, voxel_downsample_device
@@ -41,6 +42,30 @@ from .sync import MeasureGroup, Synchronizer
 
 INIT_TIME = 0.5  # seconds before the EKF activates (laserMapping.cpp:79)
 REBUILD_CHECK_EVERY = 32  # frames between map load-factor checks
+
+
+_stats_pack_jit = None
+
+
+def _frame_stats_pack(st, dmask, n_act, iters) -> np.ndarray:
+    """[n_down, n_active, iters, rot(9), pos(3), vel(3), bg(3), ba(3),
+    grav(3)] — the frame's host-needed scalars and posterior state in
+    ONE device dispatch + ONE transfer (interactive-mode frame time
+    through the relay is round-trip-count-bound, not compute-bound)."""
+    global _stats_pack_jit
+    if _stats_pack_jit is None:
+        import jax
+
+        def _pack(st, dmask, n_act, iters):
+            head = jnp.stack([
+                jnp.sum(dmask).astype(jnp.float64),
+                n_act.astype(jnp.float64),
+                iters.astype(jnp.float64),
+            ])
+            return jnp.concatenate([head, state_mod.pack24(st)])
+
+        _stats_pack_jit = jax.jit(_pack)
+    return np.asarray(_stats_pack_jit(st, dmask, n_act, iters))
 
 
 @dataclasses.dataclass
@@ -114,6 +139,7 @@ class Pipeline:
         self._scan_id = None
         self.outputs: List[FrameOutput] = []
         self.on_frame = None  # per-frame callback (e.g. viz.LiveViewer.update)
+        self._prop_pos = None  # host copy of the propagated scan-end position
         self.trajectory: List[np.ndarray] = []  # TUM rows
         # /cloud_effected parity: (down_pts, active_mask) of the last frame
         self.last_effect = None
@@ -212,26 +238,24 @@ class Pipeline:
                 self.logger.log_imu(
                     imu_t[i] - self.first_lidar_time, acc_avg[i], gyr_avg[i]
                 )
-        st, pose, self.acc_s_last, self.angvel_last = imu_mod.propagate(
-            self.state,
-            jnp.asarray(acc_avg), jnp.asarray(gyr_avg), jnp.asarray(dt),
-            jnp.asarray(offs), jnp.asarray(valid), jnp.asarray(tail_dt),
-            self.acc_s_last, self.angvel_last, self.calib,
-            row0_off=jnp.asarray(row0_off),
+        # ONE fused dispatch (propagate + on-device pose pack) and ONE
+        # blocking read per group — interactive frame time through the
+        # relay is round-trip-count-bound, not compute-bound
+        st, pose_pack, self.acc_s_last, self.angvel_last = (
+            imu_mod.propagate_packed(
+                self.state,
+                jnp.asarray(acc_avg), jnp.asarray(gyr_avg), jnp.asarray(dt),
+                jnp.asarray(offs), jnp.asarray(valid), jnp.asarray(tail_dt),
+                self.acc_s_last, self.angvel_last, self.calib,
+                row0_off=jnp.asarray(row0_off),
+            )
         )
         self.state = st
         self.last_group_end = end_time
-        # stash the segment rows (host) for the merged per-scan table
         keep = np.concatenate([[True], valid])
+        tbl, self._prop_pos = imu_mod._pose_pack_to_host(pose_pack)
         self._scan_tables.append(
-            {
-                "offs": np.asarray(pose.offs)[keep],
-                "rot": np.asarray(pose.rot)[keep],
-                "pos": np.asarray(pose.pos)[keep],
-                "vel": np.asarray(pose.vel)[keep],
-                "acc": np.asarray(pose.acc)[keep],
-                "gyr": np.asarray(pose.gyr)[keep],
-            }
+            {k: v[keep] for k, v in tbl.items()}
         )
 
     def _merged_pose_table(self) -> imu_mod.PoseTable:
@@ -287,7 +311,9 @@ class Pipeline:
 
         # ---- lidar-end frame: undistort whole scan ----------------------
         if self.logger is not None:
-            self.logger.log_pre(scan.end_time, self.state)
+            # one packed read of the propagated (pre-update) state
+            self.logger.log_pre(scan.end_time,
+                                state_mod.pack24_host(self.state))
         pose_table = self._merged_pose_table()
         cap = self.cfg.capacity
         N = len(scan.pts)
@@ -325,7 +351,10 @@ class Pipeline:
         )
 
         # ---- sliding local map (lasermap_fov_segment) --------------------
-        pos_np = np.asarray(self.state.pos)
+        # propagated scan-end position, already on the host from the
+        # pose-table pack (avoids a dedicated device read per frame)
+        pos_np = (self._prop_pos if self._prop_pos is not None
+                  else np.asarray(self.state.pos))
         boxes = self.tracker.update(pos_np)
         if boxes and self.map_built:
             lo = np.asarray([b[0] for b in boxes], np.float32)
@@ -361,12 +390,24 @@ class Pipeline:
             )
             self.state = st
             self.map = m2
-            n_down = int(jnp.sum(dmask_j))
-            n_active = int(n_act_j)
-            iters = int(iters_j)
+            # counters + posterior state in ONE packed transfer (each
+            # blocking device read is a full relay round trip; these
+            # used to be ~8 separate reads per frame)
+            stats = _frame_stats_pack(st, dmask_j, n_act_j, iters_j)
+            n_down, n_active, iters = (int(stats[0]), int(stats[1]),
+                                       int(stats[2]))
+            post_pack = stats[3:]
             if self.cfg.dense_map_enable:
-                dense_world = np.asarray(dense_j)[:N]
-            self.last_effect = (np.asarray(down_j), np.asarray(active_j))
+                # materialize (a blocking transfer) only when a consumer
+                # exists this frame; otherwise hand out the DEVICE array
+                # — np.asarray on it still works for any late reader
+                need_dense = (self.vio is not None or self.cfg.pcd_save_en
+                              or self.on_frame is not None)
+                dense_world = (np.asarray(dense_j)[:N] if need_dense
+                               else dense_j[:N])
+            # kept as DEVICE arrays: the /cloud_effected surface is only
+            # materialized if a consumer reads it (np.asarray works)
+            self.last_effect = (down_j, active_j)
             # one fused dispatch: attribute the whole span to "ekf"
             t_undistort = t_down = t0
             t_ekf = t_map = time.perf_counter()
@@ -421,12 +462,15 @@ class Pipeline:
                 t_wl = rot_tmp @ self.cfg.extrinsic_T + pos_tmp
                 dense_world = feats_undistort @ R_wl.T + t_wl
 
+        if not fused:
+            # staged/bootstrap path: one packed read of the posterior
+            post_pack = state_mod.pack24_host(self.state)
         if self.logger is not None:
-            self.logger.log_post(scan.end_time, self.state)
+            self.logger.log_post(scan.end_time, post_pack)
             self.logger.log_pos(scan.beg_time - (self.first_lidar_time or 0.0),
-                                self.state)
-        rot_np = np.asarray(self.state.rot, np.float64)
-        pos_np = np.asarray(self.state.pos, np.float64)
+                                post_pack)
+        rot_np = post_pack[0:9].reshape(3, 3)
+        pos_np = post_pack[9:12]
         from .io.synthetic import _rot_to_quat
 
         quat = _rot_to_quat(rot_np)
@@ -434,7 +478,7 @@ class Pipeline:
             t=scan.end_time,
             pos=pos_np,
             quat=quat,
-            vel=np.asarray(self.state.vel, np.float64),
+            vel=post_pack[12:15],
             n_active=n_active,
             iters=iters,
             n_points=n_down,

@@ -61,6 +61,31 @@ def identity_state(dtype=jnp.float64) -> NavState:
     )
 
 
+def pack24(s: NavState) -> jnp.ndarray:
+    """Device-side flatten of the 24 logged state values
+    [rot(9), pos(3), vel(3), bg(3), ba(3), grav(3)] so the host reads
+    them in ONE transfer (per-leaf reads cost a relay round trip each).
+    jit-compiled on first use via the wrapper below."""
+    return jnp.concatenate(
+        [s.rot.reshape(9), s.pos, s.vel, s.bg, s.ba, s.grav]
+    ).astype(jnp.float64)
+
+
+_pack24_jit = None
+
+
+def pack24_host(s: NavState):
+    """One-transfer host copy of the 24 logged state values."""
+    import numpy as np
+
+    global _pack24_jit
+    if _pack24_jit is None:
+        import jax
+
+        _pack24_jit = jax.jit(pack24)
+    return np.asarray(_pack24_jit(s))
+
+
 def host_identity_state(dtype="float64") -> NavState:
     """`identity_state` twin built from HOST (numpy) arrays.
 
