@@ -23,7 +23,7 @@ from . import lio as lio_mod
 from .ops import dense_map as dm
 from .ops import voxel_filter as vf
 from .ops import voxel_map as vm
-from .state import NavState
+from .state import NavState, pack24
 
 
 @functools.partial(
@@ -52,11 +52,18 @@ def lidar_frame_step(
     mixed_gain: bool = False,
 ):
     """Returns (posterior state, new map, down (max_points,3), dmask,
-    n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,)).
+    n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,),
+    stats (27,) f64).
 
     `active` marks the downsampled points whose point-to-plane residual
     fed the final update — the /cloud_effected observability surface
-    (publish_effect_world, laserMapping.cpp:871-885)."""
+    (publish_effect_world, laserMapping.cpp:871-885).
+
+    `stats` packs [n_down, n_active, iters, pack24(posterior)] so an
+    interactive caller gets every host-needed scalar plus the logged
+    state row in ONE device->host transfer with no extra dispatch
+    (each blocking read through the axon relay is a ~30 ms round
+    trip)."""
     und = imu_mod.undistort(state, pose, pts_raw, t_rel, rmask, calib)
     down, dmask = vf.voxel_downsample_device(
         und, rmask, filter_size_surf, max_points
@@ -84,5 +91,11 @@ def lidar_frame_step(
         dense_world = jnp.where(rmask[:, None], dense_world, 0.0)
     else:
         dense_world = jnp.zeros((1, 3), down.dtype)
+    head = jnp.stack([
+        jnp.sum(dmask).astype(jnp.float64),
+        res.n_active.astype(jnp.float64),
+        res.iters.astype(jnp.float64),
+    ])
+    stats = jnp.concatenate([head, pack24(res.state)])
     return (res.state, m2, down, dmask, res.n_active, res.iters,
-            dense_world, res.active)
+            dense_world, res.active, stats)

@@ -66,28 +66,35 @@ class PoseTable(NamedTuple):
 
 
 @jax.jit
-def _pack_pose(pose: "PoseTable", pos_end: jnp.ndarray) -> jnp.ndarray:
-    """Flatten a PoseTable (+ the segment-end position) to one (M+1, 22)
-    array so the host can read it in a SINGLE device->host transfer
-    (each blocking transfer through the relay costs a full ~30 ms round
-    trip once the session streams results; 6 leaf reads per group
-    dominated interactive frame time)."""
+def _pack_pose(pose: "PoseTable", state) -> jnp.ndarray:
+    """Flatten a PoseTable (+ the full segment-end state) to one
+    (M+1, 24) f64 array so the host can read it in a SINGLE device->host
+    transfer (each blocking transfer through the relay costs a full
+    ~30 ms round trip once the session streams results; 6 leaf reads per
+    group dominated interactive frame time). Rows 0..M-1 are the table
+    ([offs, rot9, pos3, vel3, acc3, gyr3], 2 pad cols); the last row is
+    the propagated state's pack24 (state.pack24) — it feeds both the
+    mat_pre trace row and the local-map slider without extra reads.
+    f64 throughout: the table is the undistortion pose input and the
+    trace row is logged at %.8f."""
+    from .state import pack24
+
     M = pose.offs.shape[0]
-    f = jnp.float32
+    f = jnp.float64
     base = jnp.concatenate(
         [pose.offs[:, None].astype(f), pose.rot.reshape(M, 9).astype(f),
          pose.pos.astype(f), pose.vel.astype(f), pose.acc.astype(f),
-         pose.gyr.astype(f)], axis=1)
-    extra = jnp.zeros((1, 22), f).at[0, 10:13].set(pos_end.astype(f))
-    return jnp.concatenate([base, extra], axis=0)
+         pose.gyr.astype(f), jnp.zeros((M, 2), f)], axis=1)
+    return jnp.concatenate([base, pack24(state)[None, :]], axis=0)
 
 
 def pose_table_to_host(pose: "PoseTable", state) -> tuple:
     """One-transfer host copy of a PoseTable (as the dict-of-arrays shape
     the pipeline's merged-scan-table builder consumes) plus the
-    propagated segment-end position (for the host-side local-map
-    slider, which otherwise costs its own transfer)."""
-    return _pose_pack_to_host(_pack_pose(pose, state.pos))
+    propagated segment-end state as a pack24 row (for the mat_pre trace
+    and the host-side local-map slider, which otherwise cost their own
+    transfers)."""
+    return _pose_pack_to_host(_pack_pose(pose, state))
 
 
 def _pose_pack_to_host(t) -> tuple:
@@ -99,21 +106,21 @@ def _pose_pack_to_host(t) -> tuple:
         "pos": t[:-1, 10:13], "vel": t[:-1, 13:16], "acc": t[:-1, 16:19],
         "gyr": t[:-1, 19:22],
     }
-    return tbl, t[-1, 10:13].astype(np.float64)
+    return tbl, t[-1, 0:24]
 
 
 @jax.jit
 def propagate_packed(s, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
                      acc_s_last, angvel_last, calib, row0_off=0.0):
     """`propagate` with the pose table pre-packed ON DEVICE: one fused
-    dispatch returning (state, (M+1,22) pack, acc_s_last, angvel_last),
+    dispatch returning (state, (M+1,24) pack, acc_s_last, angvel_last),
     so an interactive frame pays one dispatch + one blocking read per
     IMU group instead of two dispatches + six reads."""
     st, pose, a_last, g_last = propagate(
         s, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
         acc_s_last, angvel_last, calib, row0_off,
     )
-    return st, _pack_pose(pose, st.pos), a_last, g_last
+    return st, _pack_pose(pose, st), a_last, g_last
 
 
 class ImuInitializer:

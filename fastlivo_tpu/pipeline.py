@@ -44,30 +44,6 @@ INIT_TIME = 0.5  # seconds before the EKF activates (laserMapping.cpp:79)
 REBUILD_CHECK_EVERY = 32  # frames between map load-factor checks
 
 
-_stats_pack_jit = None
-
-
-def _frame_stats_pack(st, dmask, n_act, iters) -> np.ndarray:
-    """[n_down, n_active, iters, rot(9), pos(3), vel(3), bg(3), ba(3),
-    grav(3)] — the frame's host-needed scalars and posterior state in
-    ONE device dispatch + ONE transfer (interactive-mode frame time
-    through the relay is round-trip-count-bound, not compute-bound)."""
-    global _stats_pack_jit
-    if _stats_pack_jit is None:
-        import jax
-
-        def _pack(st, dmask, n_act, iters):
-            head = jnp.stack([
-                jnp.sum(dmask).astype(jnp.float64),
-                n_act.astype(jnp.float64),
-                iters.astype(jnp.float64),
-            ])
-            return jnp.concatenate([head, state_mod.pack24(st)])
-
-        _stats_pack_jit = jax.jit(_pack)
-    return np.asarray(_stats_pack_jit(st, dmask, n_act, iters))
-
-
 @dataclasses.dataclass
 class FrameOutput:
     t: float  # scan end time (odometry stamp)
@@ -139,7 +115,10 @@ class Pipeline:
         self._scan_id = None
         self.outputs: List[FrameOutput] = []
         self.on_frame = None  # per-frame callback (e.g. viz.LiveViewer.update)
-        self._prop_pos = None  # host copy of the propagated scan-end position
+        # host pack24 row of the PROPAGATED (pre-update) state, refreshed
+        # by every consumed IMU group and invalidated by the EKF update;
+        # feeds mat_pre + the local-map slider with zero extra reads
+        self._prop_pack = None
         self.trajectory: List[np.ndarray] = []  # TUM rows
         # /cloud_effected parity: (down_pts, active_mask) of the last frame
         self.last_effect = None
@@ -207,6 +186,7 @@ class Pipeline:
                 rot=jnp.eye(3, dtype=jnp.float64),
             )
             self.init_done = True
+            self._prop_pack = None  # state changed outside propagation
             self.last_group_end = g.scan.beg_time if g.scan else float(g.imu_t[-1])
 
     def _propagate(self, g: MeasureGroup, end_time: float):
@@ -253,7 +233,7 @@ class Pipeline:
         self.state = st
         self.last_group_end = end_time
         keep = np.concatenate([[True], valid])
-        tbl, self._prop_pos = imu_mod._pose_pack_to_host(pose_pack)
+        tbl, self._prop_pack = imu_mod._pose_pack_to_host(pose_pack)
         self._scan_tables.append(
             {k: v[keep] for k, v in tbl.items()}
         )
@@ -307,13 +287,17 @@ class Pipeline:
             if self.vio is not None and self.ready and self.first_lidar_time is not None:
                 if scan.beg_time - self.first_lidar_time >= INIT_TIME:
                     self.state = self.vio.update(self.state, state_propagat, g.img)
+                    self._prop_pack = None  # posterior != propagated
             return None
 
         # ---- lidar-end frame: undistort whole scan ----------------------
         if self.logger is not None:
-            # one packed read of the propagated (pre-update) state
-            self.logger.log_pre(scan.end_time,
-                                state_mod.pack24_host(self.state))
+            # propagated (pre-update) state row, already on the host
+            # from the group's pose-table pack (no extra read)
+            self.logger.log_pre(
+                scan.end_time,
+                self._prop_pack if self._prop_pack is not None
+                else state_mod.pack24_host(self.state))
         pose_table = self._merged_pose_table()
         cap = self.cfg.capacity
         N = len(scan.pts)
@@ -353,7 +337,7 @@ class Pipeline:
         # ---- sliding local map (lasermap_fov_segment) --------------------
         # propagated scan-end position, already on the host from the
         # pose-table pack (avoids a dedicated device read per frame)
-        pos_np = (self._prop_pos if self._prop_pos is not None
+        pos_np = (self._prop_pack[9:12] if self._prop_pack is not None
                   else np.asarray(self.state.pos))
         boxes = self.tracker.update(pos_np)
         if boxes and self.map_built:
@@ -375,7 +359,7 @@ class Pipeline:
             from .frame_step import lidar_frame_step
 
             (st, m2, down_j, dmask_j, n_act_j, iters_j,
-             dense_j, active_j) = lidar_frame_step(
+             dense_j, active_j, stats_j) = lidar_frame_step(
                 self.state, self.map, pose_table, self.calib,
                 jnp.asarray(buf), jnp.asarray(trel), jnp.asarray(pmask),
                 jnp.float32(self.cfg.filter_size_surf),
@@ -389,11 +373,13 @@ class Pipeline:
                 mixed_gain=cap.mixed_gain,
             )
             self.state = st
+            self._prop_pack = None  # posterior != propagated
             self.map = m2
-            # counters + posterior state in ONE packed transfer (each
-            # blocking device read is a full relay round trip; these
-            # used to be ~8 separate reads per frame)
-            stats = _frame_stats_pack(st, dmask_j, n_act_j, iters_j)
+            # counters + posterior state in ONE packed transfer with no
+            # extra dispatch: the fused step returns them pre-packed
+            # (each blocking device read is a full relay round trip;
+            # these used to be ~8 separate reads per frame)
+            stats = np.asarray(stats_j)
             n_down, n_active, iters = (int(stats[0]), int(stats[1]),
                                        int(stats[2]))
             post_pack = stats[3:]

@@ -46,7 +46,7 @@ def test_fused_equals_staged():
     kwargs = dict(laser_point_cov=0.001, max_iter=5, knn_radius=1, max_probe=8)
 
     (st_f, m_f, down_f, dmask_f, nact_f, it_f, dense_f,
-     active_f) = lidar_frame_step(
+     active_f, stats_f) = lidar_frame_step(
         s, m, pose, calib, jnp.asarray(scan), t_rel, rmask,
         jnp.float32(0.3), max_points=4096, dense_out=True, **kwargs,
     )
@@ -66,6 +66,16 @@ def test_fused_equals_staged():
     assert int(nact_f) == int(res.n_active)
     np.testing.assert_array_equal(np.asarray(active_f), np.asarray(res.active))
     assert int(it_f) == int(res.iters)
+    # the packed stats row mirrors the scalar outputs + posterior pack24
+    stats = np.asarray(stats_f)
+    assert stats.shape == (27,)
+    assert int(stats[0]) == int(jnp.sum(dmask))
+    assert int(stats[1]) == int(res.n_active)
+    assert int(stats[2]) == int(res.iters)
+    np.testing.assert_allclose(stats[3:12].reshape(3, 3),
+                               np.asarray(res.state.rot), atol=1e-12)
+    np.testing.assert_allclose(stats[12:15], np.asarray(res.state.pos),
+                               atol=1e-12)
     # the fused map insert used the posterior pose
     rot32 = res.state.rot.astype(jnp.float32)
     pos32 = res.state.pos.astype(jnp.float32)
