@@ -109,6 +109,35 @@ def _pose_pack_to_host(t) -> tuple:
     return tbl, t[-1, 0:24]
 
 
+@functools.partial(jax.jit, static_argnames=("m_out",))
+def merge_pose_packs(packs, flat_idx, row_valid, m_out: int):
+    """Merge per-group pose packs (from `propagate_packed`) into the
+    fixed-size per-scan PoseTable ENTIRELY ON DEVICE — the interactive
+    pipeline's replacement for a host-side merge that needed one
+    blocking device->host read per IMU group (a full ~30-65 ms relay
+    round trip each).
+
+    packs: tuple of (Bi+1, 24) f64 packs; the last row of each (the
+    segment-end state) is dropped here. flat_idx (m_out,) i32 indexes
+    the row-concatenation of the packs' base rows: the host computes
+    kept-row indices (row0 + valid pairs) and pads by repeating the
+    last kept index — replicating the previous host merge's
+    `buf[len:] = a[-1]` padding. row_valid (m_out,) marks real rows;
+    padded rows get offs=BIG_T (same sentinel as before). Output
+    fields are f32, matching the host merge's cast."""
+    base = jnp.concatenate([p[:-1] for p in packs], axis=0)
+    rows = base[flat_idx].astype(jnp.float32)  # (m_out, 24)
+    offs = jnp.where(row_valid, rows[:, 0], jnp.float32(BIG_T))
+    return PoseTable(
+        offs=offs,
+        rot=rows[:, 1:10].reshape(m_out, 3, 3),
+        pos=rows[:, 10:13],
+        vel=rows[:, 13:16],
+        acc=rows[:, 16:19],
+        gyr=rows[:, 19:22],
+    )
+
+
 @jax.jit
 def propagate_packed(s, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
                      acc_s_last, angvel_last, calib, row0_off=0.0):

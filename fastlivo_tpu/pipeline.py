@@ -110,15 +110,20 @@ class Pipeline:
         self.last_group_end: Optional[float] = None
         self.acc_s_last = jnp.zeros(3, jnp.float32)
         self.angvel_last = jnp.zeros(3, jnp.float32)
-        # per-scan accumulated pose-table segments (host numpy)
-        self._scan_tables: List[dict] = []
+        # per-scan pose-table segments: (device pose pack, host kept-row
+        # indices) per consumed group — merged on device per scan
+        self._scan_tables: List[tuple] = []
         self._scan_id = None
         self.outputs: List[FrameOutput] = []
         self.on_frame = None  # per-frame callback (e.g. viz.LiveViewer.update)
-        # host pack24 row of the PROPAGATED (pre-update) state, refreshed
-        # by every consumed IMU group and invalidated by the EKF update;
-        # feeds mat_pre + the local-map slider with zero extra reads
-        self._prop_pack = None
+        # DEVICE pose pack of the last consumed IMU group (its final row
+        # is pack24 of the propagated state), refreshed per group and
+        # invalidated by any update; only materialized (one device read)
+        # when trace logging needs the mat_pre row
+        self._prop_pack_dev = None
+        # host pack24 of the previous frame's posterior — free from the
+        # frame's packed stats read; feeds the local-map slider
+        self._last_post = None
         self.trajectory: List[np.ndarray] = []  # TUM rows
         # /cloud_effected parity: (down_pts, active_mask) of the last frame
         self.last_effect = None
@@ -186,7 +191,7 @@ class Pipeline:
                 rot=jnp.eye(3, dtype=jnp.float64),
             )
             self.init_done = True
-            self._prop_pack = None  # state changed outside propagation
+            self._prop_pack_dev = None  # state changed outside propagation
             self.last_group_end = g.scan.beg_time if g.scan else float(g.imu_t[-1])
 
     def _propagate(self, g: MeasureGroup, end_time: float):
@@ -231,36 +236,36 @@ class Pipeline:
             )
         )
         self.state = st
+        self._prop_pack_dev = pose_pack
         self.last_group_end = end_time
+        # kept rows: row0 + the valid pairs (host-known, no device read)
         keep = np.concatenate([[True], valid])
-        tbl, self._prop_pack = imu_mod._pose_pack_to_host(pose_pack)
         self._scan_tables.append(
-            {k: v[keep] for k, v in tbl.items()}
+            (pose_pack, np.nonzero(keep)[0].astype(np.int32))
         )
 
     def _merged_pose_table(self) -> imu_mod.PoseTable:
+        """Per-scan pose table merged ON DEVICE from the groups' pose
+        packs (imu.merge_pose_packs) — the host only builds the int32
+        gather plan, so the interactive path pays zero device reads
+        here (each read is a full relay round trip)."""
         segs = self._scan_tables
-        offs = np.concatenate([s["offs"] for s in segs])
+        flat, off = [], 0
+        for pack, idx in segs:
+            flat.append(idx + off)
+            off += pack.shape[0] - 1  # base rows (last row = state pack)
+        flat = np.concatenate(flat)
         M = self.max_scan_poses
-        if len(offs) > M:
-            raise ValueError(f"scan pose table overflow: {len(offs)} > {M}")
-
-        def pad(key):
-            a = np.concatenate([s[key] for s in segs]).astype(np.float32)
-            buf = np.zeros((M,) + a.shape[1:], np.float32)
-            buf[: len(a)] = a
-            buf[len(a):] = a[-1]
-            return buf
-
-        offs_p = np.full(M, imu_mod.BIG_T, np.float32)
-        offs_p[: len(offs)] = offs
-        return imu_mod.PoseTable(
-            offs=jnp.asarray(offs_p),
-            rot=jnp.asarray(pad("rot")),
-            pos=jnp.asarray(pad("pos")),
-            vel=jnp.asarray(pad("vel")),
-            acc=jnp.asarray(pad("acc")),
-            gyr=jnp.asarray(pad("gyr")),
+        if len(flat) > M:
+            raise ValueError(f"scan pose table overflow: {len(flat)} > {M}")
+        K = len(flat)
+        idx_p = np.full(M, flat[-1], np.int32)
+        idx_p[:K] = flat
+        valid = np.zeros(M, bool)
+        valid[:K] = True
+        return imu_mod.merge_pose_packs(
+            tuple(p for p, _ in segs), jnp.asarray(idx_p),
+            jnp.asarray(valid), m_out=M,
         )
 
     def _process_group(self, g: MeasureGroup) -> Optional[FrameOutput]:
@@ -287,16 +292,18 @@ class Pipeline:
             if self.vio is not None and self.ready and self.first_lidar_time is not None:
                 if scan.beg_time - self.first_lidar_time >= INIT_TIME:
                     self.state = self.vio.update(self.state, state_propagat, g.img)
-                    self._prop_pack = None  # posterior != propagated
+                    self._prop_pack_dev = None  # posterior != propagated
             return None
 
         # ---- lidar-end frame: undistort whole scan ----------------------
         if self.logger is not None:
-            # propagated (pre-update) state row, already on the host
-            # from the group's pose-table pack (no extra read)
+            # propagated (pre-update) state row = the final row of the
+            # group's device pose pack; materializing it costs one
+            # device read per frame, paid only when trace logging is on
             self.logger.log_pre(
                 scan.end_time,
-                self._prop_pack if self._prop_pack is not None
+                np.asarray(self._prop_pack_dev[-1])
+                if self._prop_pack_dev is not None
                 else state_mod.pack24_host(self.state))
         pose_table = self._merged_pose_table()
         cap = self.cfg.capacity
@@ -335,9 +342,13 @@ class Pipeline:
         )
 
         # ---- sliding local map (lasermap_fov_segment) --------------------
-        # propagated scan-end position, already on the host from the
-        # pose-table pack (avoids a dedicated device read per frame)
-        pos_np = (self._prop_pack[9:12] if self._prop_pack is not None
+        # The reference slides on the PREDICTED position; we use the
+        # previous frame's posterior (already on the host from its
+        # packed stats read) to avoid a dedicated device read. The
+        # difference is one frame of motion (~cm) against a slide
+        # margin of MOV_THRESHOLD*DET_RANGE (hundreds of meters) —
+        # documented deviation, cannot change which boxes slide.
+        pos_np = (self._last_post[9:12] if self._last_post is not None
                   else np.asarray(self.state.pos))
         boxes = self.tracker.update(pos_np)
         if boxes and self.map_built:
@@ -373,7 +384,7 @@ class Pipeline:
                 mixed_gain=cap.mixed_gain,
             )
             self.state = st
-            self._prop_pack = None  # posterior != propagated
+            self._prop_pack_dev = None  # posterior != propagated
             self.map = m2
             # counters + posterior state in ONE packed transfer with no
             # extra dispatch: the fused step returns them pre-packed
@@ -451,6 +462,7 @@ class Pipeline:
         if not fused:
             # staged/bootstrap path: one packed read of the posterior
             post_pack = state_mod.pack24_host(self.state)
+        self._last_post = post_pack  # feeds next frame's map slider
         if self.logger is not None:
             self.logger.log_post(scan.end_time, post_pack)
             self.logger.log_pos(scan.beg_time - (self.first_lidar_time or 0.0),
