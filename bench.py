@@ -475,8 +475,15 @@ def main():
     _progress("overhead done; baseline start")
     base = measured_cpp_baseline()
     _progress("baseline done")
-    net_frame_ms = max(lid["frame_ms_mean"] - overhead_ms, 1e-3)
-    net_pts = N_SCAN / (net_frame_ms * 1e-3)
+    # A *_net number is only meaningful when the measured dispatch
+    # overhead is small relative to the frame time; if overhead
+    # dominates (degraded relay session), subtracting it would divide
+    # by ~0 and fabricate absurd rates — omit net instead.
+    def _net(mean_ms):
+        if overhead_ms < 0.5 * mean_ms:
+            return mean_ms - overhead_ms
+        return None
+
     out = {
         "metric": "lidar_frame_step_points_per_sec",
         "value": round(lid["points_per_sec"], 1),
@@ -486,16 +493,17 @@ def main():
         ),
         "baseline_points_per_sec": round(base["points_per_sec"], 1),
         "dispatch_overhead_ms": round(overhead_ms, 3),
-        "points_per_sec_net": round(net_pts, 1),
-        "vs_baseline_net": round(net_pts / base["points_per_sec"], 2),
         "detail": {
             "lidar_tiled_default": {k: round(v, 2) for k, v in lid.items()},
             "baseline_raw_runs": base["raw_runs"],
         },
     }
+    net_frame_ms = _net(lid["frame_ms_mean"])
+    if net_frame_ms:
+        net_pts = N_SCAN / (net_frame_ms * 1e-3)
+        out["points_per_sec_net"] = round(net_pts, 1)
+        out["vs_baseline_net"] = round(net_pts / base["points_per_sec"], 2)
     if vio is not None:
-        vio_net_ms = max(vio["vio_ms_mean"] - overhead_ms, 1e-3)
-        vio_net = vio["vio_pixels_per_sec"] * vio["vio_ms_mean"] / vio_net_ms
         out["vio_pixels_per_sec"] = round(vio["vio_pixels_per_sec"], 1)
         out["vio_baseline_pixels_per_sec"] = round(
             base["vio_pixels_per_sec"], 1
@@ -504,7 +512,11 @@ def main():
             vio["vio_pixels_per_sec"] / base["vio_pixels_per_sec"], 2
         )
         out["detail"]["vio"] = {k: round(v, 2) for k, v in vio.items()}
-        out["detail"]["vio_pixels_per_sec_net"] = round(vio_net, 1)
+        vio_net_ms = _net(vio["vio_ms_mean"])
+        if vio_net_ms:
+            vio_net = (vio["vio_pixels_per_sec"]
+                       * vio["vio_ms_mean"] / vio_net_ms)
+            out["detail"]["vio_pixels_per_sec_net"] = round(vio_net, 1)
     if lid_big is not None:
         out["big_points_per_sec"] = round(lid_big["points_per_sec"], 1)
         out["detail"]["lidar_big_128k"] = {
