@@ -124,6 +124,9 @@ class Pipeline:
         # host pack24 of the previous frame's posterior — free from the
         # frame's packed stats read; feeds the local-map slider
         self._last_post = None
+        # device handle of the last fused frame's full dense cloud
+        # (handed to the VIO without a host round trip)
+        self._dense_dev = None
         self.trajectory: List[np.ndarray] = []  # TUM rows
         # /cloud_effected parity: (down_pts, active_mask) of the last frame
         self.last_effect = None
@@ -397,11 +400,15 @@ class Pipeline:
             if self.cfg.dense_map_enable:
                 # materialize (a blocking transfer) only when a consumer
                 # exists this frame; otherwise hand out the DEVICE array
-                # — np.asarray on it still works for any late reader
-                need_dense = (self.vio is not None or self.cfg.pcd_save_en
+                # — np.asarray on it still works for any late reader.
+                # The VIO is NOT such a consumer: it takes the device
+                # handle directly (set_last_cloud_device below), so the
+                # cloud never crosses to the host for the camera path.
+                need_dense = (self.cfg.pcd_save_en
                               or self.on_frame is not None)
                 dense_world = (np.asarray(dense_j)[:N] if need_dense
                                else dense_j[:N])
+                self._dense_dev = dense_j
             # kept as DEVICE arrays: the /cloud_effected surface is only
             # materialized if a consumer reads it (np.asarray works)
             self.last_effect = (down_j, active_j)
@@ -532,7 +539,11 @@ class Pipeline:
             np.array([out.t, *pos_np, quat[1], quat[2], quat[3], quat[0]])
         )
         if self.vio is not None:
-            self.vio.set_last_cloud(out.pts_world)
+            if fused and self.cfg.dense_map_enable:
+                # device-to-device handoff: only the row count crosses
+                self.vio.set_last_cloud_device(self._dense_dev, N)
+            else:
+                self.vio.set_last_cloud(out.pts_world)
         return out
 
     def _profile_stages(self, pose_table, buf, trel, pmask, cap) -> dict:

@@ -397,7 +397,7 @@ def livo_block_step(
 
         def image_branch(_):
             (st2, vm2, _ti, _tv, _opc, _perr, _err, n_tr, _n_add,
-             its) = vio_frame_step(
+             its, _stats) = vio_frame_step(
                 vm_, cam, st1, st1, gr, fi, lc, lcm,
                 Rci, Pci, Jdphi_dR, Jdp_dR,
                 outlier_threshold, ncc_thre, img_point_cov,

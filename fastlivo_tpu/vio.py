@@ -645,7 +645,13 @@ def vio_frame_step(
     leaves the covariance untouched), matching the staged path's skip.
 
     Returns (state', vmap', tracked_idx, tracked_valid, obs_px,
-    per-point errors, mean_err, n_tracked, n_added, iters)."""
+    per-point errors, mean_err, n_tracked, n_added, iters, stats).
+
+    `stats` packs [n_tracked, n_added, mean_err, iters, rcw'(9),
+    pcw'(3)] (f64, (16,)) — every host-needed scalar plus the posterior
+    world->camera pose in ONE device->host transfer; reading the pieces
+    separately cost ~5 blocking relay round trips (~30-65 ms each) per
+    interactive camera frame."""
     f32 = gray.dtype
     vm2 = vmap_mod.push_image(vm, gray, fid)
     pg, pg_mask = voxel_downsample_device(cloud, cloud_mask, 0.2, max_pg)
@@ -689,8 +695,14 @@ def vio_frame_step(
     vm2 = vmap_mod.add_points(vm2, npos, npx, nf, rcw, pcw, nscore, fid, nadd)
     n_tracked = jnp.sum(tracked.valid, dtype=jnp.int32)
     n_added = jnp.sum(nadd, dtype=jnp.int32)
+    f64 = jnp.float64
+    stats = jnp.concatenate([
+        jnp.stack([n_tracked.astype(f64), n_added.astype(f64),
+                   err.astype(f64), its.astype(f64)]),
+        rcw2.reshape(9).astype(f64), pcw2.astype(f64),
+    ])
     return (st, vm2, tracked.idx, tracked.valid, opc, perr, err,
-            n_tracked, n_added, its)
+            n_tracked, n_added, its, stats)
 
 
 @jax.jit
@@ -802,18 +814,48 @@ class Vio:
         )
         self.fid = 0
         self.last_cloud: Optional[np.ndarray] = None
+        self._last_cloud_dev = None  # (device (cloud_cap,3), host n)
         self.max_pg = cap.max_cands
         self.max_vox = 2048
         self.cloud_cap = cap.max_raw_points  # fused-step input capacity
         self.last_stats = {}
         self.last_overlay = None  # /rgb_img equivalent when cfg.debug
-        self.last_bgr: Optional[np.ndarray] = None  # img_rgb (detect :1035)
+        # img_rgb (detect :1035) — resolved lazily from the raw frame:
+        # the resize/cast costs host milliseconds every image frame but
+        # is consumed only by colorize (pcd_save) and visualization
+        self._last_bgr_cache: Optional[np.ndarray] = None
+        self._last_bgr_src: Optional[np.ndarray] = None
         self.last_rcw: Optional[np.ndarray] = None  # frame T_f_w_ rotation
         self.last_pcw: Optional[np.ndarray] = None
+
+    @property
+    def last_bgr(self) -> Optional[np.ndarray]:
+        if self._last_bgr_cache is None and self._last_bgr_src is not None:
+            self._last_bgr_cache = self._resize_color(self._last_bgr_src)
+        return self._last_bgr_cache
+
+    @last_bgr.setter
+    def last_bgr(self, v: Optional[np.ndarray]):
+        self._last_bgr_cache = v
+        self._last_bgr_src = None
 
     def set_last_cloud(self, pts_world: Optional[np.ndarray]):
         if pts_world is not None:
             self.last_cloud = pts_world
+            self._last_cloud_dev = None
+
+    def set_last_cloud_device(self, dense_dev, n: int):
+        """DEVICE-side variant of set_last_cloud: the lidar frame's full
+        (cloud_cap, 3) dense world cloud stays on device and only the
+        valid-row count crosses to the host — in interactive mode the
+        host handoff cost a blocking device read on the lidar frame AND
+        a re-upload on the image frame (2 relay round trips per pair).
+        Row semantics match the host path exactly: rows >= n are masked,
+        zero rows within n ride through the voxel filter as before."""
+        assert dense_dev.shape[0] == self.cloud_cap, (
+            dense_dev.shape, self.cloud_cap)
+        self._last_cloud_dev = (dense_dev, int(n))
+        self.last_cloud = None
 
     # -----------------------------------------------------------------
     def _to_gray(self, img: np.ndarray) -> np.ndarray:
@@ -854,25 +896,37 @@ class Vio:
         """The `detect` entry (lidar_selection.cpp:1027-1075), fused:
         one device dispatch per camera frame (vio_frame_step)."""
         cfg = self.cfg
-        self.last_bgr = self._resize_color(img)
+        self._last_bgr_src = img
+        self._last_bgr_cache = None
         gray = jnp.asarray(self._to_gray(img))
         fid = jnp.int32(self.fid)
-        if self.last_cloud is None or len(self.last_cloud) < 10:
+        R = self.cloud_cap
+        if self._last_cloud_dev is not None:
+            cloud_dev, n = self._last_cloud_dev
+            n = min(n, R)
+        else:
+            cloud_dev = None
+            n = 0 if self.last_cloud is None else min(len(self.last_cloud), R)
+        if n < 10:
             self.vmap = vmap_mod.push_image(self.vmap, gray, fid)
             self.fid += 1
             return state
 
-        R = self.cloud_cap
-        n = min(len(self.last_cloud), R)
-        cloud = np.zeros((R, 3), np.float32)
-        cloud[:n] = self.last_cloud[:n, :3]
-        cmask = np.zeros(R, bool)
-        cmask[:n] = True
+        if cloud_dev is not None:
+            # lidar frame's dense cloud, never left the device
+            cloud_j = cloud_dev
+            cmask_j = jnp.asarray(np.arange(R) < n)
+        else:
+            cloud = np.zeros((R, 3), np.float32)
+            cloud[:n] = self.last_cloud[:n, :3]
+            cmask = np.zeros(R, bool)
+            cmask[:n] = True
+            cloud_j, cmask_j = jnp.asarray(cloud), jnp.asarray(cmask)
 
         (st, vm2, tidx, tvalid, opc, perr, err, n_tracked, n_added,
-         _its) = vio_frame_step(
+         _its, stats_j) = vio_frame_step(
             self.vmap, self.cam, state, prior, gray, fid,
-            jnp.asarray(cloud), jnp.asarray(cmask),
+            cloud_j, cmask_j,
             self.Rci, self.Pci, self.Jdphi_dR, self.Jdp_dR,
             cfg.outlier_threshold, cfg.ncc_thre, cfg.img_point_cov,
             grid_size=self.grid_size, patch_size=self.patch_size,
@@ -881,22 +935,22 @@ class Vio:
             max_pg=self.max_pg, robust=cfg.capacity.vio_robust,
         )
         self.vmap = vm2
+        # counters + posterior camera pose in ONE packed transfer (the
+        # separate int()/float()/np.asarray reads each cost a blocking
+        # relay round trip — ~5 per interactive camera frame)
+        stats = np.asarray(stats_j)
         self.last_stats = {
-            "tracked": int(n_tracked),
-            "added": int(n_added),
-            "err": float(err),
+            "tracked": int(stats[0]),
+            "added": int(stats[1]),
+            "err": float(stats[2]),
         }
-        if self.cfg.debug and int(n_tracked) > 0:
+        if self.cfg.debug and stats[0] > 0:
             self.last_overlay = render_overlay(
                 np.asarray(gray), np.asarray(opc), np.asarray(perr),
                 np.asarray(tvalid),
             )
-        rot_f = np.asarray(st.rot, np.float32)
-        self.last_rcw = np.asarray(self.Rci) @ rot_f.T
-        self.last_pcw = (
-            -self.last_rcw @ np.asarray(st.pos, np.float32)
-            + np.asarray(self.Pci)
-        )
+        self.last_rcw = stats[4:13].reshape(3, 3).astype(np.float32)
+        self.last_pcw = stats[13:16].astype(np.float32)
         self.fid += 1
         return st
 
@@ -904,7 +958,8 @@ class Vio:
         """Unfused reference path (one dispatch per stage) — kept for the
         fused-vs-staged equivalence test and for debugging."""
         cfg = self.cfg
-        self.last_bgr = self._resize_color(img)
+        self._last_bgr_src = img
+        self._last_bgr_cache = None
         gray = jnp.asarray(self._to_gray(img))
         fid = jnp.int32(self.fid)
         self.vmap = vmap_mod.push_image(self.vmap, gray, fid)
