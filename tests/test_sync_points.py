@@ -1,0 +1,138 @@
+"""Regression guard: interactive-mode device->host materializations.
+
+Interactive/serving frame time through the TPU relay is bound by the
+number of BLOCKING device->host transfers per frame (~30-65 ms each;
+dispatches and uploads queue asynchronously — see
+docs/PERF_ANALYSIS.md "interactive-mode latency"). The steady-state
+pipeline was engineered down to ONE materialization per lidar frame
+(the fused step's packed stats row) and ONE per camera frame (the VIO
+packed stats row). A stray int()/float()/np.asarray on a device value
+silently re-inflates every frame by a relay round trip; this test
+counts jax-array materializations per steady-state frame so such a
+regression fails loudly instead.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from fastlivo_tpu.config import load_config
+from fastlivo_tpu.io.synthetic import SyntheticDataset
+from fastlivo_tpu.pipeline import Pipeline
+
+AVIA = "/root/reference/config/avia.yaml"
+CAM = "/root/reference/config/camera_pinhole.yaml"
+
+
+class _MaterializeCounter:
+    """Counts host materializations of DEVICE arrays.
+
+    On the CPU test backend numpy converts jax arrays through the
+    C-level buffer protocol, so the only reliable Python-level hook is
+    the conversion entry points the pipeline itself uses: np.asarray /
+    np.array on a jax.Array. (int()/float() scalar pulls in the
+    interactive path all read the already-materialized packed stats
+    row, so counting the array conversions counts the sync points.)"""
+
+    def __init__(self):
+        self.count = 0
+
+    def __enter__(self):
+        self._asarray = np.asarray
+        self._array = np.array
+        counter = self
+
+        def mk(orig):
+            def patched(a, *args, **kw):
+                if isinstance(a, jax.Array):
+                    counter.count += 1
+                return orig(a, *args, **kw)
+            return patched
+
+        np.asarray = mk(self._asarray)
+        np.array = mk(self._array)
+        return self
+
+    def __exit__(self, *exc):
+        np.asarray = self._asarray
+        np.array = self._array
+        return False
+
+
+def _drive(cfg, with_cam):
+    pipe = Pipeline(cfg)
+    kw = {}
+    if with_cam:
+        cam = cfg.camera
+        kw = dict(cam_hz=10.0, cam_size=(cam.width, cam.height),
+                  cam_f=cam.fx, cam_d=np.asarray(cam.d[:4]),
+                  Rcl=cfg.Rcl_mat, Pcl=cfg.Pcl_vec)
+    ds = SyntheticDataset(duration=3.0, points_per_scan=2048,
+                          lidar_noise=0.004, lid_rot=cfg.extrinsic_R,
+                          lid_off=cfg.extrinsic_T, **kw)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    if with_cam:
+        for t, img in ds.images():
+            pipe.push_img(t, img)
+    return pipe, list(pipe.sync.drain())
+
+
+def test_lio_steady_state_single_materialization_per_frame():
+    cfg = load_config(AVIA)
+    cfg.img_enable = False
+    pipe, groups = _drive(cfg, with_cam=False)
+    # warm past bootstrap/compile so only the steady state is counted
+    for g in groups[:-6]:
+        pipe._process_group(g)
+    with _MaterializeCounter() as c:
+        for g in groups[-6:]:
+            pipe._process_group(g)
+    # exactly ONE materialization per steady-state lidar frame: the
+    # fused step's packed stats row (pipeline.py fused branch)
+    assert c.count == 6, (
+        f"{c.count} device materializations over 6 steady LIO frames "
+        "(expected 6 = 1/frame); a stray device read crept into the "
+        "interactive path — each costs a ~30-65 ms relay round trip"
+    )
+
+
+def test_livo_steady_state_materializations_per_pair():
+    cfg = load_config(AVIA, CAM)
+    pipe, groups = _drive(cfg, with_cam=True)
+    n_tail = 12  # ~6 lidar + ~6 image groups
+    for g in groups[:-n_tail]:
+        pipe._process_group(g)
+    tail = groups[-n_tail:]
+    n_lidar = sum(1 for g in tail if g.is_lidar_end)
+    n_img = len(tail) - n_lidar
+    with _MaterializeCounter() as c:
+        for g in tail:
+            pipe._process_group(g)
+    # one packed stats read per lidar frame + one per camera frame
+    budget = n_lidar + n_img
+    assert c.count == budget, (
+        f"{c.count} device materializations over {n_lidar} lidar + "
+        f"{n_img} image steady frames (expected {budget} = 1/frame)"
+    )
+
+
+def test_trace_logging_costs_exactly_one_extra_read(tmp_path):
+    cfg = load_config(AVIA)
+    cfg.img_enable = False
+    pipe, groups = _drive(cfg, with_cam=False)
+    from fastlivo_tpu.logging_util import TraceLogger
+
+    pipe.logger = TraceLogger(tmp_path)
+    for g in groups[:-6]:
+        pipe._process_group(g)
+    with _MaterializeCounter() as c:
+        for g in groups[-6:]:
+            pipe._process_group(g)
+    # stats row + the mat_pre row of the device pose pack
+    assert c.count == 12, (
+        f"{c.count} materializations over 6 logged LIO frames "
+        "(expected 12 = 2/frame: packed stats + mat_pre row)"
+    )
