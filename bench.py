@@ -400,6 +400,42 @@ LAST_KNOWN = {
 }
 
 
+def bench_interactive(duration=3.0, tail=10):
+    """Streaming-mode latency: the full interactive Pipeline (IMU sync,
+    propagation, fused frame step, per-frame host readback of the
+    packed stats row) driven frame by frame, as a serving deployment
+    would run it. MUST run AFTER measured_dispatch_overhead(): the
+    per-frame readbacks taint the relay session, so this measures the
+    honest interactive floor (~1 blocking round trip per frame; see
+    docs/PERF_ANALYSIS.md). Returns steady-state ms/frame over the
+    last `tail` frames."""
+    from fastlivo_tpu.config import load_config
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+    from fastlivo_tpu.pipeline import Pipeline
+
+    cfg = load_config("/root/reference/config/avia.yaml")
+    cfg.img_enable = False
+    pipe = Pipeline(cfg)
+    ds = SyntheticDataset(duration=duration, points_per_scan=8192,
+                          lidar_noise=0.004, lid_rot=cfg.extrinsic_R,
+                          lid_off=cfg.extrinsic_T)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    times = []
+    for g in pipe.sync.drain():
+        t0 = time.perf_counter()
+        pipe._process_group(g)
+        times.append((time.perf_counter() - t0) * 1e3)
+    t = np.asarray(times[-tail:])
+    return {
+        "interactive_ms_per_frame": float(np.mean(t)),
+        "interactive_ms_p50": float(np.median(t)),
+        "interactive_ms_min": float(np.min(t)),
+    }
+
+
 def _watchdog_fallback():
     """The axon relay's first-device-op stall grew from ~160 s to >1300 s
     over 2026-08-17 (see BASELINE.md session-drift note). If the live
@@ -475,6 +511,30 @@ def main():
     _progress("overhead done; baseline start")
     base = measured_cpp_baseline()
     _progress("baseline done")
+    inter = None
+    if not os.environ.get("FASTLIVO_BENCH_NO_INTERACTIVE"):
+        # In a FRESH subprocess (own relay session): the streaming
+        # pipeline reads back per frame, and running it inside this
+        # already-loaded session measures that contamination (~2x
+        # slower) rather than a serving deployment, which owns its
+        # session. The child still pays the taint its own first
+        # readback causes — that part is honest and unavoidable.
+        try:
+            import subprocess
+
+            _progress("interactive pipeline start (subprocess)")
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import json, bench; "
+                 "print(json.dumps(bench.bench_interactive("
+                 "duration=4.0, tail=15)))"],
+                capture_output=True, text=True, timeout=240,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            inter = json.loads(r.stdout.strip().splitlines()[-1])
+            _progress("interactive done")
+        except Exception:
+            inter = None
     # A *_net number is only meaningful when the measured dispatch
     # overhead is small relative to the frame time; if overhead
     # dominates (degraded relay session), subtracting it would divide
@@ -521,6 +581,13 @@ def main():
         out["big_points_per_sec"] = round(lid_big["points_per_sec"], 1)
         out["detail"]["lidar_big_128k"] = {
             k: round(v, 2) for k, v in lid_big.items()
+        }
+    if inter is not None:
+        out["interactive_ms_per_frame"] = round(
+            inter["interactive_ms_per_frame"], 1
+        )
+        out["detail"]["interactive"] = {
+            k: round(v, 1) for k, v in inter.items()
         }
     if lid_dense is not None:
         out["dense_points_per_sec"] = round(lid_dense["points_per_sec"], 1)
