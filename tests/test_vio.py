@@ -290,3 +290,38 @@ def test_robust_weighting_resists_outlier_patches():
     assert e_plain > e_before, (e_before, e_plain)
     assert e_hub < 0.3 * e_plain, (e_plain, e_hub)
     assert e_tuk < 0.1 * e_before, (e_before, e_tuk)
+
+
+def test_device_gray_bit_exact():
+    """_to_gray_dev (device BGR->gray, uploaded as raw uint8) must be
+    bit-identical to Vio._to_gray's numpy path for shape-matched frames
+    — the interactive camera path switched to it for 4x less wire
+    traffic, and every A/B trajectory claim rests on exactness."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fastlivo_tpu.vio import _to_gray_dev
+
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (64, 48, 3), np.uint8)
+    host = np.asarray(
+        0.114 * u8[..., 0] + 0.587 * u8[..., 1] + 0.299 * u8[..., 2],
+        np.float32,
+    )
+    dev = np.asarray(_to_gray_dev(jnp.asarray(u8)))
+    np.testing.assert_array_equal(host, dev)
+    # float frames are NOT routed to the device path (XLA FMA
+    # contraction costs 1 ulp vs numpy): _gray_device must fall back
+    from fastlivo_tpu.config import load_config
+    from fastlivo_tpu.vio import Vio
+
+    cfg = load_config("/root/reference/config/avia.yaml",
+                      "/root/reference/config/camera_pinhole.yaml")
+    v = Vio(cfg)
+    f32 = rng.random((cfg.camera.height, cfg.camera.width, 3),
+                     np.float32) * 255.0
+    np.testing.assert_array_equal(np.asarray(v._gray_device(f32)),
+                                  v._to_gray(f32))
+    uu = rng.integers(0, 256, (cfg.camera.height, cfg.camera.width, 3),
+                      np.uint8)
+    np.testing.assert_array_equal(np.asarray(v._gray_device(uu)),
+                                  v._to_gray(uu))
