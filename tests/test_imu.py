@@ -248,3 +248,58 @@ def test_undistort_point_before_table_start():
     # scan-end frame the point shifts by (that - end pos)
     want = np.asarray(pts[0]) + (-0.01 - 0.06) * vel
     np.testing.assert_allclose(np.asarray(out[0]), want, atol=1e-5)
+
+
+def test_merge_pose_packs_matches_host_merge():
+    """imu.merge_pose_packs (the device-side per-scan table assembly)
+    must reproduce the retired host merge exactly: f32 cast, kept rows
+    = row0 + valid pairs per segment in order, padding replicates the
+    last kept row, padded offs get the BIG_T sentinel."""
+    rng = np.random.default_rng(11)
+    M_OUT = 64
+    segs, packs, keeps = [], [], []
+    for B, n_valid in ((9, 5), (9, 9), (9, 0)):
+        # a (B+1, 24) pack: B base rows + the state row (dropped here)
+        base = rng.normal(size=(B, 24))
+        base[:, 0] = np.sort(rng.uniform(0, 0.1, B))  # offs
+        pack = np.concatenate([base, rng.normal(size=(1, 24))], axis=0)
+        keep = np.zeros(B, bool)
+        keep[0] = True  # row0 always kept
+        keep[1:1 + n_valid] = True
+        packs.append(jnp.asarray(pack))
+        keeps.append(np.nonzero(keep)[0].astype(np.int32))
+        segs.append((base, keep))
+
+    # device merge via the pipeline's gather plan
+    flat, off = [], 0
+    for pack, idx in zip(packs, keeps):
+        flat.append(idx + off)
+        off += pack.shape[0] - 1
+    flat = np.concatenate(flat)
+    K = len(flat)
+    idx_p = np.full(M_OUT, flat[-1], np.int32)
+    idx_p[:K] = flat
+    valid = np.zeros(M_OUT, bool)
+    valid[:K] = True
+    got = imu_mod.merge_pose_packs(
+        tuple(packs), jnp.asarray(idx_p), jnp.asarray(valid), m_out=M_OUT
+    )
+
+    # replica of the retired host merge (pipeline.py pre-2026-08-18)
+    rows = np.concatenate([b[k] for b, k in segs]).astype(np.float32)
+    offs_p = np.full(M_OUT, imu_mod.BIG_T, np.float32)
+    offs_p[:K] = rows[:, 0]
+
+    def pad(a):
+        buf = np.zeros((M_OUT,) + a.shape[1:], np.float32)
+        buf[:K] = a
+        buf[K:] = a[-1]
+        return buf
+
+    np.testing.assert_array_equal(np.asarray(got.offs), offs_p)
+    np.testing.assert_array_equal(
+        np.asarray(got.rot), pad(rows[:, 1:10].reshape(-1, 3, 3)))
+    np.testing.assert_array_equal(np.asarray(got.pos), pad(rows[:, 10:13]))
+    np.testing.assert_array_equal(np.asarray(got.vel), pad(rows[:, 13:16]))
+    np.testing.assert_array_equal(np.asarray(got.acc), pad(rows[:, 16:19]))
+    np.testing.assert_array_equal(np.asarray(got.gyr), pad(rows[:, 19:22]))
