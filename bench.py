@@ -14,7 +14,9 @@ Baseline protocol (pinned): native/baseline_bench.cpp is run
 BASELINE_RUNS times in sequence; each metric's baseline is the BEST
 (fastest) run — the most favorable number for the C++ side — and every
 raw run is reported in the JSON so round-over-round drift is visible.
-TPU timings report mean over REPS dispatches plus min/max.
+TPU headline rates use the MEDIAN over REPS dispatches (occasional
+relay round-trip hiccups are 5-10x outliers, environmental rather than
+kernel); mean/min/max are reported alongside.
 
 NOTE: on the axon TPU relay the FIRST device->host readback of any size
 permanently degrades the session's dispatch floor ~500x (see
@@ -197,8 +199,13 @@ def bench_lidar(backend="tiled", n_scan=N_SCAN, world_n=400_000,
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
+    # headline rate from the MEDIAN dispatch: relay round-trip hiccups
+    # (occasional 5-10x outliers, environmental not kernel) inflate the
+    # mean; the mean-based rate is kept alongside for r01 comparability
     return {
-        "points_per_sec": n_scan / times.mean(),
+        "points_per_sec": n_scan / np.median(times),
+        "points_per_sec_mean": n_scan / times.mean(),
+        "frame_ms_median": float(np.median(times)) * 1e3,
         "frame_ms_mean": times.mean() * 1e3,
         "frame_ms_min": times.min() * 1e3,
         "frame_ms_max": times.max() * 1e3,
@@ -302,9 +309,12 @@ def bench_vio(mixed_gain: bool = False):
 
     def finish():
         rows = np.asarray([int(i) for i in its], float) * (VIO_PTS * P * P)
+        # median-based headline (relay hiccup outliers), mean alongside
         return {
-            "vio_pixels_per_sec": float((rows / times).mean()),
+            "vio_pixels_per_sec": float(np.median(rows / times)),
+            "vio_pixels_per_sec_mean": float((rows / times).mean()),
             "vio_iters_per_frame": float(np.mean(rows) / (VIO_PTS * P * P)),
+            "vio_ms_median": float(np.median(times)) * 1e3,
             "vio_ms_mean": times.mean() * 1e3,
         }
 
@@ -560,7 +570,7 @@ def main():
             "baseline_raw_runs": base["raw_runs"],
         },
     }
-    net_frame_ms = _net(lid["frame_ms_mean"])
+    net_frame_ms = _net(lid["frame_ms_median"])
     if net_frame_ms:
         net_pts = N_SCAN / (net_frame_ms * 1e-3)
         out["points_per_sec_net"] = round(net_pts, 1)
@@ -574,10 +584,10 @@ def main():
             vio["vio_pixels_per_sec"] / base["vio_pixels_per_sec"], 2
         )
         out["detail"]["vio"] = {k: round(v, 2) for k, v in vio.items()}
-        vio_net_ms = _net(vio["vio_ms_mean"])
+        vio_net_ms = _net(vio["vio_ms_median"])
         if vio_net_ms:
             vio_net = (vio["vio_pixels_per_sec"]
-                       * vio["vio_ms_mean"] / vio_net_ms)
+                       * vio["vio_ms_median"] / vio_net_ms)
             out["detail"]["vio_pixels_per_sec_net"] = round(vio_net, 1)
     if lid_big is not None:
         out["big_points_per_sec"] = round(lid_big["points_per_sec"], 1)
