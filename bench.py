@@ -396,19 +396,20 @@ WATCHDOG_S = 520
 # Most recent completed same-day measurements (2026-08-17), used ONLY by
 # the stale-fallback path below when the relay stalls the live run.
 LAST_KNOWN = {
-    # completed clean-session run 2026-08-18 (overhead floor 0.093 ms)
+    # completed clean-session run 2026-08-18 (median protocol,
+    # overhead floor 0.202 ms)
     "metric": "lidar_frame_step_points_per_sec",
-    "value": 8898054.4,
+    "value": 14543937.4,
     "unit": "points/s",
-    "vs_baseline": 104.07,
+    "vs_baseline": 170.1,
     "baseline_points_per_sec": 85500.0,
-    "dispatch_overhead_ms": 0.093,
-    "points_per_sec_net": 9372068.0,
-    "vs_baseline_net": 109.61,
-    "vio_pixels_per_sec": 1699780347.9,
+    "dispatch_overhead_ms": 0.202,
+    "points_per_sec_net": 17721187.6,
+    "vs_baseline_net": 207.27,
+    "vio_pixels_per_sec": 1614332716.7,
     "vio_baseline_pixels_per_sec": 36800000.0,
-    "vio_vs_baseline": 46.19,
-    "interactive_ms_per_frame": 88.9,
+    "vio_vs_baseline": 43.87,
+    "interactive_ms_per_frame": 93.5,
 }
 
 
