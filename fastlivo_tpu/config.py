@@ -238,3 +238,40 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
             d=[float(cam.get(f"cam_d{i}", 0.0)) for i in range(4)],
         )
     return cfg
+
+
+def parse_launch(launch_path: str | Path) -> tuple:
+    """Resolve a reference launch file (launch/mapping_*.launch) to its
+    (config_yaml, camera_yaml) pair so a FAST-LIVO user can point the
+    CLI at the exact launch file they already use (reference launch
+    files only load the two YAMLs; rviz/republish nodes map to --viz
+    and the bag reader's built-in CompressedImage decoding).
+
+    `$(find <pkg>)` resolves to the launch file's package root (its
+    parent directory's parent), matching catkin's source layout."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    launch_path = Path(launch_path)
+    pkg_root = launch_path.resolve().parent.parent
+
+    def resolve(p: str) -> Path:
+        return Path(re.sub(r"\$\(find [^)]*\)", str(pkg_root), p))
+
+    root = ET.parse(launch_path).getroot()
+    cfg_yaml = None
+    cam_yaml = None
+    # top-level <rosparam command="load" file=...> = the rig config;
+    # a <rosparam file=...> nested inside the mapping <node> = camera
+    for rp in root.findall("rosparam"):
+        f = rp.get("file")
+        if f:
+            cfg_yaml = resolve(f)
+    for node in root.findall("node"):
+        for rp in node.findall("rosparam"):
+            f = rp.get("file")
+            if f:
+                cam_yaml = resolve(f)
+    if cfg_yaml is None:
+        raise ValueError(f"no <rosparam file=...> found in {launch_path}")
+    return cfg_yaml, cam_yaml

@@ -182,8 +182,14 @@ def save_pcd(path: str, pts: np.ndarray, rgb: np.ndarray | None = None,
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", default=None)
     ap.add_argument("--camera", default=None, help="camera intrinsics YAML")
+    ap.add_argument(
+        "--launch", default=None,
+        help="reference launch file (launch/mapping_*.launch): resolves "
+        "--config/--camera from its <rosparam> entries, so the exact "
+        "file a FAST-LIVO user already runs drives this CLI",
+    )
     ap.add_argument("--bag", default=None)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--duration", type=float, default=8.0)
@@ -224,6 +230,15 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    if args.launch:
+        from .config import parse_launch
+
+        cfg_yaml, cam_yaml = parse_launch(args.launch)
+        args.config = args.config or str(cfg_yaml)
+        if args.camera is None and cam_yaml is not None:
+            args.camera = str(cam_yaml)
+    if args.config is None:
+        ap.error("--config (or --launch) is required")
     cfg = load_config(args.config, args.camera)
     if args.no_img or (cfg.img_enable and args.camera is None and not args.synthetic):
         cfg.img_enable = False

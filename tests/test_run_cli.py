@@ -152,3 +152,38 @@ def test_cli_ouster_bag_replay(tmp_path):
         _, pos = ds.traj.pose(r[0] - 50.0)
         errs.append(np.linalg.norm(r[1:4] - (pos - base)))
     assert np.sqrt(np.mean(np.square(errs))) < 0.05
+
+
+def test_launch_file_resolution():
+    """--launch resolves every reference launch file to its YAML pair
+    (catkin's $(find pkg) -> package root), so the exact launch file a
+    FAST-LIVO user runs drives this CLI (launch/mapping_*.launch)."""
+    from fastlivo_tpu.config import parse_launch
+
+    want = {
+        "mapping_avia.launch": ("avia.yaml", "camera_pinhole.yaml"),
+        "mapping_avia_marslvig.launch": ("MARS_LVIG.yaml",
+                                         "camera_MARS_LVIG.yaml"),
+        "mapping_avia_ntu.launch": ("NTU_VIRAL.yaml",
+                                    "camera_NTU_VIRAL.yaml"),
+        "mapping_mid360.launch": ("mid360.yaml", "camera_pinhole.yaml"),
+    }
+    for launch, (cfg_name, cam_name) in want.items():
+        cfg, cam = parse_launch(f"/root/reference/launch/{launch}")
+        assert cfg.name == cfg_name and cfg.exists()
+        assert cam.name == cam_name and cam.exists()
+
+
+def test_launch_flag_end_to_end(tmp_path):
+    from fastlivo_tpu import run as run_mod
+
+    out = tmp_path / "traj.txt"
+    run_mod.main([
+        "--launch", "/root/reference/launch/mapping_avia.launch",
+        "--synthetic", "--duration", "2.5", "--no-img",
+        "--out", str(out),
+    ])
+    import numpy as np
+
+    traj = np.loadtxt(out)
+    assert traj.shape[1] == 8 and len(traj) >= 3
