@@ -168,12 +168,23 @@ def main(argv=None):
     from .config import load_config
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", default=None)
     ap.add_argument("--camera", default=None)
+    ap.add_argument("--launch", default=None,
+                    help="reference launch file; resolves --config/--camera")
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--unix", default=None, help="unix socket path")
     ap.add_argument("--log-dir", default=None)
     args = ap.parse_args(argv)
+    if args.launch:
+        from .config import parse_launch
+
+        cfg_yaml, cam_yaml = parse_launch(args.launch)
+        args.config = args.config or str(cfg_yaml)
+        if args.camera is None and cam_yaml is not None:
+            args.camera = str(cam_yaml)
+    if args.config is None:
+        ap.error("--config (or --launch) is required")
     cfg = load_config(args.config, args.camera)
     if args.camera is None:
         cfg.img_enable = False
