@@ -70,8 +70,14 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
 
     cfg = pipe.cfg
     topics = {cfg.lid_topic, cfg.imu_topic}
+    img_topics = ()
     if cfg.img_enable:
-        topics.add(cfg.img_topic)
+        # real FAST-LIVO bags usually store the COMPRESSED stream (the
+        # reference launch runs an image_transport republish node to
+        # re-inflate it, launch/mapping_avia.launch); the bag reader
+        # decodes CompressedImage directly, so accept both topic names
+        img_topics = (cfg.img_topic, cfg.img_topic + "/compressed")
+        topics.update(img_topics)
     replayer = None
     if block:
         from .replay import BlockReplayer, LivoBlockReplayer
@@ -87,7 +93,8 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
             pts, t_rel = pp.decode(fields, cfg.preprocess)
             if len(pts) > 1:
                 pipe.push_lidar(msg["stamp"], pts, t_rel)
-        elif topic == cfg.img_topic:
+        elif topic in img_topics:
+            # compressed frames decode straight to BGR (rosbag.py)
             img = bgr_normalize(msg["image"], msg.get("encoding", "bgr8"))
             pipe.push_img(msg["stamp"] + cfg.delta_time, img)
         if replayer is None:

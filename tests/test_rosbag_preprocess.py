@@ -324,12 +324,28 @@ def make_image_msg(stamp, img) -> bytes:
     return out
 
 
-def test_cli_bag_replay_livo(tmp_path):
-    """Full LIVO through the bag path: Image messages interleave with
-    livox scans; the pipeline must run VIO frames from the bag."""
-    import yaml
+def make_compressed_image_msg(stamp, img) -> bytes:
+    """Serialize a sensor_msgs/CompressedImage (PNG) — the format real
+    FAST-LIVO bags store (the reference launch re-inflates it with an
+    image_transport republish node)."""
+    import io as _io
 
-    from fastlivo_tpu import run as run_mod
+    from PIL import Image as PILImage
+
+    img = np.asarray(img, np.uint8)
+    # PIL encodes RGB; decode_compressed_image flips back to BGR.
+    # grayscale (2-D) frames carry no channel axis to flip.
+    rgb = np.ascontiguousarray(img[..., ::-1]) if img.ndim == 3 else img
+    buf = _io.BytesIO()
+    PILImage.fromarray(rgb).save(buf, format="PNG")
+    raw = buf.getvalue()
+    out = _ros_header(stamp)
+    out += _ros_string(b"png")
+    out += struct.pack("<I", len(raw)) + raw
+    return out
+
+
+def _build_livo_bag(tmp_path, compressed: bool):
     from fastlivo_tpu.io.synthetic import SyntheticDataset
     from test_pipeline_livo import RCL, W, H, F
 
@@ -350,11 +366,29 @@ def test_cli_bag_replay_livo(tmp_path):
         msgs.append((1, "/lidar", "livox_ros_driver/CustomMsg", 100.0 + beg,
                      make_livox_msg(100.0 + beg, arr)))
     for t, img in ds.images():
-        msgs.append((2, "/img", "sensor_msgs/Image", 100.0 + t,
-                     make_image_msg(100.0 + t, np.asarray(img, np.uint8))))
+        u8 = np.asarray(img, np.uint8)
+        if compressed:
+            msgs.append((2, "/img/compressed",
+                         "sensor_msgs/CompressedImage", 100.0 + t,
+                         make_compressed_image_msg(100.0 + t, u8)))
+        else:
+            msgs.append((2, "/img", "sensor_msgs/Image", 100.0 + t,
+                         make_image_msg(100.0 + t, u8)))
     msgs.sort(key=lambda m: m[3])
     bag = tmp_path / "livo.bag"
     build_bag(bag, [("none", msgs)])
+    return bag
+
+
+def test_cli_bag_replay_livo(tmp_path, compressed_images=False):
+    """Full LIVO through the bag path: Image messages interleave with
+    livox scans; the pipeline must run VIO frames from the bag."""
+    import yaml
+
+    from fastlivo_tpu import run as run_mod
+    from test_pipeline_livo import RCL, W, H, F
+
+    bag = _build_livo_bag(tmp_path, compressed=compressed_images)
 
     cam_yaml = tmp_path / "cam.yaml"
     cam_yaml.write_text(yaml.safe_dump({
@@ -391,6 +425,20 @@ def test_cli_bag_replay_livo(tmp_path):
     assert rc == 0
     traj = np.loadtxt(out).reshape(-1, 8)
     assert len(traj) > 10
+    return traj
+
+
+def test_cli_bag_replay_livo_compressed_topic(tmp_path):
+    """Same LIVO bag replay but the images arrive as PNG
+    sensor_msgs/CompressedImage on <img_topic>/compressed — the layout
+    real FAST-LIVO bags use (the reference needs a republish node;
+    run_bag subscribes both names and decodes directly). PNG is
+    lossless, so the trajectory must be IDENTICAL to the raw-Image
+    replay."""
+    (tmp_path / "raw").mkdir(exist_ok=True)
+    raw = test_cli_bag_replay_livo(tmp_path / "raw")
+    comp = test_cli_bag_replay_livo(tmp_path, compressed_images=True)
+    np.testing.assert_array_equal(raw, comp)
 
 
 def test_truncated_bag_fails_cleanly(tmp_path):
