@@ -259,19 +259,31 @@ def parse_launch(launch_path: str | Path) -> tuple:
         return Path(re.sub(r"\$\(find [^)]*\)", str(pkg_root), p))
 
     root = ET.parse(launch_path).getroot()
+    # a <rosparam file=...> nested inside a <node> = camera intrinsics;
+    # any other (top level or inside <group>/<include>) = the rig
+    # config. Searched recursively so grouped launch files work too.
+    node_rps = {
+        id(rp)
+        for node in root.iter("node")
+        for rp in node.iter("rosparam")
+    }
     cfg_yaml = None
     cam_yaml = None
-    # top-level <rosparam command="load" file=...> = the rig config;
-    # a <rosparam file=...> nested inside the mapping <node> = camera
-    for rp in root.findall("rosparam"):
+    for rp in root.iter("rosparam"):
         f = rp.get("file")
-        if f:
-            cfg_yaml = resolve(f)
-    for node in root.findall("node"):
-        for rp in node.findall("rosparam"):
-            f = rp.get("file")
-            if f:
-                cam_yaml = resolve(f)
+        if not f:
+            continue
+        p = resolve(f)
+        if not p.exists():
+            raise FileNotFoundError(
+                f"{launch_path}: <rosparam file={f!r}> resolves to "
+                f"{p}, which does not exist ($(find <pkg>) is resolved "
+                "to this launch file's package root)"
+            )
+        if id(rp) in node_rps:
+            cam_yaml = p
+        else:
+            cfg_yaml = p
     if cfg_yaml is None:
         raise ValueError(f"no <rosparam file=...> found in {launch_path}")
     return cfg_yaml, cam_yaml

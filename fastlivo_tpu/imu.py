@@ -88,27 +88,6 @@ def _pack_pose(pose: "PoseTable", state) -> jnp.ndarray:
     return jnp.concatenate([base, pack24(state)[None, :]], axis=0)
 
 
-def pose_table_to_host(pose: "PoseTable", state) -> tuple:
-    """One-transfer host copy of a PoseTable (as the dict-of-arrays shape
-    the pipeline's merged-scan-table builder consumes) plus the
-    propagated segment-end state as a pack24 row (for the mat_pre trace
-    and the host-side local-map slider, which otherwise cost their own
-    transfers)."""
-    return _pose_pack_to_host(_pack_pose(pose, state))
-
-
-def _pose_pack_to_host(t) -> tuple:
-    import numpy as np
-
-    t = np.asarray(t)
-    tbl = {
-        "offs": t[:-1, 0], "rot": t[:-1, 1:10].reshape(-1, 3, 3),
-        "pos": t[:-1, 10:13], "vel": t[:-1, 13:16], "acc": t[:-1, 16:19],
-        "gyr": t[:-1, 19:22],
-    }
-    return tbl, t[-1, 0:24]
-
-
 @functools.partial(jax.jit, static_argnames=("m_out",))
 def merge_pose_packs(packs, flat_idx, row_valid, m_out: int):
     """Merge per-group pose packs (from `propagate_packed`) into the
@@ -124,7 +103,13 @@ def merge_pose_packs(packs, flat_idx, row_valid, m_out: int):
     last kept index — replicating the previous host merge's
     `buf[len:] = a[-1]` padding. row_valid (m_out,) marks real rows;
     padded rows get offs=BIG_T (same sentinel as before). Output
-    fields are f32, matching the host merge's cast."""
+    fields are f32, matching the host merge's cast.
+
+    Compile-count note: every pack has the FIXED shape (max_pairs+2,
+    24) because prepare_pairs pads each group to capacity, so the jit
+    signature varies only in len(packs) = groups per scan (1 for LIO;
+    1 + images for LIVO) — a handful of compilations, not one per
+    IMU-count combination."""
     base = jnp.concatenate([p[:-1] for p in packs], axis=0)
     rows = base[flat_idx].astype(jnp.float32)  # (m_out, 24)
     offs = jnp.where(row_valid, rows[:, 0], jnp.float32(BIG_T))

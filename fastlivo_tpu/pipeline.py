@@ -130,6 +130,10 @@ class Pipeline:
         self.trajectory: List[np.ndarray] = []  # TUM rows
         # /cloud_effected parity: (down_pts, active_mask) of the last frame
         self.last_effect = None
+        # current frame's dense world cloud (device handle, overwritten
+        # each frame — bounded); FrameOutput.pts_world is materialized
+        # only when a consumer (PCD/viz) is configured
+        self.last_dense = None
 
     # --- ingestion passthrough ------------------------------------------
     def push_lidar(self, stamp, pts, t_rel):
@@ -399,15 +403,18 @@ class Pipeline:
             post_pack = stats[3:]
             if self.cfg.dense_map_enable:
                 # materialize (a blocking transfer) only when a consumer
-                # exists this frame; otherwise hand out the DEVICE array
-                # — np.asarray on it still works for any late reader.
-                # The VIO is NOT such a consumer: it takes the device
-                # handle directly (set_last_cloud_device below), so the
-                # cloud never crosses to the host for the camera path.
+                # exists this frame (PCD accumulation, viz hook). The
+                # VIO is NOT such a consumer: it takes the device handle
+                # directly (set_last_cloud_device below). With no
+                # consumer, FrameOutput.pts_world stays None — keeping a
+                # device handle per output would pin ~N*12 B of HBM per
+                # frame forever in a long serving session; the CURRENT
+                # frame's cloud remains reachable as pipe.last_dense.
                 need_dense = (self.cfg.pcd_save_en
                               or self.on_frame is not None)
                 dense_world = (np.asarray(dense_j)[:N] if need_dense
-                               else dense_j[:N])
+                               else None)
+                self.last_dense = dense_j[:N]
                 self._dense_dev = dense_j
             # kept as DEVICE arrays: the /cloud_effected surface is only
             # materialized if a consumer reads it (np.asarray works)

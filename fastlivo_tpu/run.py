@@ -71,11 +71,15 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
     cfg = pipe.cfg
     topics = {cfg.lid_topic, cfg.imu_topic}
     img_topics = ()
+    img_topic_locked = None  # first image stream seen wins
     if cfg.img_enable:
         # real FAST-LIVO bags usually store the COMPRESSED stream (the
         # reference launch runs an image_transport republish node to
         # re-inflate it, launch/mapping_avia.launch); the bag reader
-        # decodes CompressedImage directly, so accept both topic names
+        # decodes CompressedImage directly, so accept both topic names.
+        # Bags recorded with image_transport can carry BOTH streams of
+        # the same camera — lock onto whichever appears first so each
+        # frame is pushed exactly once.
         img_topics = (cfg.img_topic, cfg.img_topic + "/compressed")
         topics.update(img_topics)
     replayer = None
@@ -94,9 +98,13 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
             if len(pts) > 1:
                 pipe.push_lidar(msg["stamp"], pts, t_rel)
         elif topic in img_topics:
-            # compressed frames decode straight to BGR (rosbag.py)
-            img = bgr_normalize(msg["image"], msg.get("encoding", "bgr8"))
-            pipe.push_img(msg["stamp"] + cfg.delta_time, img)
+            if img_topic_locked is None:
+                img_topic_locked = topic
+            if topic == img_topic_locked:
+                # compressed frames decode straight to BGR (rosbag.py)
+                img = bgr_normalize(msg["image"],
+                                    msg.get("encoding", "bgr8"))
+                pipe.push_img(msg["stamp"] + cfg.delta_time, img)
         if replayer is None:
             n_frames += len(pipe.spin())
         if max_frames and n_frames >= max_frames:

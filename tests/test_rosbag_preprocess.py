@@ -380,9 +380,8 @@ def _build_livo_bag(tmp_path, compressed: bool):
     return bag
 
 
-def test_cli_bag_replay_livo(tmp_path, compressed_images=False):
-    """Full LIVO through the bag path: Image messages interleave with
-    livox scans; the pipeline must run VIO frames from the bag."""
+def _run_livo_replay(tmp_path, compressed_images=False):
+    """Drive the full CLI bag replay (LIVO); returns the trajectory."""
     import yaml
 
     from fastlivo_tpu import run as run_mod
@@ -428,6 +427,12 @@ def test_cli_bag_replay_livo(tmp_path, compressed_images=False):
     return traj
 
 
+def test_cli_bag_replay_livo(tmp_path):
+    """Full LIVO through the bag path: Image messages interleave with
+    livox scans; the pipeline must run VIO frames from the bag."""
+    _run_livo_replay(tmp_path)
+
+
 def test_cli_bag_replay_livo_compressed_topic(tmp_path):
     """Same LIVO bag replay but the images arrive as PNG
     sensor_msgs/CompressedImage on <img_topic>/compressed — the layout
@@ -436,8 +441,8 @@ def test_cli_bag_replay_livo_compressed_topic(tmp_path):
     lossless, so the trajectory must be IDENTICAL to the raw-Image
     replay."""
     (tmp_path / "raw").mkdir(exist_ok=True)
-    raw = test_cli_bag_replay_livo(tmp_path / "raw")
-    comp = test_cli_bag_replay_livo(tmp_path, compressed_images=True)
+    raw = _run_livo_replay(tmp_path / "raw")
+    comp = _run_livo_replay(tmp_path, compressed_images=True)
     np.testing.assert_array_equal(raw, comp)
 
 
