@@ -136,3 +136,61 @@ def test_trace_logging_costs_exactly_one_extra_read(tmp_path):
         f"{c.count} materializations over 6 logged LIO frames "
         "(expected 12 = 2/frame: packed stats + mat_pre row)"
     )
+
+
+_MEM_PROBE = r"""
+import gc, sys
+sys.path.insert(0, {test_dir!r})
+import jax
+from fastlivo_tpu.config import load_config
+from test_sync_points import _drive
+
+cfg = load_config({avia!r})
+cfg.img_enable = False
+pipe, groups = _drive(cfg, with_cam=False)
+split = len(groups) // 2
+for g in groups[:split]:
+    pipe._process_group(g)
+gc.collect()  # live_arrays includes buffers awaiting collection
+n_mid = len(jax.live_arrays())
+outs_mid = len(pipe.outputs)
+for g in groups[split:]:
+    pipe._process_group(g)
+gc.collect()
+n_end = len(jax.live_arrays())
+frames = len(pipe.outputs) - outs_mid
+assert frames > 0
+print("GROWTH", n_end - n_mid, frames)
+"""
+
+
+def test_serving_mode_device_memory_is_bounded(tmp_path):
+    """Long-serving-session guard: with no dense consumer configured,
+    processing more frames must NOT grow the number of live device
+    buffers (a FrameOutput holding a device cloud per frame would pin
+    ~N*12 B of HBM per frame forever — the review finding this test
+    locks in). The pipeline keeps only bounded per-frame handles
+    (last_dense, last_effect, _dense_dev, _prop_pack_dev).
+
+    Runs in a fresh subprocess: jax.live_arrays() is process-global,
+    and buffers from sibling tests surface in the count at arbitrary
+    times, polluting an in-process measurement."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    test_dir = str(Path(__file__).resolve().parent)
+    script = _MEM_PROBE.format(test_dir=test_dir, avia=AVIA)
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("GROWTH")][-1]
+    growth, frames = int(line.split()[1]), int(line.split()[2])
+    # bounded handles (last_dense/last_effect/...) may appear between
+    # the snapshots; the failure mode is ~1+ buffers PER FRAME
+    assert growth < max(8, frames // 2), (
+        f"live device buffers grew by {growth} over {frames} steady "
+        "frames: something is pinning per-frame device arrays"
+    )
