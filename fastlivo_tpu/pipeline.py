@@ -134,6 +134,11 @@ class Pipeline:
         # each frame — bounded); FrameOutput.pts_world is materialized
         # only when a consumer (PCD/viz) is configured
         self.last_dense = None
+        # opt-in (eval runs): collect the per-frame posterior covariance
+        # for consistency metrics (eval.py NEES); costs one extra
+        # device read per frame, so off in production
+        self.collect_cov = False
+        self.covs: List[np.ndarray] = []
 
     # --- ingestion passthrough ------------------------------------------
     def push_lidar(self, stamp, pts, t_rel):
@@ -537,6 +542,8 @@ class Pipeline:
                 self.rgb_cloud.append(
                     np.concatenate([out.pts_world[cmask], rgb[cmask]], axis=1)
                 )
+        if self.collect_cov:
+            self.covs.append(np.asarray(self.state.cov))
         self.outputs.append(out)
         if self.on_frame is not None:
             # live-visualization / user hook (rviz publish point,

@@ -214,6 +214,11 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-img", action="store_true", help="force LIO-only")
     ap.add_argument(
+        "--eval", action="store_true",
+        help="with --synthetic: print ATE RMSE vs the known trajectory "
+        "and position-NEES filter consistency (eval.py)",
+    )
+    ap.add_argument(
         "--block", type=int, default=0,
         help="offline replay in N-event blocks (one device dispatch per N "
         "events; amortizes per-dispatch overhead; LIO and full LIVO)",
@@ -279,10 +284,13 @@ def main(argv=None):
             pipe.vio.vmap = vm_
 
     t0 = time.perf_counter()
+    ds = None
     if args.bag:
         n = run_bag(pipe, args.bag, args.max_frames, args.block)
     elif args.synthetic:
-        n, _ = run_synthetic(pipe, args.duration, cfg.img_enable, args.block)
+        pipe.collect_cov = args.eval  # per-frame covariance for NEES
+        n, ds = run_synthetic(pipe, args.duration, cfg.img_enable,
+                              args.block)
     else:
         ap.error("need --bag or --synthetic")
     wall = time.perf_counter() - t0
@@ -316,6 +324,17 @@ def main(argv=None):
         + " ".join(f"{k}={v:.1f}ms" for k, v in tm.items())
     )
     print(f"trajectory: {args.out} ({len(traj)} poses)")
+    if args.eval and ds is not None:
+        # ATE vs the known synthetic trajectory + filter-consistency
+        # (position NEES; mean ~dof=3 would be a calibrated filter —
+        # the reference's fixed noise heuristics make no such promise,
+        # so this is an observability metric, see eval.py)
+        from .eval import evaluate_synthetic
+
+        m = evaluate_synthetic(pipe.outputs, pipe.covs, ds)
+        print("eval: " + " ".join(
+            f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in m.items()))
     if args.map_pcd:
         pts_live, n_live = pipe._map_mod.extract_points(pipe.map)
         save_pcd(args.map_pcd, pts_live)
