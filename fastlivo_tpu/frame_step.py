@@ -59,11 +59,12 @@ def lidar_frame_step(
     fed the final update — the /cloud_effected observability surface
     (publish_effect_world, laserMapping.cpp:871-885).
 
-    `stats` packs [n_down, n_active, iters, pack24(posterior)] so an
-    interactive caller gets every host-needed scalar plus the logged
-    state row in ONE device->host transfer with no extra dispatch
-    (each blocking read through the axon relay is a ~30 ms round
-    trip)."""
+    `stats` (28,) packs [n_down, n_active, iters, pack24(posterior),
+    residual_rms] so an interactive caller gets every host-needed
+    scalar plus the logged state row in ONE device->host transfer with
+    no extra dispatch (each blocking read through the axon relay is a
+    ~30 ms round trip). residual_rms is the posterior point-to-plane
+    RMS over active rows — the online filter-health signal."""
     und = imu_mod.undistort(state, pose, pts_raw, t_rel, rmask, calib)
     down, dmask = vf.voxel_downsample_device(
         und, rmask, filter_size_surf, max_points
@@ -96,6 +97,15 @@ def lidar_frame_step(
         res.n_active.astype(jnp.float64),
         res.iters.astype(jnp.float64),
     ])
-    stats = jnp.concatenate([head, pack24(res.state)])
+    # posterior point-to-plane residual RMS over the active rows: an
+    # ONLINE filter-health signal (rises on degeneracy/divergence long
+    # before the trajectory visibly breaks; no ground truth needed) —
+    # rides the same packed transfer, costing nothing extra
+    n_act_safe = jnp.maximum(res.n_active.astype(jnp.float64), 1.0)
+    res_rms = jnp.sqrt(
+        jnp.sum(jnp.where(res.active, res.res.astype(jnp.float64), 0.0)
+                ** 2) / n_act_safe
+    )
+    stats = jnp.concatenate([head, pack24(res.state), res_rms[None]])
     return (res.state, m2, down, dmask, res.n_active, res.iters,
             dense_world, res.active, stats)

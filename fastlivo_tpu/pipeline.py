@@ -54,6 +54,9 @@ class FrameOutput:
     iters: int
     n_points: int
     timing: dict
+    # posterior point-to-plane residual RMS over active rows — online
+    # filter-health signal (no ground truth needed); 0 during warm-up
+    res_rms: float = 0.0
     pts_world: Optional[np.ndarray] = None  # dense undistorted world cloud
     intensity: Optional[np.ndarray] = None  # per-point, aligned with pts_world
 
@@ -405,7 +408,8 @@ class Pipeline:
             stats = np.asarray(stats_j)
             n_down, n_active, iters = (int(stats[0]), int(stats[1]),
                                        int(stats[2]))
-            post_pack = stats[3:]
+            post_pack = stats[3:27]
+            res_rms = float(stats[27])
             if self.cfg.dense_map_enable:
                 # materialize (a blocking transfer) only when a consumer
                 # exists this frame (PCD accumulation, viz hook). The
@@ -481,6 +485,7 @@ class Pipeline:
         if not fused:
             # staged/bootstrap path: one packed read of the posterior
             post_pack = state_mod.pack24_host(self.state)
+            res_rms = 0.0  # no EKF residuals before warm-up completes
         self._last_post = post_pack  # feeds next frame's map slider
         if self.logger is not None:
             self.logger.log_post(scan.end_time, post_pack)
@@ -499,6 +504,7 @@ class Pipeline:
             n_active=n_active,
             iters=iters,
             n_points=n_down,
+            res_rms=res_rms,
             timing={
                 "undistort": t_undistort - t0,
                 "downsample": t_down - t_undistort,

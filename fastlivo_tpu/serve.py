@@ -156,6 +156,9 @@ class Server:
                     "pos": [float(v) for v in out.pos],
                     "quat": [float(v) for v in out.quat],
                     "n_active": out.n_active,
+                    # online filter health: posterior point-to-plane
+                    # residual RMS (rises on degeneracy/divergence)
+                    "res_rms": round(out.res_rms, 6),
                 }) + "\n"
                 conn.sendall(line.encode())
             if kind == FLUSH:

@@ -68,7 +68,7 @@ def test_fused_equals_staged():
     assert int(it_f) == int(res.iters)
     # the packed stats row mirrors the scalar outputs + posterior pack24
     stats = np.asarray(stats_f)
-    assert stats.shape == (27,)
+    assert stats.shape == (28,)
     assert int(stats[0]) == int(jnp.sum(dmask))
     assert int(stats[1]) == int(res.n_active)
     assert int(stats[2]) == int(res.iters)
@@ -76,6 +76,11 @@ def test_fused_equals_staged():
                                np.asarray(res.state.rot), atol=1e-12)
     np.testing.assert_allclose(stats[12:15], np.asarray(res.state.pos),
                                atol=1e-12)
+    # residual RMS over active rows (the online health signal)
+    act = np.asarray(res.active)
+    rr = np.asarray(res.res, np.float64)
+    want_rms = np.sqrt((rr[act] ** 2).sum() / max(act.sum(), 1))
+    np.testing.assert_allclose(stats[27], want_rms, rtol=1e-6)
     # the fused map insert used the posterior pose
     rot32 = res.state.rot.astype(jnp.float32)
     pos32 = res.state.pos.astype(jnp.float32)
