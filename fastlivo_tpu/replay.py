@@ -410,9 +410,21 @@ def livo_block_step(
         (st2, m2, vm2, lc2, lcm2, buf2, cnt2, n1, n2) = jax.lax.cond(
             isl, lidar_branch, image_branch, None
         )
-        ys = (st1.rot, st1.pos, st1.vel,
-              st2.rot, st2.pos, st2.vel, st2.bg, st2.ba, st2.grav,
-              n1, n2, isl)
+        # ONE packed f64 row per event [pre rot9|pos|vel, post rot9|pos|
+        # vel|bg|ba|grav, n_primary, n_secondary, is_lidar] so the host
+        # reads the whole block's summaries in a single transfer (each
+        # blocking read through the relay is a ~30-65 ms round trip;
+        # the tuple form cost 12 reads per block)
+        f64 = jnp.float64
+        ys = jnp.concatenate([
+            st1.rot.reshape(9).astype(f64), st1.pos.astype(f64),
+            st1.vel.astype(f64),
+            st2.rot.reshape(9).astype(f64), st2.pos.astype(f64),
+            st2.vel.astype(f64), st2.bg.astype(f64), st2.ba.astype(f64),
+            st2.grav.astype(f64),
+            jnp.stack([n1.astype(f64), n2.astype(f64),
+                       isl.astype(f64)]),
+        ])
         return (st2, m2, vm2, acc2, ang2, buf2, cnt2, lc2, lcm2), ys
 
     carry0 = (state, m, vmap, acc_s_last, angvel_last, pose0, jnp.int32(0),
@@ -424,6 +436,12 @@ def livo_block_step(
              row0_off, pts_raw, t_rel, rmask, gray, fid),
         )
     )
+    # block-level extras ride the same pack as a final row: [0] = valid
+    # count of the carried depth cloud (the host's _steady gate)
+    extra = jnp.zeros((1, 42), jnp.float64).at[0, 0].set(
+        jnp.sum(lcm_f).astype(jnp.float64)
+    )
+    ys = jnp.concatenate([ys, extra], axis=0)
     return st_f, m_f, vm_f, acc_f, ang_f, lc_f, lcm_f, ys
 
 
@@ -438,6 +456,15 @@ class LivoBlockReplayer:
         assert pipe.cfg.img_enable and pipe.vio is not None
         self.pipe = pipe
         self.E = block
+        # block-to-block device carry: (cloud, mask) of the VIO depth
+        # cloud + host count, and the previous block's final posterior
+        # row — avoids a compact-on-host + re-upload round trip per
+        # block (and makes the between-block cloud representation
+        # identical to the within-block one)
+        self._lc_dev = None
+        self._lc_n = 0
+        self._last_po_pos = None
+        self._last_po_bias = None
 
     def _steady(self, g) -> bool:
         p = self.pipe
@@ -447,8 +474,21 @@ class LivoBlockReplayer:
             return False
         if g.scan.beg_time - p.first_lidar_time < 0.5:
             return False
+        if self._lc_dev is not None:
+            return self._lc_n >= 10
         v = p.vio
         return v.last_cloud is not None and len(v.last_cloud) >= 10
+
+    def _materialize_cloud(self):
+        """Hand the device-carried depth cloud back to the host Vio
+        (compacted, as its host path expects) — paid only when leaving
+        block mode (bootstrap interleave or end of run)."""
+        if self._lc_dev is None:
+            return
+        lc_f, lcm_f = self._lc_dev
+        m_np = np.asarray(lcm_f)
+        self.pipe.vio.last_cloud = np.asarray(lc_f)[m_np]
+        self._lc_dev = None
 
     def run(self) -> List:
         p = self.pipe
@@ -461,6 +501,7 @@ class LivoBlockReplayer:
                 if pending:
                     self._flush(pending)
                     pending = []
+                self._materialize_cloud()
                 p._process_group(g)
                 continue
             pending.append(g)
@@ -469,6 +510,7 @@ class LivoBlockReplayer:
                 pending = []
         if pending:
             self._flush(pending)
+        self._materialize_cloud()
         return p.outputs
 
     def _flush(self, groups):
@@ -488,7 +530,11 @@ class LivoBlockReplayer:
         H, W = v.cam.height, v.cam.width
         t0 = _time.perf_counter()
 
-        pos_np = np.asarray(p.state.pos)
+        # previous block's final posterior position (already on host
+        # from its packed read) feeds the map slider without a device
+        # read; first block falls back to one read
+        pos_np = (self._last_po_pos if self._last_po_pos is not None
+                  else np.asarray(p.state.pos))
         boxes = p.tracker.update(pos_np)
         if boxes and p.map_built:
             lo = np.asarray([b[0] for b in boxes], np.float32)
@@ -549,11 +595,17 @@ class LivoBlockReplayer:
                 FID[k] = v.fid + n_img
                 n_img += 1
 
-        lc0 = np.zeros((R, 3), np.float32)
-        lcm0 = np.zeros(R, bool)
-        n0 = min(len(v.last_cloud), R)
-        lc0[:n0] = v.last_cloud[:n0, :3]
-        lcm0[:n0] = True
+        if self._lc_dev is not None:
+            # device-resident carry from the previous block: no host
+            # compaction, no re-upload
+            lc0_j, lcm0_j = self._lc_dev
+        else:
+            lc0 = np.zeros((R, 3), np.float32)
+            lcm0 = np.zeros(R, bool)
+            n0 = min(len(v.last_cloud), R)
+            lc0[:n0] = v.last_cloud[:n0, :3]
+            lcm0[:n0] = True
+            lc0_j, lcm0_j = jnp.asarray(lc0), jnp.asarray(lcm0)
 
         cfg = p.cfg
         (st, m2, vm2, acc_f, ang_f, lc_f, lcm_f, ys) = livo_block_step(
@@ -565,7 +617,7 @@ class LivoBlockReplayer:
             jnp.asarray(PTS), jnp.asarray(TR), jnp.asarray(PM),
             jnp.asarray(GRAY), jnp.asarray(FID),
             p.acc_s_last, p.angvel_last,
-            jnp.asarray(lc0), jnp.asarray(lcm0),
+            lc0_j, lcm0_j,
             jnp.float32(cfg.filter_size_surf),
             cfg.outlier_threshold, cfg.ncc_thre, cfg.img_point_cov,
             laser_point_cov=cfg.laser_point_cov,
@@ -581,20 +633,42 @@ class LivoBlockReplayer:
         v.vmap = vm2
         p.acc_s_last, p.angvel_last = acc_f, ang_f
         v.fid += n_img
-        lcm_np = np.asarray(lcm_f)
-        v.last_cloud = np.asarray(lc_f)[lcm_np]
-        rot_f = np.asarray(st.rot, np.float32)
+        # the carried depth cloud stays ON DEVICE between blocks; the
+        # valid count rides the packed summary row below
+        self._lc_dev = (lc_f, lcm_f)
+        v.last_cloud = None  # device carry is authoritative in block mode
+
+        # ONE packed read for the whole block: per-event pre/post state
+        # summaries + counters, plus block extras in the final row
+        ys_np = np.asarray(ys)
+        rows = ys_np[:E]
+        self._lc_n = int(ys_np[E, 0])
+        pre_R = rows[:, 0:9].reshape(E, 3, 3)
+        pre_p, pre_v = rows[:, 9:12], rows[:, 12:15]
+        po_R = rows[:, 15:24].reshape(E, 3, 3)
+        po_p, po_v = rows[:, 24:27], rows[:, 27:30]
+        po_bg, po_ba, po_gv = (rows[:, 30:33], rows[:, 33:36],
+                               rows[:, 36:39])
+        n1, n2 = rows[:, 39], rows[:, 40]
+        isl = rows[:, 41] > 0.5
+        self._last_po_pos = po_p[-1]
+        rot_f = po_R[-1].astype(np.float32)
         v.last_rcw = np.asarray(v.Rci) @ rot_f.T
         v.last_pcw = (
-            -v.last_rcw @ np.asarray(st.pos, np.float32) + np.asarray(v.Pci)
+            -v.last_rcw @ po_p[-1].astype(np.float32) + np.asarray(v.Pci)
         )
         wall = _time.perf_counter() - t0
 
-        (pre_R, pre_p, pre_v, po_R, po_p, po_v, po_bg, po_ba, po_gv,
-         n1, n2, isl) = [np.asarray(y) for y in ys]
-        bg0 = np.asarray(pre_bias.bg)
-        ba0 = np.asarray(pre_bias.ba)
-        gv0 = np.asarray(pre_bias.grav)
+        if p.logger is not None:
+            # block-entry bias/grav rows (pre-state for event 0): from
+            # the previous block's packed posterior when available
+            if self._last_po_bias is not None:
+                bg0, ba0, gv0 = self._last_po_bias
+            else:
+                bg0 = np.asarray(pre_bias.bg)
+                ba0 = np.asarray(pre_bias.ba)
+                gv0 = np.asarray(pre_bias.grav)
+        self._last_po_bias = (po_bg[-1], po_ba[-1], po_gv[-1])
         n_lid = max(int(isl.sum()), 1)
         for k in range(E):
             if p.logger is not None:
