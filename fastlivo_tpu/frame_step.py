@@ -53,7 +53,7 @@ def lidar_frame_step(
 ):
     """Returns (posterior state, new map, down (max_points,3), dmask,
     n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,),
-    stats (27,) f64).
+    stats (28,) f64).
 
     `active` marks the downsampled points whose point-to-plane residual
     fed the final update — the /cloud_effected observability surface

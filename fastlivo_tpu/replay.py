@@ -92,17 +92,7 @@ def lidar_block_step(
             m2 = mod.insert(mm, world, dmask, max_probe=max_probe)
         else:
             m2 = mod.insert(mm, world, dmask)
-        f64 = jnp.float64
-        ys = jnp.concatenate([
-            st1.rot.reshape(9).astype(f64), st1.pos.astype(f64),
-            st1.vel.astype(f64),
-            res.state.rot.reshape(9).astype(f64),
-            res.state.pos.astype(f64), res.state.vel.astype(f64),
-            res.state.bg.astype(f64), res.state.ba.astype(f64),
-            res.state.grav.astype(f64),
-            jnp.stack([res.n_active.astype(f64),
-                       res.iters.astype(f64)]),
-        ])
+        ys = _pack_summary(st1, res.state, (res.n_active, res.iters))
         return (res.state, m2, acc_s2, angv2), ys
 
     (st_f, m_f, acc_f, ang_f), ys = jax.lax.scan(
@@ -112,6 +102,39 @@ def lidar_block_step(
          pts_raw, t_rel, rmask),
     )
     return st_f, m_f, acc_f, ang_f, ys
+
+
+SUMMARY_TAIL = 39  # counters start here in a packed summary row
+
+
+def _pack_summary(st1, st2, tail):
+    """ONE f64 row per event: [pre rot9|pos3|vel3 (0:15), post
+    rot9|pos3|vel3|bg3|ba3|grav3 (15:39), *tail counters (39:)]. The
+    single layout shared by lidar_block_step / livo_block_step and
+    `_unpack_summary` — edit here, never at call sites."""
+    f64 = jnp.float64
+    return jnp.concatenate([
+        st1.rot.reshape(9).astype(f64), st1.pos.astype(f64),
+        st1.vel.astype(f64),
+        st2.rot.reshape(9).astype(f64), st2.pos.astype(f64),
+        st2.vel.astype(f64), st2.bg.astype(f64), st2.ba.astype(f64),
+        st2.grav.astype(f64),
+        jnp.stack([t.astype(f64) for t in tail]),
+    ])
+
+
+def _unpack_summary(rows):
+    """Host-side inverse of `_pack_summary` over (E, >=39) rows."""
+    E = len(rows)
+    return {
+        "pre_R": rows[:, 0:9].reshape(E, 3, 3),
+        "pre_p": rows[:, 9:12], "pre_v": rows[:, 12:15],
+        "po_R": rows[:, 15:24].reshape(E, 3, 3),
+        "po_p": rows[:, 24:27], "po_v": rows[:, 27:30],
+        "po_bg": rows[:, 30:33], "po_ba": rows[:, 33:36],
+        "po_gv": rows[:, 36:39],
+        "tail": rows[:, SUMMARY_TAIL:],
+    }
 
 
 class BlockReplayer:
@@ -196,6 +219,9 @@ class BlockReplayer:
                     self._flush(pending)
                     pending = []
                 p._process_group(g)
+                # per-frame processing moved p.state: the cached packed
+                # posterior rows no longer describe it
+                self._last_po_pos = self._last_po_bias = None
                 continue
             ekf_inited = (
                 p.first_lidar_time is not None
@@ -206,6 +232,7 @@ class BlockReplayer:
                     self._flush(pending)
                     pending = []
                 p._process_group(g)
+                self._last_po_pos = self._last_po_bias = None
                 continue
             pending.append(g)
             if len(pending) == self.K:
@@ -257,14 +284,11 @@ class BlockReplayer:
         wall = _time.perf_counter() - t0
         K = len(groups)
         # ONE packed read for the whole block's summaries
-        rows = np.asarray(ys)
-        pre_R = rows[:, 0:9].reshape(K, 3, 3)
-        pre_p, pre_v = rows[:, 9:12], rows[:, 12:15]
-        po_R = rows[:, 15:24].reshape(K, 3, 3)
-        po_p, po_v = rows[:, 24:27], rows[:, 27:30]
-        po_bg, po_ba, po_gv = (rows[:, 30:33], rows[:, 33:36],
-                               rows[:, 36:39])
-        n_act, iters = rows[:, 39], rows[:, 40]
+        u = _unpack_summary(np.asarray(ys))
+        pre_R, pre_p, pre_v = u["pre_R"], u["pre_p"], u["pre_v"]
+        po_R, po_p, po_v = u["po_R"], u["po_p"], u["po_v"]
+        po_bg, po_ba, po_gv = u["po_bg"], u["po_ba"], u["po_gv"]
+        n_act, iters = u["tail"][:, 0], u["tail"][:, 1]
         self._last_po_pos = po_p[-1]
         if p.logger is not None:
             if self._last_po_bias is not None:
@@ -437,21 +461,12 @@ def livo_block_step(
         (st2, m2, vm2, lc2, lcm2, buf2, cnt2, n1, n2) = jax.lax.cond(
             isl, lidar_branch, image_branch, None
         )
-        # ONE packed f64 row per event [pre rot9|pos|vel, post rot9|pos|
-        # vel|bg|ba|grav, n_primary, n_secondary, is_lidar] so the host
-        # reads the whole block's summaries in a single transfer (each
-        # blocking read through the relay is a ~30-65 ms round trip;
-        # the tuple form cost 12 reads per block)
-        f64 = jnp.float64
-        ys = jnp.concatenate([
-            st1.rot.reshape(9).astype(f64), st1.pos.astype(f64),
-            st1.vel.astype(f64),
-            st2.rot.reshape(9).astype(f64), st2.pos.astype(f64),
-            st2.vel.astype(f64), st2.bg.astype(f64), st2.ba.astype(f64),
-            st2.grav.astype(f64),
-            jnp.stack([n1.astype(f64), n2.astype(f64),
-                       isl.astype(f64)]),
-        ])
+        # ONE packed summary row per event (_pack_summary layout; tail =
+        # [n_primary, n_secondary, is_lidar]) so the host reads the
+        # whole block's summaries in a single transfer (each blocking
+        # read through the relay is a ~30-65 ms round trip; the tuple
+        # form cost 12 reads per block)
+        ys = _pack_summary(st1, st2, (n1, n2, isl))
         return (st2, m2, vm2, acc2, ang2, buf2, cnt2, lc2, lcm2), ys
 
     carry0 = (state, m, vmap, acc_s_last, angvel_last, pose0, jnp.int32(0),
@@ -530,6 +545,9 @@ class LivoBlockReplayer:
                     pending = []
                 self._materialize_cloud()
                 p._process_group(g)
+                # per-frame processing moved p.state: drop the cached
+                # packed posterior rows
+                self._last_po_pos = self._last_po_bias = None
                 continue
             pending.append(g)
             if len(pending) == self.E:
@@ -668,16 +686,13 @@ class LivoBlockReplayer:
         # ONE packed read for the whole block: per-event pre/post state
         # summaries + counters, plus block extras in the final row
         ys_np = np.asarray(ys)
-        rows = ys_np[:E]
         self._lc_n = int(ys_np[E, 0])
-        pre_R = rows[:, 0:9].reshape(E, 3, 3)
-        pre_p, pre_v = rows[:, 9:12], rows[:, 12:15]
-        po_R = rows[:, 15:24].reshape(E, 3, 3)
-        po_p, po_v = rows[:, 24:27], rows[:, 27:30]
-        po_bg, po_ba, po_gv = (rows[:, 30:33], rows[:, 33:36],
-                               rows[:, 36:39])
-        n1, n2 = rows[:, 39], rows[:, 40]
-        isl = rows[:, 41] > 0.5
+        u = _unpack_summary(ys_np[:E])
+        pre_R, pre_p, pre_v = u["pre_R"], u["pre_p"], u["pre_v"]
+        po_R, po_p, po_v = u["po_R"], u["po_p"], u["po_v"]
+        po_bg, po_ba, po_gv = u["po_bg"], u["po_ba"], u["po_gv"]
+        n1, n2 = u["tail"][:, 0], u["tail"][:, 1]
+        isl = u["tail"][:, 2] > 0.5
         self._last_po_pos = po_p[-1]
         rot_f = po_R[-1].astype(np.float32)
         v.last_rcw = np.asarray(v.Rci) @ rot_f.T

@@ -288,6 +288,12 @@ def main(argv=None):
     if args.bag:
         n = run_bag(pipe, args.bag, args.max_frames, args.block)
     elif args.synthetic:
+        if args.eval and args.block:
+            # block replay does not collect per-frame covariances
+            # (they live only in the final scan carry) — refuse rather
+            # than silently reporting NaN NEES
+            ap.error("--eval needs per-frame covariances; "
+                     "run without --block")
         pipe.collect_cov = args.eval  # per-frame covariance for NEES
         n, ds = run_synthetic(pipe, args.duration, cfg.img_enable,
                               args.block)
