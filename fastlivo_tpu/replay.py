@@ -59,10 +59,11 @@ def lidar_block_step(
     """K chained scan steps in one executable.
 
     Returns (state', map', acc_s_last', angvel_last', ys) with ys a
-    single packed (K, 41) f64 array per the column layout in the step
-    body: [pre rot9|pos3|vel3, post rot9|pos3|vel3|bg3|ba3|grav3,
-    n_active, iters] — ONE host read per block instead of 11 (each
-    blocking read through the relay is a ~30-65 ms round trip)."""
+    single packed (K, 42) f64 array (_pack_summary layout; tail =
+    [n_active, iters, res_rms]) — ONE host read per block instead of 11
+    (each blocking read through the relay is a ~30-65 ms round trip).
+    res_rms is the posterior point-to-plane residual RMS, the online
+    filter-health signal (frame_step.py)."""
 
     # the carried world-acc/gyro continuation must match propagate's
     # output dtype (the state dtype) or the scan carry types diverge
@@ -92,7 +93,12 @@ def lidar_block_step(
             m2 = mod.insert(mm, world, dmask, max_probe=max_probe)
         else:
             m2 = mod.insert(mm, world, dmask)
-        ys = _pack_summary(st1, res.state, (res.n_active, res.iters))
+        n_safe = jnp.maximum(res.n_active.astype(jnp.float64), 1.0)
+        res_rms = jnp.sqrt(jnp.sum(
+            jnp.where(res.active, res.res.astype(jnp.float64), 0.0) ** 2
+        ) / n_safe)
+        ys = _pack_summary(st1, res.state,
+                           (res.n_active, res.iters, res_rms))
         return (res.state, m2, acc_s2, angv2), ys
 
     (st_f, m_f, acc_f, ang_f), ys = jax.lax.scan(
@@ -289,6 +295,7 @@ class BlockReplayer:
         po_R, po_p, po_v = u["po_R"], u["po_p"], u["po_v"]
         po_bg, po_ba, po_gv = u["po_bg"], u["po_ba"], u["po_gv"]
         n_act, iters = u["tail"][:, 0], u["tail"][:, 1]
+        res_rms = u["tail"][:, 2]
         self._last_po_pos = po_p[-1]
         if p.logger is not None:
             if self._last_po_bias is not None:
@@ -318,6 +325,7 @@ class BlockReplayer:
                 n_active=int(n_act[k]), iters=int(iters[k]), n_points=0,
                 timing={"undistort": 0.0, "downsample": 0.0,
                         "ekf": wall / K, "map": 0.0, "total": wall / K},
+                res_rms=float(res_rms[k]),
             )
             p.outputs.append(out)
             p.trajectory.append(np.array(
@@ -443,8 +451,12 @@ def livo_block_step(
             else:
                 m2 = mod.insert(mm, world_down, dmask)
             dense = (und @ calib.lid_rot.T + calib.lid_off) @ rot32.T + pos32
+            n_safe = jnp.maximum(res.n_active.astype(jnp.float64), 1.0)
+            rms = jnp.sqrt(jnp.sum(
+                jnp.where(res.active, res.res.astype(jnp.float64), 0.0)
+                ** 2) / n_safe)
             return (res.state, m2, vm_, dense, pm, pose0, jnp.int32(0),
-                    res.n_active, res.iters)
+                    res.n_active, res.iters, rms)
 
         def image_branch(_):
             (st2, vm2, _ti, _tv, _opc, _perr, _err, n_tr, _n_add,
@@ -456,9 +468,10 @@ def livo_block_step(
                 ncc_en=ncc_en, max_iter=max_iter, max_vox=max_vox,
                 max_pg=max_pg,
             )
-            return (st2, mm, vm2, lc, lcm, buf, cnt, n_tr, its)
+            return (st2, mm, vm2, lc, lcm, buf, cnt, n_tr, its,
+                    jnp.float64(0.0))
 
-        (st2, m2, vm2, lc2, lcm2, buf2, cnt2, n1, n2) = jax.lax.cond(
+        (st2, m2, vm2, lc2, lcm2, buf2, cnt2, n1, n2, rms) = jax.lax.cond(
             isl, lidar_branch, image_branch, None
         )
         # ONE packed summary row per event (_pack_summary layout; tail =
@@ -466,7 +479,7 @@ def livo_block_step(
         # whole block's summaries in a single transfer (each blocking
         # read through the relay is a ~30-65 ms round trip; the tuple
         # form cost 12 reads per block)
-        ys = _pack_summary(st1, st2, (n1, n2, isl))
+        ys = _pack_summary(st1, st2, (n1, n2, isl, rms))
         return (st2, m2, vm2, acc2, ang2, buf2, cnt2, lc2, lcm2), ys
 
     carry0 = (state, m, vmap, acc_s_last, angvel_last, pose0, jnp.int32(0),
@@ -480,7 +493,7 @@ def livo_block_step(
     )
     # block-level extras ride the same pack as a final row: [0] = valid
     # count of the carried depth cloud (the host's _steady gate)
-    extra = jnp.zeros((1, 42), jnp.float64).at[0, 0].set(
+    extra = jnp.zeros((1, 43), jnp.float64).at[0, 0].set(
         jnp.sum(lcm_f).astype(jnp.float64)
     )
     ys = jnp.concatenate([ys, extra], axis=0)
@@ -693,6 +706,7 @@ class LivoBlockReplayer:
         po_bg, po_ba, po_gv = u["po_bg"], u["po_ba"], u["po_gv"]
         n1, n2 = u["tail"][:, 0], u["tail"][:, 1]
         isl = u["tail"][:, 2] > 0.5
+        res_rms = u["tail"][:, 3]
         self._last_po_pos = po_p[-1]
         rot_f = po_R[-1].astype(np.float32)
         v.last_rcw = np.asarray(v.Rci) @ rot_f.T
@@ -747,6 +761,7 @@ class LivoBlockReplayer:
                 timing={"undistort": 0.0, "downsample": 0.0,
                         "ekf": wall / n_lid, "map": 0.0,
                         "total": wall / n_lid},
+                res_rms=float(res_rms[k]),
             )
             p.outputs.append(out)
             p.trajectory.append(np.array(

@@ -45,6 +45,13 @@ def test_block_replay_matches_per_frame(both_runs):
     for a, b in zip(outs_ref, outs_blk):
         assert a.t == b.t
         assert abs(a.n_active - b.n_active) <= 0.05 * max(a.n_active, 1) + 10
+    # the online health signal rides both paths: same magnitude on the
+    # steady frames (bootstrap frames report 0 in both paths)
+    ra = np.asarray([o.res_rms for o in outs_ref])
+    rb = np.asarray([o.res_rms for o in outs_blk])
+    steady = (ra > 0) & (rb > 0)
+    assert steady.sum() >= len(ra) // 2, (ra, rb)
+    np.testing.assert_allclose(rb[steady], ra[steady], rtol=0.5)
 
 
 def test_block_replay_tracks_ground_truth(both_runs):
