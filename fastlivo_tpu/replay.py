@@ -392,8 +392,10 @@ def livo_block_step(
     through untouched).
 
     Returns (state', m', vmap', acc_s', angvel', last_cloud',
-    last_cmask', ys) with ys = per-event (pre/post pose summaries,
-    bg/ba/grav, n_primary, n_secondary, is_lidar)."""
+    last_cmask', ys) with ys a packed (E+1, 43) f64 array
+    (_pack_summary layout; tail = [n_primary, n_secondary, is_lidar,
+    res_rms]); the final row's column 0 carries the carried depth
+    cloud's valid count — ONE host read per block."""
     from .vio import vio_frame_step
 
     dtype = pts_raw.dtype
