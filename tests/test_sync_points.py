@@ -142,6 +142,11 @@ _MEM_PROBE = r"""
 import gc, sys
 sys.path.insert(0, {test_dir!r})
 import jax
+# reuse the suite's persistent compile cache (conftest sets this via
+# jax.config, which a subprocess does not inherit — without it this
+# probe recompiles the whole pipeline, ~90 s on one CPU core)
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from fastlivo_tpu.config import load_config
 from test_sync_points import _drive
 
@@ -181,7 +186,9 @@ def test_serving_mode_device_memory_is_bounded(tmp_path):
     from pathlib import Path
 
     test_dir = str(Path(__file__).resolve().parent)
-    script = _MEM_PROBE.format(test_dir=test_dir, avia=AVIA)
+    cache_dir = str(Path(test_dir).parent / ".jax_cache")
+    script = _MEM_PROBE.format(test_dir=test_dir, avia=AVIA,
+                               cache_dir=cache_dir)
     env = dict(os.environ)
     r = subprocess.run([sys.executable, "-c", script], env=env,
                        capture_output=True, text=True, timeout=300)
