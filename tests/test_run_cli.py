@@ -187,3 +187,38 @@ def test_launch_flag_end_to_end(tmp_path):
 
     traj = np.loadtxt(out)
     assert traj.shape[1] == 8 and len(traj) >= 3
+
+
+def test_launch_parse_grouped_and_missing(tmp_path):
+    """parse_launch corner cases: <group>-nested rosparams are found
+    (searched recursively), and a $(find pkg) path that doesn't exist
+    raises a clear FileNotFoundError instead of failing later at YAML
+    load with a confusing message."""
+    import pytest
+
+    from fastlivo_tpu.config import parse_launch
+
+    pkg = tmp_path / "mypkg"
+    (pkg / "launch").mkdir(parents=True)
+    (pkg / "config").mkdir()
+    (pkg / "config" / "rig.yaml").write_text("lidar_enable: 1\n")
+    (pkg / "config" / "cam.yaml").write_text("cam_model: Pinhole\n")
+
+    grouped = pkg / "launch" / "grouped.launch"
+    grouped.write_text("""<launch>
+  <group>
+    <rosparam command="load" file="$(find mypkg)/config/rig.yaml" />
+  </group>
+  <node pkg="x" type="y" name="z">
+    <rosparam file="$(find mypkg)/config/cam.yaml" />
+  </node>
+</launch>""")
+    cfg, cam = parse_launch(grouped)
+    assert cfg.name == "rig.yaml" and cam.name == "cam.yaml"
+
+    missing = pkg / "launch" / "missing.launch"
+    missing.write_text("""<launch>
+  <rosparam command="load" file="$(find mypkg)/config/nope.yaml" />
+</launch>""")
+    with pytest.raises(FileNotFoundError, match="nope.yaml"):
+        parse_launch(missing)
