@@ -73,11 +73,15 @@ def encode_flush() -> bytes:
 
 
 class Server:
-    """Single-client server driving one Pipeline instance.
+    """Multi-connection server driving one Pipeline instance.
 
-    The socket reader is the 'ROS callback thread'; processing happens
-    inline after each message batch (the reference's spinOnce +
-    sync_packages cadence, laserMapping.cpp:1260-1267)."""
+    Each connection gets a reader thread (the reference's ROS
+    callback-thread role, laserMapping.cpp:424-518); any connection may
+    publish sensor messages and EVERY connection receives the per-frame
+    odometry JSON broadcast (the rostopic pub/sub role — rviz-style
+    consumers subscribe by just connecting). Estimation itself is
+    serialized by a lock, so the pipeline sees the reference's
+    single-threaded spinOnce cadence (:1260-1267)."""
 
     def __init__(self, cfg: Config, address, log_dir=None):
         self.pipe = Pipeline(cfg, log_dir=log_dir)
@@ -91,19 +95,59 @@ class Server:
                 os.unlink(address)  # stale socket from a prior run
             self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self.sock.bind(address)
-        self.sock.listen(1)
+        self.sock.listen(8)
         self.address = self.sock.getsockname()
         self._thread = None
         self._done = threading.Event()
+        self._conns: list = []  # live connections (broadcast targets)
+        self._conns_lock = threading.Lock()
+        self._pipe_lock = threading.Lock()  # serializes estimation
+        self._n_ever = 0
 
     def serve_forever(self):
-        conn, _ = self.sock.accept()
+        """Accept loop; returns (and sets `done`) once at least one
+        connection existed and all have closed."""
+        try:
+            self.sock.settimeout(0.2)
+            while True:
+                try:
+                    conn, _ = self.sock.accept()
+                except socket.timeout:
+                    with self._conns_lock:
+                        if self._n_ever and not self._conns:
+                            break
+                    continue
+                self._n_ever += 1
+                with self._conns_lock:
+                    self._conns.append(conn)
+                threading.Thread(target=self._reader, args=(conn,),
+                                 daemon=True).start()
+        finally:
+            self.sock.close()
+            self._done.set()
+
+    def _reader(self, conn):
         try:
             self._serve_conn(conn)
         finally:
-            conn.close()
-            self.sock.close()
-            self._done.set()
+            with self._conns_lock:
+                if conn in self._conns:
+                    self._conns.remove(conn)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _broadcast(self, data: bytes):
+        with self._conns_lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.sendall(data)
+            except OSError:
+                with self._conns_lock:
+                    if c in self._conns:
+                        self._conns.remove(c)
 
     def start_background(self):
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
@@ -127,30 +171,34 @@ class Server:
             if payload is None:
                 break
             kind = payload[0]
-            if kind == IMU:
-                (stamp,) = struct.unpack_from("<d", payload, 1)
-                acc = np.frombuffer(payload, np.float32, 3, 9)
-                gyr = np.frombuffer(payload, np.float32, 3, 21)
-                pipe.push_imu(stamp, acc, gyr)
-            elif kind == LIDAR:
-                stamp, cnt = struct.unpack_from("<dI", payload, 1)
-                off = 1 + 8 + 4
-                pts = np.frombuffer(payload, np.float32, cnt * 3, off)
-                pts = pts.reshape(cnt, 3)
-                t_rel = np.frombuffer(
-                    payload, np.float32, cnt, off + cnt * 12
-                ).astype(np.float64)
-                pipe.push_lidar(stamp, pts, t_rel)
-            elif kind == IMAGE:
-                stamp, h, w, ch = struct.unpack_from("<dHHB", payload, 1)
-                img = np.frombuffer(payload, np.uint8, h * w * ch, 14)
-                img = img.reshape(h, w, ch)
-                if ch == 1:
-                    img = img[..., 0]
-                pipe.push_img(stamp, img)
-            elif kind == FLUSH:
-                pass
-            for out in pipe.spin():
+            # ingestion + estimation serialized across reader threads
+            # (the pipeline is the reference's single spinOnce loop)
+            with self._pipe_lock:
+                if kind == IMU:
+                    (stamp,) = struct.unpack_from("<d", payload, 1)
+                    acc = np.frombuffer(payload, np.float32, 3, 9)
+                    gyr = np.frombuffer(payload, np.float32, 3, 21)
+                    pipe.push_imu(stamp, acc, gyr)
+                elif kind == LIDAR:
+                    stamp, cnt = struct.unpack_from("<dI", payload, 1)
+                    off = 1 + 8 + 4
+                    pts = np.frombuffer(payload, np.float32, cnt * 3, off)
+                    pts = pts.reshape(cnt, 3)
+                    t_rel = np.frombuffer(
+                        payload, np.float32, cnt, off + cnt * 12
+                    ).astype(np.float64)
+                    pipe.push_lidar(stamp, pts, t_rel)
+                elif kind == IMAGE:
+                    stamp, h, w, ch = struct.unpack_from("<dHHB", payload, 1)
+                    img = np.frombuffer(payload, np.uint8, h * w * ch, 14)
+                    img = img.reshape(h, w, ch)
+                    if ch == 1:
+                        img = img[..., 0]
+                    pipe.push_img(stamp, img)
+                elif kind == FLUSH:
+                    pass
+                outs = pipe.spin()
+            for out in outs:
                 line = json.dumps({
                     "t": out.t,
                     "pos": [float(v) for v in out.pos],
@@ -160,7 +208,8 @@ class Server:
                     # residual RMS (rises on degeneracy/divergence)
                     "res_rms": round(out.res_rms, 6),
                 }) + "\n"
-                conn.sendall(line.encode())
+                # pub/sub: every connection gets the odometry stream
+                self._broadcast(line.encode())
             if kind == FLUSH:
                 conn.sendall(b'{"flushed": true}\n')
 

@@ -188,3 +188,70 @@ def test_socket_loopback_reset_survives(tmp_path):
     cli.close()
     srv.wait(10)
     assert flushes == 2  # server survived the regression
+
+
+def test_subscriber_receives_broadcast(tmp_path):
+    """Pub/sub parity: a second connection that publishes nothing still
+    receives the full odometry stream (the rviz-subscriber role of the
+    reference's rostopic publishers)."""
+    ds = SyntheticDataset(duration=2.5, points_per_scan=2048,
+                          lidar_noise=0.004, seed=5)
+    srv = serve.Server(small_config(), str(tmp_path / "sock"))
+    srv.start_background()
+
+    sub = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    sub.connect(srv.address)
+    sub.settimeout(120)
+
+    pub = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    pub.connect(srv.address)
+    pub.settimeout(120)
+
+    events = []
+    for t, acc, gyr in ds.imu_stream():
+        events.append((t, serve.encode_imu(t, acc, gyr)))
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        events.append((beg, serve.encode_lidar(
+            beg, pts[:, :3], t_rel.astype(np.float32))))
+    events.sort(key=lambda e: e[0])
+    for _, msg in events:
+        pub.sendall(msg)
+    pub.sendall(serve.encode_flush())
+
+    # the publisher drains its own stream until the flush ack...
+    buf = b""
+    pub_frames = 0
+    done = False
+    while not done:
+        chunk = pub.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            d = json.loads(line)
+            if d.get("flushed"):
+                done = True
+                break
+            if "pos" in d:
+                pub_frames += 1
+    assert pub_frames > 5
+
+    # ...and the silent subscriber must have received the same frames
+    sub.setblocking(True)
+    sub.settimeout(10)
+    buf = b""
+    sub_frames = 0
+    try:
+        while sub_frames < pub_frames:
+            chunk = sub.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+            sub_frames = buf.count(b"\n")
+    except socket.timeout:
+        pass
+    assert sub_frames >= pub_frames, (sub_frames, pub_frames)
+    pub.close()
+    sub.close()
+    srv.wait(10)
