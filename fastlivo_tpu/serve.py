@@ -102,6 +102,9 @@ class Server:
         self._conns: list = []  # live connections (broadcast targets)
         self._conns_lock = threading.Lock()
         self._pipe_lock = threading.Lock()  # serializes estimation
+        # serializes outbound writes: concurrent sendall from two reader
+        # threads could interleave partial JSON lines on one socket
+        self._send_lock = threading.Lock()
         self._n_ever = 0
 
     def serve_forever(self):
@@ -141,13 +144,14 @@ class Server:
     def _broadcast(self, data: bytes):
         with self._conns_lock:
             conns = list(self._conns)
-        for c in conns:
-            try:
-                c.sendall(data)
-            except OSError:
-                with self._conns_lock:
-                    if c in self._conns:
-                        self._conns.remove(c)
+        with self._send_lock:
+            for c in conns:
+                try:
+                    c.sendall(data)
+                except OSError:
+                    with self._conns_lock:
+                        if c in self._conns:
+                            self._conns.remove(c)
 
     def start_background(self):
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
@@ -211,7 +215,8 @@ class Server:
                 # pub/sub: every connection gets the odometry stream
                 self._broadcast(line.encode())
             if kind == FLUSH:
-                conn.sendall(b'{"flushed": true}\n')
+                with self._send_lock:
+                    conn.sendall(b'{"flushed": true}\n')
 
 
 def main(argv=None):
