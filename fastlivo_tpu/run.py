@@ -65,7 +65,11 @@ def _lidar_fields(msg_type: str, msg: dict, lidar_type: int) -> dict:
 
 
 def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
-            block: int = 0):
+            block: int = 0, rate: float = 0.0):
+    """Replay a bag. `rate` > 0 paces messages at that multiple of
+    wall-clock time by their receive stamps — the `rosbag play -r`
+    role, for validating real-time behavior; 0 replays as fast as
+    possible."""
     from .io.rosbag import bgr_normalize, read_bag
 
     cfg = pipe.cfg
@@ -89,7 +93,16 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
         replayer = (LivoBlockReplayer(pipe, block) if cfg.img_enable
                     else BlockReplayer(pipe, block))
     n_frames = 0
+    t_wall0 = time.perf_counter()
+    t_bag0 = None
     for topic, mtype, stamp, msg in read_bag(bag_path, topics):
+        if rate > 0:
+            if t_bag0 is None:
+                t_bag0 = stamp
+            target = (stamp - t_bag0) / rate
+            lag = target - (time.perf_counter() - t_wall0)
+            if lag > 0:
+                time.sleep(lag)
         if topic == cfg.imu_topic:
             pipe.push_imu(msg["stamp"], msg["acc"], msg["gyr"])
         elif topic == cfg.lid_topic:
@@ -219,6 +232,11 @@ def main(argv=None):
         "and position-NEES filter consistency (eval.py)",
     )
     ap.add_argument(
+        "--rate", type=float, default=0.0,
+        help="with --bag: pace messages at this multiple of wall-clock "
+        "(the rosbag play -r role; 0 = as fast as possible)",
+    )
+    ap.add_argument(
         "--block", type=int, default=0,
         help="offline replay in N-event blocks (one device dispatch per N "
         "events; amortizes per-dispatch overhead; LIO and full LIVO)",
@@ -286,7 +304,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     ds = None
     if args.bag:
-        n = run_bag(pipe, args.bag, args.max_frames, args.block)
+        n = run_bag(pipe, args.bag, args.max_frames, args.block,
+                    rate=args.rate)
     elif args.synthetic:
         if args.eval and args.block:
             # block replay does not collect per-frame covariances

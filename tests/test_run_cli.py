@@ -222,3 +222,48 @@ def test_launch_parse_grouped_and_missing(tmp_path):
 </launch>""")
     with pytest.raises(FileNotFoundError, match="nope.yaml"):
         parse_launch(missing)
+
+
+def test_bag_rate_pacing(tmp_path):
+    """--rate paces bag replay by message stamps (rosbag play -r role):
+    a 1.2 s bag at rate 2.0 must take >= ~0.6 s wall and produce the
+    same trajectory as the unpaced replay."""
+    import time as _time
+
+    import test_rosbag_preprocess as T
+    from fastlivo_tpu import run as run_mod
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+
+    def go(sub, extra):
+        ds_dir = tmp_path / sub
+        bag = T._build_livo_bag(ds_dir, compressed=False)
+        # reuse the LIVO helper's bag but run LIO-only for speed
+        cfg = {
+            "img_enable": 0, "lidar_enable": 1, "max_iteration": 4,
+            "filter_size_surf": 0.3, "filter_size_map": 0.3,
+            "laser_point_cov": 0.001, "point_filter_num": 1,
+            "common": {"lid_topic": "/lidar", "imu_topic": "/imu"},
+            "preprocess": {"lidar_type": 1, "scan_line": 6, "blind": 0.1},
+            "mapping": {"acc_cov_scale": 1.0, "gyr_cov_scale": 1.0,
+                        "extrinsic_T": [0.0, 0.0, 0.0],
+                        "extrinsic_R": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+            "capacity": {"map_table_size": 1 << 16, "max_points": 4096,
+                         "max_raw_points": 8192, "max_imu_per_group": 64},
+        }
+        cfg_yaml = ds_dir / "cfg.yaml"
+        import yaml as _y
+
+        cfg_yaml.write_text(_y.safe_dump(cfg))
+        out = ds_dir / "traj.txt"
+        t0 = _time.perf_counter()
+        run_mod.main(["--config", str(cfg_yaml), "--bag", str(bag),
+                      "--out", str(out), "--no-img"] + extra)
+        return np.loadtxt(out), _time.perf_counter() - t0
+
+    fast, _ = go("a", [])
+    paced, wall = go("b", ["--rate", "4.0"])
+    # 3 s of data at 4x -> >= ~0.7 s of pacing sleep
+    assert wall >= 0.6, wall
+    np.testing.assert_array_equal(fast, paced)
