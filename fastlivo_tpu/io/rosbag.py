@@ -51,27 +51,43 @@ def _parse_header(buf: bytes) -> dict:
 
 
 def _records(buf, i: int = 0) -> Iterator[Tuple[dict, bytes]]:
+    # A bag ending in a partially written final record (crashed
+    # recording — normally salvageable with `rosbag reindex`) replays
+    # its complete prefix with a RuntimeWarning instead of aborting the
+    # run; any record that READ cleanly is yielded before the warning,
+    # so mid-file corruption that produces a garbage length still
+    # surfaces (as a warning + an abruptly short replay).
+    import warnings
+
     L = len(buf)
     while i + 8 <= L:
         (hlen,) = struct.unpack_from("<I", buf, i)
         i += 4
         if i + hlen + 4 > L:
-            raise ValueError(
-                f"truncated bag: record header runs past EOF at byte {i}")
+            warnings.warn(
+                f"truncated bag: record header runs past EOF at byte {i}; "
+                f"replaying the complete prefix only",
+                RuntimeWarning, stacklevel=2)
+            return
         hdr = _parse_header(buf[i : i + hlen])
         i += hlen
         (dlen,) = struct.unpack_from("<I", buf, i)
         i += 4
         if i + dlen > L:
-            raise ValueError(
+            warnings.warn(
                 f"truncated bag: record data runs past EOF at byte {i} "
-                f"(need {dlen}, have {L - i})")
+                f"(need {dlen}, have {L - i}); replaying the complete "
+                f"prefix only",
+                RuntimeWarning, stacklevel=2)
+            return
         data = buf[i : i + dlen]
         i += dlen
         yield hdr, data
     if i != L:
-        # a partial length prefix (1-7 trailing bytes) is still corruption
-        raise ValueError(f"truncated bag: {L - i} trailing bytes at EOF")
+        # a partial length prefix (1-7 trailing bytes)
+        warnings.warn(
+            f"truncated bag: {L - i} trailing bytes at EOF",
+            RuntimeWarning, stacklevel=2)
 
 
 class _Reader:

@@ -137,6 +137,11 @@ class Pipeline:
         # each frame — bounded); FrameOutput.pts_world is materialized
         # only when a consumer (PCD/viz) is configured
         self.last_dense = None
+        # opt-in for library consumers that read outputs[i].pts_world
+        # after a run without enabling PCD saving or a viz hook: forces
+        # per-frame materialization of the dense cloud (one extra
+        # blocking device read per frame) — see docs/API.md
+        self.materialize_dense = False
         # opt-in (eval runs): collect the per-frame posterior covariance
         # for consistency metrics (eval.py NEES); costs one extra
         # device read per frame, so off in production
@@ -420,7 +425,8 @@ class Pipeline:
                 # frame forever in a long serving session; the CURRENT
                 # frame's cloud remains reachable as pipe.last_dense.
                 need_dense = (self.cfg.pcd_save_en
-                              or self.on_frame is not None)
+                              or self.on_frame is not None
+                              or self.materialize_dense)
                 dense_world = (np.asarray(dense_j)[:N] if need_dense
                                else None)
                 self.last_dense = dense_j[:N]

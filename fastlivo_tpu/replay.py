@@ -341,6 +341,7 @@ class BlockReplayer:
     static_argnames=(
         "max_points", "max_iter", "knn_radius", "max_probe", "pose_rows",
         "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_vox", "max_pg",
+        "robust",
     ),
 )
 def livo_block_step(
@@ -372,6 +373,7 @@ def livo_block_step(
     ncc_en: bool,
     max_vox: int,
     max_pg: int,
+    robust: str = "none",
 ):
     """E interleaved LIVO events (scan-ends and camera frames) chained
     in one executable. The reference's event protocol (sync_packages
@@ -468,7 +470,7 @@ def livo_block_step(
                 outlier_threshold, ncc_thre, img_point_cov,
                 grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
                 ncc_en=ncc_en, max_iter=max_iter, max_vox=max_vox,
-                max_pg=max_pg,
+                max_pg=max_pg, robust=robust,
             )
             return (st2, mm, vm2, lc, lcm, buf, cnt, n_tr, its,
                     jnp.float64(0.0))
@@ -534,6 +536,13 @@ class LivoBlockReplayer:
         if self._lc_dev is not None:
             return self._lc_n >= 10
         v = p.vio
+        # a per-frame fused _process_group hands the depth cloud to the
+        # Vio as a DEVICE handle (set_last_cloud_device) and nulls
+        # last_cloud — steady-state must recognize that carry too, or
+        # one bootstrap interleave would silently ratchet the replayer
+        # into per-frame dispatch for the rest of the run
+        if v._last_cloud_dev is not None:
+            return v._last_cloud_dev[1] >= 10
         return v.last_cloud is not None and len(v.last_cloud) >= 10
 
     def _materialize_cloud(self):
@@ -544,7 +553,9 @@ class LivoBlockReplayer:
             return
         lc_f, lcm_f = self._lc_dev
         m_np = np.asarray(lcm_f)
-        self.pipe.vio.last_cloud = np.asarray(lc_f)[m_np]
+        # route through set_last_cloud so the Vio's last_cloud /
+        # _last_cloud_dev invariant is maintained in one place
+        self.pipe.vio.set_last_cloud(np.asarray(lc_f)[m_np])
         self._lc_dev = None
 
     def run(self) -> List:
@@ -659,6 +670,12 @@ class LivoBlockReplayer:
             # device-resident carry from the previous block: no host
             # compaction, no re-upload
             lc0_j, lcm0_j = self._lc_dev
+        elif v._last_cloud_dev is not None:
+            # carry handed over by a per-frame fused lidar step: the
+            # cloud never left the device; only the count is on host
+            cloud_dev, n0 = v._last_cloud_dev
+            lc0_j = cloud_dev
+            lcm0_j = jnp.asarray(np.arange(R) < min(n0, R))
         else:
             lc0 = np.zeros((R, 3), np.float32)
             lcm0 = np.zeros(R, bool)
@@ -687,6 +704,7 @@ class LivoBlockReplayer:
             grid_size=v.grid_size, patch_size=v.patch_size,
             gw=v.gw, gh=v.gh, ncc_en=cfg.ncc_en,
             max_vox=v.max_vox, max_pg=v.max_pg,
+            robust=cap.vio_robust,
         )
         p.state = st
         p.map = m2
@@ -696,7 +714,9 @@ class LivoBlockReplayer:
         # the carried depth cloud stays ON DEVICE between blocks; the
         # valid count rides the packed summary row below
         self._lc_dev = (lc_f, lcm_f)
-        v.last_cloud = None  # device carry is authoritative in block mode
+        # block carry is now authoritative: clear both Vio-side forms
+        v.last_cloud = None
+        v._last_cloud_dev = None
 
         # ONE packed read for the whole block: per-event pre/post state
         # summaries + counters, plus block extras in the final row

@@ -929,7 +929,11 @@ class Vio:
         """The `detect` entry (lidar_selection.cpp:1027-1075), fused:
         one device dispatch per camera frame (vio_frame_step)."""
         cfg = self.cfg
-        self._last_bgr_src = img
+        # snapshot: callers may reuse/mutate their frame buffer between
+        # this image frame and the later colorize/viz read that resolves
+        # the lazy resize; a frame copy is ~0.3 ms vs the ~6 ms resize
+        # being deferred
+        self._last_bgr_src = np.array(img, copy=True)
         self._last_bgr_cache = None
         gray = self._gray_device(img)
         fid = jnp.int32(self.fid)
@@ -991,7 +995,11 @@ class Vio:
         """Unfused reference path (one dispatch per stage) — kept for the
         fused-vs-staged equivalence test and for debugging."""
         cfg = self.cfg
-        self._last_bgr_src = img
+        # snapshot: callers may reuse/mutate their frame buffer between
+        # this image frame and the later colorize/viz read that resolves
+        # the lazy resize; a frame copy is ~0.3 ms vs the ~6 ms resize
+        # being deferred
+        self._last_bgr_src = np.array(img, copy=True)
         self._last_bgr_cache = None
         gray = jnp.asarray(self._to_gray(img))
         fid = jnp.int32(self.fid)

@@ -111,6 +111,42 @@ def test_pipeline_rebuild_trigger_fires():
     assert int(pipe.map.n_alloc) <= 48
 
 
+def test_livo_block_steady_recognizes_device_cloud_carry():
+    """Regression (advisor r2, medium): a per-frame fused _process_group
+    hands the depth cloud to the Vio as a DEVICE handle
+    (set_last_cloud_device) and nulls last_cloud; _steady must treat
+    that carry as steady-state too, or one bootstrap interleave ratchets
+    the replayer into per-frame dispatch for the rest of the run."""
+    from fastlivo_tpu.replay import LivoBlockReplayer
+
+    class FakeVio:
+        last_cloud = None
+        _last_cloud_dev = ("devhandle", 500)
+
+    class FakeScan:
+        beg_time = 10.0
+
+    class FakeG:
+        scan = FakeScan()
+
+    class FakePipe:
+        map_built = True
+        init_done = True
+        ready = True
+        first_lidar_time = 0.0
+        vio = FakeVio()
+
+    rep = LivoBlockReplayer.__new__(LivoBlockReplayer)
+    rep.pipe = FakePipe()
+    rep._lc_dev = None
+    rep._lc_n = 0
+    assert rep._steady(FakeG())          # device carry with enough rows
+    FakePipe.vio._last_cloud_dev = ("devhandle", 5)
+    assert not rep._steady(FakeG())      # too few valid rows
+    FakePipe.vio._last_cloud_dev = None
+    assert not rep._steady(FakeG())      # no cloud anywhere
+
+
 def test_livo_block_replay_matches_per_frame():
     """Full-LIVO event blocks (lidar + camera interleaved) vs the
     per-frame pipeline: same frame count, trajectories within the

@@ -446,23 +446,33 @@ def test_cli_bag_replay_livo_compressed_topic(tmp_path):
     np.testing.assert_array_equal(raw, comp)
 
 
-def test_truncated_bag_fails_cleanly(tmp_path):
-    """A bag cut off mid-record must raise a normal exception (not hang
-    or segfault the mmap reader) — production IO robustness."""
+def test_truncated_bag_salvages_prefix(tmp_path):
+    """A bag ending in a partially written record (crashed recording —
+    normally recoverable with `rosbag reindex`) must replay its complete
+    prefix with a RuntimeWarning, not hang, segfault, or abort the run."""
     import pytest
 
     n = 4
-    raw = make_pc2_msg(0.5, np.zeros((n, 3), np.float32),
-                       np.zeros(n), np.zeros(n), np.zeros(n, int))
+    msgs = []
+    for k in range(3):
+        raw = make_pc2_msg(0.5 + 0.1 * k, np.zeros((n, 3), np.float32),
+                           np.zeros(n), np.zeros(n), np.zeros(n, int))
+        msgs.append((k + 1, "/points", "sensor_msgs/PointCloud2",
+                     0.5 + 0.1 * k, raw))
     p = tmp_path / "full.bag"
-    build_bag(p, [("none", [(1, "/points", "sensor_msgs/PointCloud2",
-                             0.5, raw)])])
+    build_bag(p, [("none", msgs)])
     blob = p.read_bytes()
+    full = list(rb.read_bag(p))
+    assert len(full) == 3
     for frac in (0.3, 0.7, 0.95):
         q = tmp_path / f"cut_{frac}.bag"
         q.write_bytes(blob[: int(len(blob) * frac)])
-        with pytest.raises(Exception):
-            list(rb.read_bag(q))
+        with pytest.warns(RuntimeWarning, match="truncated"):
+            got = list(rb.read_bag(q))
+        # whatever replayed is a prefix of the full replay
+        assert len(got) <= len(full)
+        for (t_a, top_a, _m_a), (t_b, top_b, _m_b) in zip(got, full):
+            assert t_a == t_b and top_a == top_b
 
 
 def test_non_bag_file_rejected(tmp_path):
