@@ -76,6 +76,11 @@ class CapacityConfig:
     # scaffolding the reference leaves commented out
     # (lidar_selection.cpp:75-78, 839-842)
     vio_robust: str = "none"
+    # LIO plane-fit backend: "tls" (centered orthogonal regression,
+    # default — f32-stable far from the origin) | "ref" (the exact
+    # esti_plane A·n=-1 parametrization, common_lib.h:449-493, solved in
+    # f64). Measured end-to-end equivalent; see tests/test_reference_algebra.py
+    plane_fit: str = "tls"
     map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
     max_probe: int = 12  # open-addressing probe depth (= insert's depth)
     knn_voxel_radius: int = 1  # 3x3x3 neighborhood for the 5-NN gather;
@@ -209,10 +214,11 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
         for k, v in cap.items():
             if k not in fields:
                 continue
-            if k in ("map_backend", "vio_robust"):
+            if k in ("map_backend", "vio_robust", "plane_fit"):
                 kw[k] = str(v)
                 allowed = {"map_backend": ("tiled", "dense", "hash"),
-                           "vio_robust": ("none", "huber", "tukey")}[k]
+                           "vio_robust": ("none", "huber", "tukey"),
+                           "plane_fit": ("tls", "ref")}[k]
                 if kw[k] not in allowed:
                     # fail at LOAD time, not minutes later mid-jit-trace
                     raise ValueError(

@@ -30,7 +30,7 @@ from .state import NavState, pack24
     jax.jit,
     static_argnames=(
         "max_points", "max_iter", "knn_radius", "max_probe", "dense_out",
-        "cache_knn", "mixed_gain",
+        "cache_knn", "mixed_gain", "plane_fit",
     ),
 )
 def lidar_frame_step(
@@ -50,6 +50,7 @@ def lidar_frame_step(
     dense_out: bool = True,
     cache_knn: bool = False,
     mixed_gain: bool = False,
+    plane_fit: str = "tls",
 ):
     """Returns (posterior state, new map, down (max_points,3), dmask,
     n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,),
@@ -73,7 +74,7 @@ def lidar_frame_step(
         state, m, down, dmask, calib.lid_rot, calib.lid_off,
         laser_point_cov=laser_point_cov, max_iter=max_iter,
         knn_radius=knn_radius, max_probe=max_probe,
-        cache_knn=cache_knn, mixed_gain=mixed_gain,
+        cache_knn=cache_knn, mixed_gain=mixed_gain, plane_fit=plane_fit,
     )
     # map insert at the posterior (map_incremental, laserMapping.cpp:692)
     rot32 = res.state.rot.astype(down.dtype)

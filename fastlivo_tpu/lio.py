@@ -100,7 +100,7 @@ def _boxminus_vec(prior: NavState, rot, pos, vel, bg, ba, grav):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "knn_radius", "max_probe", "axis_name",
-                     "cache_knn", "mixed_gain"),
+                     "cache_knn", "mixed_gain", "plane_fit"),
 )
 def lio_update(
     state: NavState,  # propagated prior (its cov is the prior covariance)
@@ -116,6 +116,7 @@ def lio_update(
     axis_name: str | None = None,
     cache_knn: bool = False,
     mixed_gain: bool = False,
+    plane_fit: str = "tls",
 ) -> LioResult:
     """One scan's iterated point-to-plane EKF update (laserMapping.cpp:1506-1732).
 
@@ -156,6 +157,13 @@ def lio_update(
             max_probe=max_probe,
         )
 
+    # plane-fit backend: "tls" (default, centered orthogonal regression)
+    # or "ref" (the exact esti_plane A·n=-1 parametrization) — measured
+    # end-to-end equivalent, see tests/test_reference_algebra.py
+    if plane_fit not in ("tls", "ref"):
+        raise ValueError(f"plane_fit={plane_fit!r}")
+    fit = plane_ops.fit_plane_ref if plane_fit == "ref" else plane_ops.fit_plane
+
     def do_search(rot, pos):
         pw = world_pts(rot, pos)
         if cache_knn:
@@ -165,7 +173,7 @@ def lio_update(
                 m, pw, k=5, radius=knn_radius, max_probe=max_probe
             )
         sel = (nd2[:, -1] <= SQ_DIST_GATE) & pmask
-        pabcd, plane_ok = plane_ops.fit_plane(neigh, threshold=PLANE_THRESH)
+        pabcd, plane_ok = fit(neigh, threshold=PLANE_THRESH)
         return sel, pabcd, plane_ok
 
     def keep_search(sel, pabcd, plane_ok):

@@ -135,6 +135,61 @@ def fit_plane(
     return pabcd, ok
 
 
+def fit_plane_ref(
+    pts: jnp.ndarray, valid: jnp.ndarray | None = None, threshold: float = 0.1
+):
+    """EXACT reference plane parametrization (esti_plane,
+    common_lib.h:449-493): least-squares solve of A·n = -1 over the K
+    neighbors, then pabcd = [n/|n|, 1/|n|]; valid iff every neighbor
+    lies within `threshold` of the normalized plane.
+
+    The reference's colPivHouseholderQr on the (full-rank) 5x3 system is
+    the least-squares solution, identical to the 3x3 normal equations in
+    exact arithmetic. Forming AᵀA squares the conditioning (the reason
+    the default backend is the centered TLS `fit_plane`), so the tiny
+    per-point algebra runs in f64 — ~60 flops/point, emulated on TPU but
+    negligible next to the kNN gather — which strictly dominates the
+    reference's own f32 QR (esti_plane is instantiated with T=float,
+    laserMapping.cpp:1571).
+
+    Selectable via `capacity.plane_fit: ref`; see tests/
+    test_reference_algebra.py for the transcription equivalence and the
+    measured TLS-vs-ref end-to-end A/B.
+
+    Same signature/returns as `fit_plane`. With a `valid` mask, rows
+    outside the mask don't constrain the fit and validity additionally
+    requires ALL K rows valid (the reference only fits when the 5-NN
+    search returned a full neighbor set)."""
+    K = pts.shape[-2]
+    if valid is None:
+        valid = jnp.ones(pts.shape[:-1], dtype=bool)
+    dtype = pts.dtype
+    f64 = jnp.float64
+    w = valid.astype(f64)[..., None]
+    p64 = pts.astype(f64) * w
+    AtA = jnp.einsum("...ki,...kj->...ij", p64, p64)
+    Atb = -jnp.sum(p64, axis=-2)  # Aᵀ·(-1)
+    n = _solve3x3(AtA, Atb)
+    norm = jnp.sqrt(jnp.sum(n * n, axis=-1))
+    safe = jnp.maximum(norm, 1e-30)
+    inv = 1.0 / safe
+    normal = n * inv[..., None]
+    d = inv  # pca_result(3) = 1/|n| (common_lib.h:469)
+    pabcd = jnp.concatenate([normal, d[..., None]], axis=-1)
+    dist = jnp.abs(
+        jnp.einsum("...ki,...i->...k", pts.astype(f64), normal)
+        + d[..., None]
+    )
+    ok = jnp.all(jnp.where(valid, dist <= threshold, True), axis=-1)
+    ok = (
+        ok
+        & (jnp.sum(valid, axis=-1) == K)
+        & (norm > 1e-30)
+        & jnp.all(jnp.isfinite(pabcd), axis=-1)
+    )
+    return pabcd.astype(dtype), ok
+
+
 def point_to_plane(pabcd: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Signed distance(s): (..., 4), (..., 3) -> (...,)."""
     return jnp.sum(pabcd[..., :3] * p, axis=-1) + pabcd[..., 3]

@@ -51,6 +51,7 @@ def sharded_lio_update(
     knn_radius: int = 2,
     max_probe: int = 12,
     axis: str = "dp",
+    plane_fit: str = "tls",
 ) -> lio_mod.LioResult:
     """`lio.lio_update` with the point batch sharded over `axis`.
 
@@ -66,6 +67,7 @@ def sharded_lio_update(
             knn_radius=knn_radius,
             max_probe=max_probe,
             axis_name=axis,
+            plane_fit=plane_fit,
         )
 
     rep = P()
@@ -105,6 +107,7 @@ def sharded_scan_step(
     knn_radius: int = 1,
     max_probe: int = 8,
     axis: str = "dp",
+    plane_fit: str = "tls",
 ):
     """The FULL per-scan step under SPMD: IMU propagation (replicated)
     -> undistortion (sharded rows) -> iterated EKF (sharded rows, psum
@@ -124,6 +127,7 @@ def sharded_scan_step(
             st, m, und, pmask, calib.lid_rot, calib.lid_off,
             laser_point_cov=laser_point_cov, max_iter=max_iter,
             knn_radius=knn_radius, max_probe=max_probe, axis_name=axis,
+            plane_fit=plane_fit,
         )
         # map insert: replicated scatter of the all-gathered world batch
         world = jax.lax.all_gather(res.pts_world, axis, tiled=True)

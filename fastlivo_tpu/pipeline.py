@@ -402,6 +402,7 @@ class Pipeline:
                 dense_out=self.cfg.dense_map_enable,
                 cache_knn=cap.cache_knn,
                 mixed_gain=cap.mixed_gain,
+                plane_fit=cap.plane_fit,
             )
             self.state = st
             self._prop_pack_dev = None  # posterior != propagated

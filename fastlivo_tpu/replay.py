@@ -39,7 +39,8 @@ from .state import NavState
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_points", "max_iter", "knn_radius", "max_probe"),
+    static_argnames=("max_points", "max_iter", "knn_radius", "max_probe",
+                     "plane_fit"),
 )
 def lidar_block_step(
     state: NavState,
@@ -55,6 +56,7 @@ def lidar_block_step(
     max_iter: int,
     knn_radius: int,
     max_probe: int,
+    plane_fit: str = "tls",
 ):
     """K chained scan steps in one executable.
 
@@ -84,6 +86,7 @@ def lidar_block_step(
             st1, mm, down, dmask, calib.lid_rot, calib.lid_off,
             laser_point_cov=laser_point_cov, max_iter=max_iter,
             knn_radius=knn_radius, max_probe=max_probe,
+            plane_fit=plane_fit,
         )
         mod = lio_mod.map_module(mm)
         rot32 = res.state.rot.astype(down.dtype)
@@ -283,6 +286,7 @@ class BlockReplayer:
             max_iter=p.cfg.max_iteration,
             knn_radius=cap.knn_voxel_radius,
             max_probe=cap.max_probe,
+            plane_fit=cap.plane_fit,
         )
         p.state = st
         p.map = m2
@@ -341,7 +345,7 @@ class BlockReplayer:
     static_argnames=(
         "max_points", "max_iter", "knn_radius", "max_probe", "pose_rows",
         "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_vox", "max_pg",
-        "robust",
+        "robust", "plane_fit",
     ),
 )
 def livo_block_step(
@@ -374,6 +378,7 @@ def livo_block_step(
     max_vox: int,
     max_pg: int,
     robust: str = "none",
+    plane_fit: str = "tls",
 ):
     """E interleaved LIVO events (scan-ends and camera frames) chained
     in one executable. The reference's event protocol (sync_packages
@@ -443,6 +448,7 @@ def livo_block_step(
                 st1, mm, down, dmask, calib.lid_rot, calib.lid_off,
                 laser_point_cov=laser_point_cov, max_iter=max_iter,
                 knn_radius=knn_radius, max_probe=max_probe,
+                plane_fit=plane_fit,
             )
             mod = lio_mod.map_module(mm)
             rot32 = res.state.rot.astype(dtype)
@@ -704,7 +710,7 @@ class LivoBlockReplayer:
             grid_size=v.grid_size, patch_size=v.patch_size,
             gw=v.gw, gh=v.gh, ncc_en=cfg.ncc_en,
             max_vox=v.max_vox, max_pg=v.max_pg,
-            robust=cap.vio_robust,
+            robust=cap.vio_robust, plane_fit=cap.plane_fit,
         )
         p.state = st
         p.map = m2

@@ -12,6 +12,8 @@ from fastlivo_tpu.pipeline import Pipeline
 
 RIGS = ["avia", "mid360", "NTU_VIRAL", "MARS_LVIG"]
 
+pytestmark = pytest.mark.slow  # 4-rig end-to-end tracking (full tier)
+
 
 @pytest.mark.parametrize("rig", RIGS)
 def test_rig_config_lio_tracks(rig):

@@ -72,6 +72,7 @@ def test_camera_model_instantiates_all():
         assert abs(float(jnp.linalg.norm(f[0])) - 1.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_vio_constructs_and_steps_at_all_rig_camera_sizes():
     """Static-shape smoke at each shipped camera geometry (grid dims,
     pack caps, candidate sizes): one fused VIO update on a flat image

@@ -1,5 +1,6 @@
 """eval.py: ATE + NEES consistency metrics (beyond-reference tooling)."""
 import numpy as np
+import pytest
 
 from fastlivo_tpu import eval as ev
 from fastlivo_tpu.config import load_config
@@ -31,6 +32,7 @@ def test_nees_math_on_calibrated_gaussian():
     assert abs(mean - 3.0) < 0.2, mean
 
 
+@pytest.mark.slow
 def test_synthetic_lio_eval_end_to_end():
     """Full-pipeline eval: mm-class ATE and a finite, positive NEES.
     The reference's fixed noise heuristics make no calibration claim,

@@ -67,6 +67,7 @@ def test_block_replay_tracks_ground_truth(both_runs):
     assert ate < 0.02, ate
 
 
+@pytest.mark.slow
 def test_block_replay_partial_blocks():
     """A stream whose steady-state frame count is not a multiple of K
     still processes every frame (tail flush)."""
@@ -147,6 +148,7 @@ def test_livo_block_steady_recognizes_device_cloud_carry():
     assert not rep._steady(FakeG())      # no cloud anywhere
 
 
+@pytest.mark.slow
 def test_livo_block_replay_matches_per_frame():
     """Full-LIVO event blocks (lidar + camera interleaved) vs the
     per-frame pipeline: same frame count, trajectories within the

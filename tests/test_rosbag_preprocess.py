@@ -427,12 +427,14 @@ def _run_livo_replay(tmp_path, compressed_images=False):
     return traj
 
 
+@pytest.mark.slow
 def test_cli_bag_replay_livo(tmp_path):
     """Full LIVO through the bag path: Image messages interleave with
     livox scans; the pipeline must run VIO frames from the bag."""
     _run_livo_replay(tmp_path)
 
 
+@pytest.mark.slow
 def test_cli_bag_replay_livo_compressed_topic(tmp_path):
     """Same LIVO bag replay but the images arrive as PNG
     sensor_msgs/CompressedImage on <img_topic>/compressed — the layout

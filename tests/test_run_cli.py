@@ -1,5 +1,6 @@
 """CLI runner tests: synthetic replay and bag replay end-to-end."""
 import numpy as np
+import pytest
 import yaml
 
 from fastlivo_tpu import run as run_mod
@@ -24,6 +25,7 @@ def small_yaml(tmp_path, img_enable=0):
     return p
 
 
+@pytest.mark.slow
 def test_cli_synthetic_lio(tmp_path):
     cfg = small_yaml(tmp_path)
     out = tmp_path / "traj.txt"
@@ -39,6 +41,7 @@ def test_cli_synthetic_lio(tmp_path):
     assert np.linalg.norm(traj[0, 1:4]) < 0.01
 
 
+@pytest.mark.slow
 def test_cli_bag_replay(tmp_path):
     """Build a small synthetic avia-format bag and replay it."""
     from test_rosbag_preprocess import build_bag, make_imu_msg, make_livox_msg
@@ -107,6 +110,7 @@ def make_ouster_pc2_msg(stamp, xyz, intensity, t_ns, ring):
     return out
 
 
+@pytest.mark.slow
 def test_cli_ouster_bag_replay(tmp_path):
     """NTU-VIRAL-style rig: ouster PointCloud2 through the full stack."""
     import yaml
@@ -224,6 +228,7 @@ def test_launch_parse_grouped_and_missing(tmp_path):
         parse_launch(missing)
 
 
+@pytest.mark.slow
 def test_bag_rate_pacing(tmp_path):
     """--rate paces bag replay by message stamps (rosbag play -r role):
     a 1.2 s bag at rate 2.0 must take >= ~0.6 s wall and produce the

@@ -4,6 +4,7 @@ import json
 import socket
 
 import numpy as np
+import pytest
 
 from fastlivo_tpu import serve
 from fastlivo_tpu.io.synthetic import SyntheticDataset
@@ -143,6 +144,7 @@ def test_bad_length_prefix_rejected():
     srv.wait(5)
 
 
+@pytest.mark.slow
 def test_socket_loopback_reset_survives(tmp_path):
     """A timestamp regression arriving over the wire (client restarted
     its bag) must trigger the loop-back reset, not crash the server."""

@@ -53,6 +53,7 @@ def test_sharded_matches_single_device(room):
     assert np.linalg.norm(np.asarray(got.state.pos) - pos_true) < 2e-2
 
 
+@pytest.mark.slow
 def test_full_scan_step_under_mesh(room):
     """The dryrun_multichip path: full propagate+undistort+EKF+insert."""
     from fastlivo_tpu import imu as imu_mod
@@ -97,6 +98,7 @@ def test_full_scan_step_under_mesh(room):
     assert int(m2.count) >= int(m.count)
 
 
+@pytest.mark.slow
 def test_sharded_vio_update_matches_single_device():
     """Photometric update: 8-way row partition == single device."""
     import sys

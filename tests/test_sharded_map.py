@@ -115,6 +115,7 @@ def test_ownership_partition_is_disjoint_and_complete(built):
     assert total == int(flive), (total, int(flive))
 
 
+@pytest.mark.slow
 def test_snapshot_knn_matches_full_map(built):
     world, full, shards, mesh = built
     q = jnp.asarray(world[:512] + 0.02)
@@ -142,6 +143,7 @@ def test_snapshot_knn_matches_full_map(built):
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_f), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_blockmap_scan_step_matches_single_device(built):
     world, full, shards, mesh = built
     calib = _calib()
@@ -211,6 +213,7 @@ def test_blockmap_scan_step_matches_single_device(built):
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_f), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_blockmap_multi_frame_trajectory(built):
     """Several consecutive scan steps with a moving sensor: the
     block-sharded path tracks the single-device path across frames

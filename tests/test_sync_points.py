@@ -59,6 +59,9 @@ class _MaterializeCounter:
         return False
 
 
+
+pytestmark = pytest.mark.slow  # interactive-invariant e2e suite (~3 min); full tier only
+
 def _drive(cfg, with_cam):
     pipe = Pipeline(cfg)
     kw = {}

@@ -161,6 +161,7 @@ def test_vio_with_distorted_camera():
     assert err_after < 0.7 * err_before, (err_before, err_after)
 
 
+@pytest.mark.slow
 def test_fused_vs_staged_equivalence(ds):
     """vio_frame_step (one dispatch) must reproduce the staged path.
 
@@ -228,6 +229,7 @@ def test_rollback_guards_catastrophic_prior(ds):
     assert np.all(np.isfinite(np.asarray(out.cov)))
 
 
+@pytest.mark.slow
 def test_robust_weighting_resists_outlier_patches():
     """Opt-in vk::robust_cost completion (lidar_selection.cpp:75-78,
     839-842): with a fraction of reference patches replaced by garbage,

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fastlivo_tpu.ops import voxel_map as vm
 
@@ -83,6 +84,7 @@ def test_delete_boxes():
     assert int(m2.count) == occ.sum()
 
 
+@pytest.mark.slow
 def test_rebuild_preserves_points():
     m = vm.empty_map(TBL, 0.5)
     pts = rng.uniform(-5, 5, size=(300, 3)).astype(np.float32)
