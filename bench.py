@@ -413,15 +413,19 @@ LAST_KNOWN = {
 }
 
 
-def bench_interactive(duration=3.0, tail=10):
+def bench_interactive(duration=3.0, tail=10, async_read=True):
     """Streaming-mode latency: the full interactive Pipeline (IMU sync,
     propagation, fused frame step, per-frame host readback of the
     packed stats row) driven frame by frame, as a serving deployment
     would run it. MUST run AFTER measured_dispatch_overhead(): the
     per-frame readbacks taint the relay session, so this measures the
     honest interactive floor (~1 blocking round trip per frame; see
-    docs/PERF_ANALYSIS.md). Returns steady-state ms/frame over the
-    last `tail` frames."""
+    docs/PERF_ANALYSIS.md). With `async_read` (the serving deployment
+    mode, serve.py --async-read) the blocking read rides a reader
+    thread and resolves at the next frame, so the round trip overlaps
+    the next frame's host prep + dispatch; outputs are identical, one
+    frame late (tests/test_pipeline_lio.py pins equality). Returns
+    steady-state ms/frame over the last `tail` frames."""
     from fastlivo_tpu.config import load_config
     from fastlivo_tpu.io.synthetic import SyntheticDataset
     from fastlivo_tpu.pipeline import Pipeline
@@ -429,6 +433,7 @@ def bench_interactive(duration=3.0, tail=10):
     cfg = load_config("/root/reference/config/avia.yaml")
     cfg.img_enable = False
     pipe = Pipeline(cfg)
+    pipe.async_read = async_read
     ds = SyntheticDataset(duration=duration, points_per_scan=8192,
                           lidar_noise=0.004, lid_rot=cfg.extrinsic_R,
                           lid_off=cfg.extrinsic_T)
@@ -441,11 +446,13 @@ def bench_interactive(duration=3.0, tail=10):
         t0 = time.perf_counter()
         pipe._process_group(g)
         times.append((time.perf_counter() - t0) * 1e3)
+    pipe.finish()
     t = np.asarray(times[-tail:])
     return {
         "interactive_ms_per_frame": float(np.mean(t)),
         "interactive_ms_p50": float(np.median(t)),
         "interactive_ms_min": float(np.min(t)),
+        "interactive_async_read": 1.0 if async_read else 0.0,
     }
 
 

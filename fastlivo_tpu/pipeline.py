@@ -44,6 +44,14 @@ INIT_TIME = 0.5  # seconds before the EKF activates (laserMapping.cpp:79)
 REBUILD_CHECK_EVERY = 32  # frames between map load-factor checks
 
 
+def _read_back(stats_j, dense_j, N):
+    """Reader-thread job (async_read): the frame's ONLY blocking
+    device->host transfers, off the critical path."""
+    stats = np.asarray(stats_j)
+    dense = np.asarray(dense_j)[:N] if dense_j is not None else None
+    return stats, dense
+
+
 @dataclasses.dataclass
 class FrameOutput:
     t: float  # scan end time (odometry stamp)
@@ -147,6 +155,35 @@ class Pipeline:
         # device read per frame, so off in production
         self.collect_cov = False
         self.covs: List[np.ndarray] = []
+        # DEFERRED READBACK (opt-in, serving/interactive): the fused
+        # frame's single blocking stats read moves to a reader thread
+        # and resolves `async_depth` frames later (at the END of that
+        # frame's processing, after its dispatches), so the ~30-75 ms
+        # relay round trip overlaps whole frames of host prep + dispatch
+        # instead of serializing with them. Steady-state frame wall
+        # converges to ~(host_work + RTT)/(depth+1). FrameOutputs then
+        # materialize `async_depth` frames late (call `finish()` at end
+        # of stream); timing reflects dispatch wall only; the map slider
+        # consumes a posterior `async_depth` frames old (same class of
+        # deviation as the documented one-frame slider lag — cm against
+        # a 450 m slide margin). Exactly ONE blocking read per frame.
+        self._async_read = False
+        self.async_depth = 1
+        self._reader = None
+        self._pending: List[dict] = []
+
+    @property
+    def async_read(self) -> bool:
+        return self._async_read
+
+    @async_read.setter
+    def async_read(self, v: bool):
+        self._async_read = bool(v)
+        if self.vio is not None:
+            # camera frames get the same deferred-readback treatment
+            # (vio.update submits its stats read and resolves it at the
+            # next camera frame); debug mode keeps sync reads (overlay)
+            self.vio.async_read = self._async_read
 
     # --- ingestion passthrough ------------------------------------------
     def push_lidar(self, stamp, pts, t_rel):
@@ -159,16 +196,59 @@ class Pipeline:
         self.sync.push_img(stamp, img)
 
     def spin(self) -> List[FrameOutput]:
-        """Process every ready measurement group; returns new frame outputs."""
-        new = []
+        """Process every ready measurement group; returns new frame
+        outputs (with `async_read`, a frame's output materializes at the
+        NEXT frame — call `finish()` at end of stream for the last one)."""
+        n0 = len(self.outputs)
         if self.sync.reset_flagged:
             self._reset_imu()
             self.sync.reset_flagged = False
         for g in self.sync.drain():
-            out = self._process_group(g)
-            if out is not None:
-                new.append(out)
-        return new
+            self._process_group(g)
+        if not self.async_read:
+            # sync mode: no pending can exist; slice == per-call returns
+            assert not self._pending
+        return self.outputs[n0:]
+
+    def finish(self) -> List[FrameOutput]:
+        """Resolve all deferred frames (async_read mode) at end of
+        stream; returns the late outputs (empty in sync mode)."""
+        n0 = len(self.outputs)
+        self._resolve_pending()
+        if self.vio is not None:
+            self.vio.resolve_pending()
+        return self.outputs[n0:]
+
+    def _ensure_reader(self):
+        if self._reader is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._reader = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fastlivo-read"
+            )
+        return self._reader
+
+    def _resolve_oldest(self) -> Optional[FrameOutput]:
+        """Materialize the oldest deferred frame: its D2H transfer has
+        been riding the reader thread for up to `async_depth` frames of
+        host work, so this blocks only for the round trip's remainder."""
+        if not self._pending:
+            return None
+        pend = self._pending.pop(0)
+        stats, dense_np = pend["fut"].result()
+        return self._emit_output(
+            scan=pend["scan"],
+            post_pack=stats[3:27],
+            n_down=int(stats[0]), n_active=int(stats[1]),
+            iters=int(stats[2]), res_rms=float(stats[27]),
+            dense_world=dense_np, inten_np=pend["inten_np"],
+            cov_handle=pend["cov_handle"], timing=pend["timing"],
+        )
+
+    def _resolve_pending(self) -> None:
+        """Drain every deferred frame (stream end / reset barriers)."""
+        while self._pending:
+            self._resolve_oldest()
 
     def _reset_imu(self):
         """Loop-back recovery (laserMapping.cpp:1273-1279 'reset when
@@ -179,6 +259,7 @@ class Pipeline:
         itself is kept, matching the reference (only p_imu is reset)."""
         warnings.warn("sensor loop-back detected: resetting IMU processor",
                       RuntimeWarning)
+        self._resolve_pending()  # flush any deferred frame before reset
         self.initializer = imu_mod.ImuInitializer()
         self.init_done = False
         self.calib = None
@@ -407,6 +488,43 @@ class Pipeline:
             self.state = st
             self._prop_pack_dev = None  # posterior != propagated
             self.map = m2
+            if self.async_read:
+                # DEFERRED READBACK: hand the packed stats row (and the
+                # dense cloud, if a consumer needs it) to the reader
+                # thread and return; the read resolves at the next
+                # frame, overlapping the relay round trip with that
+                # frame's host prep + dispatch. Device handles that
+                # downstream consumers need THIS frame are wired now.
+                if self.cfg.dense_map_enable:
+                    self.last_dense = dense_j[:N]
+                    self._dense_dev = dense_j
+                    if self.vio is not None:
+                        self.vio.set_last_cloud_device(self._dense_dev, N)
+                self.last_effect = (down_j, active_j)
+                need_dense = self.cfg.dense_map_enable and (
+                    self.cfg.pcd_save_en or self.on_frame is not None
+                    or self.materialize_dense
+                )
+                t_done = time.perf_counter()
+                fut = self._ensure_reader().submit(
+                    _read_back, stats_j,
+                    dense_j if need_dense else None, N,
+                )
+                self._pending.append(dict(
+                    fut=fut, scan=scan, inten_np=inten_np, N=N,
+                    cov_handle=st.cov,
+                    timing={
+                        "undistort": 0.0, "downsample": 0.0,
+                        "ekf": t_done - t0, "map": 0.0,
+                        "total": t_done - t0,
+                    },
+                ))
+                # resolve AFTER this frame's dispatches: the oldest
+                # pending read has had `async_depth` frames of head start
+                out = None
+                while len(self._pending) > self.async_depth:
+                    out = self._resolve_oldest()
+                return out
             # counters + posterior state in ONE packed transfer with no
             # extra dispatch: the fused step returns them pre-packed
             # (each blocking device read is a full relay round trip;
@@ -493,6 +611,33 @@ class Pipeline:
             # staged/bootstrap path: one packed read of the posterior
             post_pack = state_mod.pack24_host(self.state)
             res_rms = 0.0  # no EKF residuals before warm-up completes
+        out = self._emit_output(
+            scan=scan, post_pack=post_pack, n_down=n_down,
+            n_active=n_active, iters=iters, res_rms=res_rms,
+            dense_world=dense_world, inten_np=inten_np,
+            cov_handle=self.state.cov,
+            timing={
+                "undistort": t_undistort - t0,
+                "downsample": t_down - t_undistort,
+                "ekf": t_ekf - t_down,
+                "map": t_map - t_ekf,
+                "total": t_map - t0,
+            },
+        )
+        if self.vio is not None:
+            if fused and self.cfg.dense_map_enable:
+                # device-to-device handoff: only the row count crosses
+                self.vio.set_last_cloud_device(self._dense_dev, N)
+            else:
+                self.vio.set_last_cloud(out.pts_world)
+        return out
+
+    def _emit_output(self, *, scan, post_pack, n_down, n_active, iters,
+                     res_rms, dense_world, inten_np, cov_handle,
+                     timing) -> FrameOutput:
+        """Host-side frame finalization: logging, FrameOutput assembly,
+        PCD accumulation, hooks, trajectory. Shared by the synchronous
+        path and the deferred-readback resolution (`_resolve_pending`)."""
         self._last_post = post_pack  # feeds next frame's map slider
         if self.logger is not None:
             self.logger.log_post(scan.end_time, post_pack)
@@ -512,13 +657,7 @@ class Pipeline:
             iters=iters,
             n_points=n_down,
             res_rms=res_rms,
-            timing={
-                "undistort": t_undistort - t0,
-                "downsample": t_down - t_undistort,
-                "ekf": t_ekf - t_down,
-                "map": t_map - t_ekf,
-                "total": t_map - t0,
-            },
+            timing=timing,
         )
         if self.cfg.dense_map_enable and dense_world is not None:
             # world-frame dense cloud at the posterior (pcl_wait_pub,
@@ -534,6 +673,8 @@ class Pipeline:
             # camera_pose.txt (fout_tum, laserMapping.cpp:1738-1748):
             # world->camera pose of the latest image frame
             rcw, pcw = None, None
+            if self.vio is not None:
+                self.vio.resolve_pending()  # async mode: freshest pose
             if self.vio is not None and self.vio.last_rcw is not None:
                 rcw, pcw = self.vio.last_rcw, self.vio.last_pcw
             elif self.vio is not None:
@@ -556,7 +697,7 @@ class Pipeline:
                     np.concatenate([out.pts_world[cmask], rgb[cmask]], axis=1)
                 )
         if self.collect_cov:
-            self.covs.append(np.asarray(self.state.cov))
+            self.covs.append(np.asarray(cov_handle))
         self.outputs.append(out)
         if self.on_frame is not None:
             # live-visualization / user hook (rviz publish point,
@@ -565,12 +706,6 @@ class Pipeline:
         self.trajectory.append(
             np.array([out.t, *pos_np, quat[1], quat[2], quat[3], quat[0]])
         )
-        if self.vio is not None:
-            if fused and self.cfg.dense_map_enable:
-                # device-to-device handoff: only the row count crosses
-                self.vio.set_last_cloud_device(self._dense_dev, N)
-            else:
-                self.vio.set_last_cloud(out.pts_world)
         return out
 
     def _profile_stages(self, pose_table, buf, trel, pmask, cap) -> dict:

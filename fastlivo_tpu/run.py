@@ -126,6 +126,7 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
         before = len(pipe.outputs)
         replayer.run()
         n_frames = len(pipe.outputs) - before + n_frames
+    n_frames += len(pipe.finish())  # deferred frame (async_read mode)
     return n_frames
 
 
@@ -160,7 +161,7 @@ def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool,
                else BlockReplayer(pipe, block))
         outs = rep.run()
     else:
-        outs = pipe.spin()
+        outs = pipe.spin() + pipe.finish()
     return len(outs), ds
 
 

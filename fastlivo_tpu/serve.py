@@ -202,6 +202,10 @@ class Server:
                 elif kind == FLUSH:
                     pass
                 outs = pipe.spin()
+                if kind == FLUSH:
+                    # resolve any deferred frame (async_read mode) so a
+                    # flush is a true barrier
+                    outs = outs + pipe.finish()
             for out in outs:
                 line = json.dumps({
                     "t": out.t,
@@ -232,6 +236,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--unix", default=None, help="unix socket path")
     ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--async-read", action="store_true",
+                    help="deferred per-frame readback: the blocking "
+                         "stats read overlaps the next frame's work; "
+                         "odometry publishes one frame late")
     args = ap.parse_args(argv)
     if args.launch:
         from .config import parse_launch
@@ -247,6 +255,8 @@ def main(argv=None):
         cfg.img_enable = False
     addr = args.unix if args.unix else ("127.0.0.1", args.port)
     srv = Server(cfg, addr, log_dir=args.log_dir)
+    if args.async_read:
+        srv.pipe.async_read = True
     print(f"listening on {srv.address}", flush=True)
     srv.serve_forever()
     return 0

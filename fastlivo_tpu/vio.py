@@ -841,6 +841,13 @@ class Vio:
         self._last_bgr_src: Optional[np.ndarray] = None
         self.last_rcw: Optional[np.ndarray] = None  # frame T_f_w_ rotation
         self.last_pcw: Optional[np.ndarray] = None
+        # DEFERRED READBACK (set via Pipeline.async_read): the camera
+        # frame's single blocking stats read rides a reader thread and
+        # resolves at the NEXT camera frame (pipeline.py has the full
+        # story). Ignored when cfg.debug (the overlay needs sync reads).
+        self.async_read = False
+        self._reader = None
+        self._pending = None
 
     @property
     def last_bgr(self) -> Optional[np.ndarray]:
@@ -972,24 +979,51 @@ class Vio:
             max_pg=self.max_pg, robust=cfg.capacity.vio_robust,
         )
         self.vmap = vm2
+        self.fid += 1
+        if self.async_read and not self.cfg.debug:
+            # deferred readback: submit this frame's read, then resolve
+            # the previous camera frame's (it has had a full camera
+            # period of head start)
+            old = self._pending
+            self._pending = self._ensure_reader().submit(np.asarray, stats_j)
+            if old is not None:
+                self._apply_stats(old.result())
+            return st
         # counters + posterior camera pose in ONE packed transfer (the
         # separate int()/float()/np.asarray reads each cost a blocking
         # relay round trip — ~5 per interactive camera frame)
         stats = np.asarray(stats_j)
-        self.last_stats = {
-            "tracked": int(stats[0]),
-            "added": int(stats[1]),
-            "err": float(stats[2]),
-        }
+        self._apply_stats(stats)
         if self.cfg.debug and stats[0] > 0:
             self.last_overlay = render_overlay(
                 np.asarray(gray), np.asarray(opc), np.asarray(perr),
                 np.asarray(tvalid),
             )
+        return st
+
+    def _apply_stats(self, stats: np.ndarray):
+        self.last_stats = {
+            "tracked": int(stats[0]),
+            "added": int(stats[1]),
+            "err": float(stats[2]),
+        }
         self.last_rcw = stats[4:13].reshape(3, 3).astype(np.float32)
         self.last_pcw = stats[13:16].astype(np.float32)
-        self.fid += 1
-        return st
+
+    def _ensure_reader(self):
+        if self._reader is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._reader = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fastlivo-vio-read"
+            )
+        return self._reader
+
+    def resolve_pending(self):
+        """Materialize the deferred camera-frame stats (async mode)."""
+        if self._pending is not None:
+            fut, self._pending = self._pending, None
+            self._apply_stats(fut.result())
 
     def update_staged(self, state: NavState, prior: NavState, img: np.ndarray) -> NavState:
         """Unfused reference path (one dispatch per stage) — kept for the

@@ -107,3 +107,61 @@ def test_pipeline_with_dense_backend():
             for o in outs if o.t > 2.5]
     ate = np.sqrt(np.mean(np.square(errs)))
     assert ate < 0.05, f"dense-backend ATE {ate:.4f}"
+
+
+def test_async_read_outputs_identical(lio_run):
+    """Deferred-readback mode (pipe.async_read, the serving deployment
+    path): identical outputs to the synchronous pipeline — same frame
+    count, bit-identical poses/counters — just materialized one frame
+    late (finish() flushes the last one)."""
+    _, _, outs_ref = lio_run
+    # same seed => same data (the dataset RNG is stateful; re-iterating
+    # the fixture's instance would draw fresh noise)
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=3
+    )
+    pipe = Pipeline(small_config())
+    pipe.async_read = True
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) == len(outs_ref)
+    for a, b in zip(outs, outs_ref):
+        assert a.t == b.t
+        np.testing.assert_array_equal(a.pos, b.pos)
+        np.testing.assert_array_equal(a.quat, b.quat)
+        assert (a.n_active, a.iters, a.n_points) == (
+            b.n_active, b.iters, b.n_points)
+        assert a.res_rms == b.res_rms
+    np.testing.assert_array_equal(
+        np.stack(pipe.trajectory), np.stack([
+            np.array([o.t, *o.pos, o.quat[1], o.quat[2], o.quat[3],
+                      o.quat[0]]) for o in outs_ref]))
+
+
+@pytest.mark.slow
+def test_async_read_interleaves_one_pending(lio_run):
+    """At most one frame is ever pending, and spin() mid-stream returns
+    the deferred frames as they resolve (ordering preserved)."""
+    _, _, outs_ref = lio_run
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=3
+    )
+    pipe = Pipeline(small_config())
+    pipe.async_read = True
+    lidar = list(ds.lidar_scans_fast())
+    imu = list(ds.imu_stream())
+    li = ii = 0
+    got = []
+    # feed incrementally, one scan at a time (streaming arrival order)
+    for beg, pts, t_rel in lidar:
+        while ii < len(imu) and imu[ii][0] < beg + 0.15:
+            pipe.push_imu(*imu[ii]); ii += 1
+        pipe.push_lidar(beg, pts, t_rel)
+        got += pipe.spin()
+        assert len(pipe._pending) <= pipe.async_depth
+    got += pipe.finish()
+    assert len(got) == len(outs_ref)
+    assert [o.t for o in got] == [o.t for o in outs_ref]

@@ -90,3 +90,35 @@ def test_livo_image_groups_interleaved(livo_run):
     ds, pipe, outs = livo_run
     # sync must have produced image groups (VIO frames processed)
     assert pipe.vio.fid > 30
+
+
+@pytest.mark.slow
+def test_livo_async_read_outputs_identical(livo_run):
+    """Deferred readback (Pipeline.async_read) with interleaved camera
+    frames: lidar FrameOutputs and the VIO state must be bit-identical
+    to the synchronous run (the read timing must not touch estimation)."""
+    _, ref_pipe, outs_ref = livo_run
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=5,
+        cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL,
+    )
+    pipe = Pipeline(livo_config())
+    pipe.async_read = True
+    assert pipe.vio.async_read  # propagated
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    for t, img in ds.images():
+        pipe.push_img(t, img)
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) == len(outs_ref)
+    for a, b in zip(outs, outs_ref):
+        assert a.t == b.t
+        np.testing.assert_array_equal(a.pos, b.pos)
+        np.testing.assert_array_equal(a.quat, b.quat)
+        assert a.n_active == b.n_active
+    # VIO surfaces match: tracked stats resolved, map grew identically
+    assert int(pipe.vio.vmap.n_pts) == int(ref_pipe.vio.vmap.n_pts)
+    assert pipe.vio.last_stats == ref_pipe.vio.last_stats
+    np.testing.assert_array_equal(pipe.vio.last_rcw, ref_pipe.vio.last_rcw)
