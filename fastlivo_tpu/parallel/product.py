@@ -1,0 +1,225 @@
+"""Product-surface SPMD: the fused per-frame steps over a device mesh.
+
+`parallel/sharded.py` holds the library-level sharded kernels (one
+EKF update, one scan step) used by tests and the driver dryrun; this
+module is the PRODUCT wiring: drop-in SPMD replacements for
+`frame_step.lidar_frame_step` and `vio.vio_frame_step` with identical
+call signatures and return pytrees, compiled once per (mesh, statics)
+and consumed by `Pipeline`/`Vio` when the user passes ``--mesh N``
+(run.py / serve.py) or ``Pipeline(cfg, mesh=...)``.
+
+Sharding scheme (SURVEY.md §2.3's residual-row data parallelism — the
+TPU-native replacement for the reference's OpenMP per-point loop,
+laserMapping.cpp:1516):
+
+  lidar frame (`MeshRunner.lidar_frame_step`):
+    - the RAW point batch is row-partitioned over mesh axis "dp";
+      undistortion runs shard-local (pose table replicated);
+    - the undistorted scan is all-gathered (R·12 B over ICI) and the
+      voxel downsample runs REPLICATED — its sorted-segment semantics
+      make an exact sharded merge cost more than it saves, and
+      replication keeps the downsampled batch bit-identical to the
+      single-device path;
+    - the iterated EKF consumes shard-local row slices of the
+      downsampled batch; HᵀH/Hᵀz partials are psum-all-reduced inside
+      `lio.lio_update` (~340 B per iteration over ICI), so every device
+      runs the identical tiny 18x18 solve in lockstep;
+    - map insertion and the dense world cloud are computed replicated
+      from the gathered batch: identical scatters keep the replicated
+      map bit-identical across devices.
+
+  camera frame (`MeshRunner.vio_frame_step`): all inputs ride in
+  replicated; `vio.vio_frame_step(axis_name=...)` internally
+  row-partitions the candidate scoring (NC rows), the grid-cell winner
+  phases incl. patch warps (G cells), the new-point Shi-Tomasi scoring
+  (M rows), and the photometric EKF rows, reducing with pmin/pmax/psum
+  and all-gathering the tracked set for the replicated visual-map
+  scatters — see vio.select_tracked / select_new_points docstrings.
+
+Numerical contract vs single-device: every per-row quantity is
+bit-identical (same values, same ops); the only divergence is the
+grouping of the f32 HᵀH/Hᵀz row reductions (shard partials + psum vs
+one full-batch matmul), i.e. f32-epsilon per EKF iteration. End-to-end
+trajectory equality is pinned by tests/test_mesh_product.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import imu as imu_mod
+from .. import lio as lio_mod
+from ..ops import voxel_filter as vf
+from ..state import pack24
+
+
+class MeshRunner:
+    """Compiled SPMD frame steps for one mesh, cached per static config.
+
+    One instance is shared by `Pipeline` (lidar frames) and `Vio`
+    (camera frames); `check_capacity` rejects padded capacities the
+    mesh size does not divide (the shipped capacities are powers of
+    two, so any power-of-two mesh divides them)."""
+
+    def __init__(self, mesh: Mesh, axis: str = "dp"):
+        self.mesh = mesh
+        self.axis = axis
+        self.n = mesh.shape[axis]
+        self._lidar_cache = {}
+        self._vio_cache = {}
+
+    def check_capacity(self, cap) -> None:
+        for name in ("max_raw_points", "max_points"):
+            v = getattr(cap, name)
+            if v % self.n:
+                raise ValueError(
+                    f"capacity.{name}={v} is not divisible by the mesh "
+                    f"size {self.n}; pad it to a multiple"
+                )
+
+    # -- lidar ----------------------------------------------------------
+    def lidar_frame_step(self, state, m, pose, calib, pts_raw, t_rel,
+                         rmask, filter_size_surf, laser_point_cov, *,
+                         max_points, max_iter, knn_radius, max_probe,
+                         dense_out=True, cache_knn=False,
+                         mixed_gain=False, plane_fit="tls"):
+        """Drop-in for `frame_step.lidar_frame_step` (same returns)."""
+        key = (max_points, max_iter, knn_radius, max_probe, dense_out,
+               cache_knn, mixed_gain, plane_fit, type(m).__name__,
+               pts_raw.shape[0])
+        fn = self._lidar_cache.get(key)
+        if fn is None:
+            fn = self._build_lidar(
+                max_points=max_points, max_iter=max_iter,
+                knn_radius=knn_radius, max_probe=max_probe,
+                dense_out=dense_out, cache_knn=cache_knn,
+                mixed_gain=mixed_gain, plane_fit=plane_fit,
+            )
+            self._lidar_cache[key] = fn
+        return fn(state, m, pose, calib, pts_raw, t_rel, rmask,
+                  jnp.asarray(filter_size_surf, pts_raw.dtype),
+                  jnp.asarray(laser_point_cov, jnp.float32))
+
+    def _build_lidar(self, *, max_points, max_iter, knn_radius, max_probe,
+                     dense_out, cache_knn, mixed_gain, plane_fit):
+        axis, n = self.axis, self.n
+        if max_points % n:
+            raise ValueError(
+                f"max_points={max_points} not divisible by mesh size {n}"
+            )
+        mp_l = max_points // n
+
+        def local(state, m, pose, calib, raw_l, trel_l, rmask_l, fss,
+                  laser_point_cov):
+            # shard-local undistortion over the raw rows
+            und_l = imu_mod.undistort(state, pose, raw_l, trel_l,
+                                      rmask_l, calib)
+            # gather the scan (R·12 B over ICI) for the exact replicated
+            # downsample; tiled all_gather restores the original row order
+            und = jax.lax.all_gather(und_l, axis, tiled=True)
+            rmask = jax.lax.all_gather(rmask_l, axis, tiled=True)
+            down, dmask = vf.voxel_downsample_device(
+                und, rmask, fss, max_points
+            )
+            i = jax.lax.axis_index(axis)
+            down_l = jax.lax.dynamic_slice_in_dim(down, i * mp_l, mp_l)
+            dmask_l = jax.lax.dynamic_slice_in_dim(dmask, i * mp_l, mp_l)
+            res = lio_mod.lio_update(
+                state, m, down_l, dmask_l, calib.lid_rot, calib.lid_off,
+                laser_point_cov=laser_point_cov, max_iter=max_iter,
+                knn_radius=knn_radius, max_probe=max_probe,
+                axis_name=axis, cache_knn=cache_knn,
+                mixed_gain=mixed_gain, plane_fit=plane_fit,
+            )
+            # replicated insert at the replicated posterior: identical
+            # scatters keep the map bit-identical on every device
+            # (map_incremental, laserMapping.cpp:692)
+            rot32 = res.state.rot.astype(down.dtype)
+            pos32 = res.state.pos.astype(down.dtype)
+            p_imu = down @ calib.lid_rot.T + calib.lid_off
+            world = p_imu @ rot32.T + pos32
+            mod = lio_mod.map_module(m)
+            from ..ops import voxel_map as vm_mod
+
+            if mod is vm_mod:
+                m2 = vm_mod.insert(m, world, dmask, max_probe=max_probe)
+            else:
+                m2 = mod.insert(m, world, dmask)
+            if dense_out:
+                dense_world = (
+                    und @ calib.lid_rot.T + calib.lid_off
+                ) @ rot32.T + pos32
+                dense_world = jnp.where(rmask[:, None], dense_world, 0.0)
+            else:
+                dense_world = jnp.zeros((1, 3), down.dtype)
+            active = jax.lax.all_gather(res.active, axis, tiled=True)
+            resid = jax.lax.all_gather(res.res, axis, tiled=True)
+            head = jnp.stack([
+                jnp.sum(dmask).astype(jnp.float64),
+                res.n_active.astype(jnp.float64),
+                res.iters.astype(jnp.float64),
+            ])
+            n_act_safe = jnp.maximum(res.n_active.astype(jnp.float64), 1.0)
+            res_rms = jnp.sqrt(
+                jnp.sum(jnp.where(active, resid.astype(jnp.float64), 0.0)
+                        ** 2) / n_act_safe
+            )
+            stats = jnp.concatenate([head, pack24(res.state),
+                                     res_rms[None]])
+            return (res.state, m2, down, dmask, res.n_active, res.iters,
+                    dense_world, active, stats)
+
+        shd = P(axis)
+        rep = P()
+        smapped = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
+    # -- camera ---------------------------------------------------------
+    def vio_frame_step(self, vm, cam, state, prior, gray, fid, cloud,
+                       cloud_mask, Rci, Pci, Jdphi_dR, Jdp_dR,
+                       outlier_threshold, ncc_thre, img_point_cov, *,
+                       grid_size, patch_size, gw, gh, ncc_en, max_iter,
+                       max_vox, max_pg, robust="none"):
+        """Drop-in for `vio.vio_frame_step` (same returns, replicated)."""
+        key = (grid_size, patch_size, gw, gh, ncc_en, max_iter, max_vox,
+               max_pg, robust, gray.shape, vm.pos.shape[0])
+        fn = self._vio_cache.get(key)
+        if fn is None:
+            fn = self._build_vio(
+                grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
+                ncc_en=ncc_en, max_iter=max_iter, max_vox=max_vox,
+                max_pg=max_pg, robust=robust,
+            )
+            self._vio_cache[key] = fn
+        f32 = jnp.float32
+        return fn(vm, cam, state, prior, gray, fid, cloud, cloud_mask,
+                  Rci, Pci, Jdphi_dR, Jdp_dR,
+                  jnp.asarray(outlier_threshold, f32),
+                  jnp.asarray(ncc_thre, f32),
+                  jnp.asarray(img_point_cov, f32))
+
+    def _build_vio(self, **statics):
+        from .. import vio as vio_mod
+
+        local = functools.partial(
+            vio_mod.vio_frame_step, axis_name=self.axis, **statics
+        )
+        rep = P()
+        smapped = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(rep,) * 15,
+            out_specs=(rep,) * 11,
+            check_vma=False,
+        )
+        return jax.jit(smapped)

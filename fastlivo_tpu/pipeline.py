@@ -70,7 +70,12 @@ class FrameOutput:
 
 
 class Pipeline:
-    def __init__(self, cfg: Config, vio=None, log_dir=None):
+    def __init__(self, cfg: Config, vio=None, log_dir=None, mesh=None):
+        """`mesh`: optional `jax.sharding.Mesh` — runs the fused lidar
+        and camera frame steps SPMD over its devices (parallel/product
+        .py MeshRunner; `--mesh N` on the CLIs). Same call protocol,
+        same outputs; trajectories match single-device to f32-reduction
+        epsilon (tests/test_mesh_product.py)."""
         self.cfg = cfg
         self.logger = None
         if log_dir is not None:
@@ -109,10 +114,16 @@ class Pipeline:
         self.profile_every = 0  # >0: staged re-dispatch every N frames
         self.last_stage_profile: Optional[dict] = None
         self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length)
+        self.mesh_runner = None
+        if mesh is not None:
+            from .parallel.product import MeshRunner
+
+            self.mesh_runner = MeshRunner(mesh)
+            self.mesh_runner.check_capacity(cap)
         if vio is None and cfg.img_enable:
             from .vio import Vio
 
-            vio = Vio(cfg)
+            vio = Vio(cfg, mesh_runner=self.mesh_runner)
         self.vio = vio
 
         self.first_lidar_time: Optional[float] = None
@@ -468,14 +479,7 @@ class Pipeline:
         dense_world = None
         if fused:
             # ---- steady state: one fused dispatch per frame --------------
-            from .frame_step import lidar_frame_step
-
-            (st, m2, down_j, dmask_j, n_act_j, iters_j,
-             dense_j, active_j, stats_j) = lidar_frame_step(
-                self.state, self.map, pose_table, self.calib,
-                jnp.asarray(buf), jnp.asarray(trel), jnp.asarray(pmask),
-                jnp.float32(self.cfg.filter_size_surf),
-                laser_point_cov=self.cfg.laser_point_cov,
+            statics = dict(
                 max_points=cap.max_points,
                 max_iter=self.cfg.max_iteration,
                 knn_radius=cap.knn_voxel_radius,
@@ -484,6 +488,19 @@ class Pipeline:
                 cache_knn=cap.cache_knn,
                 mixed_gain=cap.mixed_gain,
                 plane_fit=cap.plane_fit,
+            )
+            if self.mesh_runner is not None:
+                step_fn = self.mesh_runner.lidar_frame_step
+            else:
+                from .frame_step import lidar_frame_step as step_fn
+
+            (st, m2, down_j, dmask_j, n_act_j, iters_j,
+             dense_j, active_j, stats_j) = step_fn(
+                self.state, self.map, pose_table, self.calib,
+                jnp.asarray(buf), jnp.asarray(trel), jnp.asarray(pmask),
+                jnp.float32(self.cfg.filter_size_surf),
+                laser_point_cov=self.cfg.laser_point_cov,
+                **statics,
             )
             self.state = st
             self._prop_pack_dev = None  # posterior != propagated

@@ -267,6 +267,14 @@ def main(argv=None):
         help="every N frames, also dispatch the LIO stages separately to "
         "record a per-stage timing breakdown (laserMapping.cpp:1805)",
     )
+    ap.add_argument(
+        "--mesh", type=int, default=0,
+        help="run the fused per-frame steps SPMD over the first N devices "
+        "(jax.sharding.Mesh, parallel/product.py; 0 = single-device). "
+        "Residual rows are partitioned across the mesh and HᵀH/Hᵀz "
+        "reduce over ICI; trajectories match single-device to "
+        "f32-reduction epsilon",
+    )
     args = ap.parse_args(argv)
 
     if args.launch:
@@ -283,7 +291,16 @@ def main(argv=None):
         cfg.img_enable = False
     if args.pcd_out:
         cfg.pcd_save_en = True
-    pipe = Pipeline(cfg, log_dir=args.log_dir)
+    mesh = None
+    if args.mesh:
+        if args.block:
+            # block replay carries whole scans through lax.scan on one
+            # device; the SPMD product mode is per-frame
+            ap.error("--mesh and --block are mutually exclusive")
+        from .parallel.sharded import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    pipe = Pipeline(cfg, log_dir=args.log_dir, mesh=mesh)
     pipe.profile_every = args.profile_every
     if args.viz_dir:
         from .viz import LiveViewer

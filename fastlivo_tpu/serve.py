@@ -83,8 +83,8 @@ class Server:
     serialized by a lock, so the pipeline sees the reference's
     single-threaded spinOnce cadence (:1260-1267)."""
 
-    def __init__(self, cfg: Config, address, log_dir=None):
-        self.pipe = Pipeline(cfg, log_dir=log_dir)
+    def __init__(self, cfg: Config, address, log_dir=None, mesh=None):
+        self.pipe = Pipeline(cfg, log_dir=log_dir, mesh=mesh)
         if isinstance(address, tuple):
             self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -240,6 +240,9 @@ def main(argv=None):
                     help="deferred per-frame readback: the blocking "
                          "stats read overlaps the next frame's work; "
                          "odometry publishes one frame late")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the fused frame steps SPMD over the first "
+                         "N devices (jax.sharding.Mesh; 0 = single)")
     args = ap.parse_args(argv)
     if args.launch:
         from .config import parse_launch
@@ -254,7 +257,12 @@ def main(argv=None):
     if args.camera is None:
         cfg.img_enable = False
     addr = args.unix if args.unix else ("127.0.0.1", args.port)
-    srv = Server(cfg, addr, log_dir=args.log_dir)
+    mesh = None
+    if args.mesh:
+        from .parallel.sharded import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    srv = Server(cfg, addr, log_dir=args.log_dir, mesh=mesh)
     if args.async_read:
         srv.pipe.async_read = True
     print(f"listening on {srv.address}", flush=True)

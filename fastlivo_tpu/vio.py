@@ -64,14 +64,17 @@ class TrackedSet(NamedTuple):
     errors: jnp.ndarray  # (G,) f32 photometric error (updated by EKF)
 
 
-def _pack_min(value_bits: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
+def _pack_min(value_bits: jnp.ndarray, row: jnp.ndarray,
+              cap: int | None = None) -> jnp.ndarray:
     """Pack (positive-f32-bits, row) into int64 for scatter-min argmin.
 
     The row index gets the low 20 bits; larger batches would silently
     corrupt the packed value ordering, so the capacity is enforced at
-    trace time (shapes are static under jit)."""
-    assert row.shape[-1] < (1 << 20), (
-        f"_pack_min row capacity exceeded: {row.shape[-1]} >= 2^20"
+    trace time (shapes are static under jit). `cap` overrides the
+    capacity check when `row` carries GLOBAL ids of a sharded batch
+    (its local shape understates the id range)."""
+    assert (cap if cap is not None else row.shape[-1]) < (1 << 20), (
+        f"_pack_min row capacity exceeded: {cap or row.shape[-1]} >= 2^20"
     )
     return (value_bits.astype(jnp.int64) << 20) | row.astype(jnp.int64)
 
@@ -115,7 +118,8 @@ def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_size", "patch_size", "gw", "gh", "ncc_en"),
+    static_argnames=("grid_size", "patch_size", "gw", "gh", "ncc_en",
+                     "axis_name"),
 )
 def select_tracked(
     vm: vmap_mod.VisualMap,
@@ -134,7 +138,22 @@ def select_tracked(
     gw: int,
     gh: int,
     ncc_en: bool = False,
+    axis_name: str | None = None,
 ) -> TrackedSet:
+    """addFromSparseMap (lidar_selection.cpp:346-587) — see module doc.
+
+    Multi-chip: with `axis_name` set (called inside shard_map, ALL
+    inputs replicated), the two row-heavy stages are partitioned by
+    `lax.axis_index` over the mesh axis: each device scores NC/n
+    candidate points (phase 2; the per-cell argmin/argmax combine with
+    pmin/pmax — bit-identical to the single-device scatter-min because
+    min is commutative and the packed keys are unique), then warps and
+    gates its OWN slice of G/n grid cells (phases 3-5). The returned
+    TrackedSet rows (idx/pos/patch/search_level/valid/errors) are that
+    padded cell slice — feed them straight to
+    `photometric_update_levels(axis_name=...)` and `all_gather` what
+    the map-maintenance scatters need; `cell_value` stays full-(G,)
+    replicated. With axis_name=None the output is unchanged."""
     H, W = img.shape
     G = gw * gh
     P = patch_size
@@ -159,40 +178,83 @@ def select_tracked(
     cidx = cidx.reshape(-1)
     cmask = cmask.reshape(-1)
     NC = cidx.shape[0]
-    safe = jnp.clip(cidx, 0, vm.pos.shape[0] - 1)
+    if axis_name is None:
+        cidx_l, cmask_l = cidx, cmask
+        rows_l = jnp.arange(NC)
+        NCp = NC
+    else:
+        # row-partition the candidate batch: this device scores rows
+        # [i*L, (i+1)*L) of the zero-padded global batch; keys carry
+        # GLOBAL row ids so the pmin-combined winner indexes `cidx`
+        nd = jax.lax.psum(1, axis_name)  # static axis size
+        i_dev = jax.lax.axis_index(axis_name)
+        L = -(-NC // nd)
+        NCp = L * nd
+        cidx_l = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(cidx, (0, NCp - NC)), i_dev * L, L)
+        cmask_l = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(cmask, (0, NCp - NC)), i_dev * L, L)
+        rows_l = jax.lax.dynamic_slice_in_dim(jnp.arange(NCp), i_dev * L, L)
+    safe = jnp.clip(cidx_l, 0, vm.pos.shape[0] - 1)
     cpos = vm.pos[safe]
     cvalue = vm.value[safe]
     c_cam = cpos @ rcw.T + pcw
     front = c_cam[:, 2] > 0
     pc = cam_mod.world2cam(cam, c_cam)
     inf = cam_mod.is_in_frame(cam, pc, border)
-    ok = cmask & front & inf
+    ok = cmask_l & front & inf
     cell = (pc[:, 0] / grid_size).astype(jnp.int32) * gh + (
         pc[:, 1] / grid_size
     ).astype(jnp.int32)
     cell = jnp.clip(cell, 0, G - 1)
     dist = jnp.linalg.norm(campos[None, :] - cpos, axis=-1)
-    key = _pack_min(_f32_bits(dist), jnp.arange(NC))
+    key = _pack_min(_f32_bits(dist), rows_l, cap=NCp)
     key = jnp.where(ok, key, jnp.int64(0x7FFFFFFFFFFFFFFF))
     cell_min = (
         jnp.full(G, 0x7FFFFFFFFFFFFFFF, jnp.int64)
         .at[jnp.where(ok, cell, G)]
         .min(key, mode="drop")
     )
-    has_map = cell_min < 0x7FFFFFFFFFFFFFFF
-    win_row = (cell_min & jnp.int64(0xFFFFF)).astype(jnp.int32)  # (G,)
     # best map-point value per cell (map_value, :460-463)
     cell_value = (
         jnp.zeros(G, img.dtype)
         .at[jnp.where(ok, cell, G)]
         .max(jnp.where(ok, cvalue, 0.0), mode="drop")
     )
+    if axis_name is not None:
+        cell_min = jax.lax.pmin(cell_min, axis_name)
+        cell_value = jax.lax.pmax(cell_value, axis_name)
+    has_map = cell_min < 0x7FFFFFFFFFFFFFFF
+    win_row = (cell_min & jnp.int64(0xFFFFF)).astype(jnp.int32)  # (G,)
 
     wsafe = jnp.clip(win_row, 0, NC - 1)
     widx = cidx[wsafe]
-    wpos = cpos[wsafe]
-    wcam = c_cam[wsafe]
-    wpc = pc[wsafe]
+    if axis_name is None:
+        wpos = cpos[wsafe]
+        wcam = c_cam[wsafe]
+        wpc = pc[wsafe]
+    else:
+        # the winner row is global but this device computed only its
+        # candidate slice: re-derive the G winners' geometry from the
+        # replicated map (identical per-row ops to phase 2, so values
+        # match the single-device gather bit-for-bit)
+        wpos = vm.pos[jnp.clip(widx, 0, vm.pos.shape[0] - 1)]
+        wcam = wpos @ rcw.T + pcw
+        wpc = cam_mod.world2cam(cam, wcam)
+        # phases 3-5 are per-cell: this device takes its G/n cell slab
+        Gl = -(-G // nd)
+        padg = Gl * nd - G
+
+        def _cells(a):
+            pw = [(0, padg)] + [(0, 0)] * (a.ndim - 1)
+            return jax.lax.dynamic_slice_in_dim(jnp.pad(a, pw),
+                                                i_dev * Gl, Gl)
+
+        has_map = _cells(has_map)
+        widx = _cells(widx)
+        wpos = _cells(wpos)
+        wcam = _cells(wcam)
+        wpc = _cells(wpc)
 
     # --- phase 3: depth-continuity gate (:489-510) ------------------------
     offs = jnp.arange(-half, half + 1)
@@ -265,8 +327,8 @@ def select_tracked(
     err0 = jnp.sum((patches[:, 0] - cur_patch) ** 2, axis=(-2, -1))
     t_ok = t_ok & (err0 <= outlier_threshold * P * P)
     if ncc_en:
-        a = patches[:, 0].reshape(G, -1)
-        b = cur_patch.reshape(G, -1)
+        a = patches[:, 0].reshape(patches.shape[0], -1)
+        b = cur_patch.reshape(cur_patch.shape[0], -1)
         am = a - a.mean(-1, keepdims=True)
         bm = b - b.mean(-1, keepdims=True)
         ncc = jnp.sum(am * bm, -1) / jnp.sqrt(
@@ -286,7 +348,8 @@ def select_tracked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_size", "patch_size", "gw", "gh")
+    jax.jit, static_argnames=("grid_size", "patch_size", "gw", "gh",
+                              "axis_name")
 )
 def select_new_points(
     cam: cam_mod.Camera,
@@ -300,20 +363,42 @@ def select_new_points(
     patch_size: int,
     gw: int,
     gh: int,
+    axis_name: str | None = None,
 ):
     """addSparseMap winner selection (:150-167 + :173-195): per cell, the
     max-Shi-Tomasi scan point; added iff it beats the cell's map score.
 
-    Returns (pos (G,3), px (G,2), f (G,3), score (G,), add_mask (G,))."""
+    Returns (pos (G,3), px (G,2), f (G,3), score (G,), add_mask (G,)).
+
+    Multi-chip: with `axis_name` set (inside shard_map, inputs
+    replicated) each device Shi-Tomasi-scores M/n candidate rows and the
+    per-cell argmax combines with pmin over packed keys; the G winner
+    rows are re-scored from the replicated image (identical per-row
+    math), so ALL outputs stay full-(G,) replicated — bit-identical to
+    the single-device path."""
     H, W = img.shape
     G = gw * gh
     half = patch_size // 2
     border = (half + 1) * 8
     M = pg.shape[0]
-    p_cam = pg @ rcw.T + pcw
+    if axis_name is None:
+        pg_l, mask_l = pg, pg_mask
+        rows_l = jnp.arange(M)
+        Mp = M
+    else:
+        nd = jax.lax.psum(1, axis_name)  # static axis size
+        i_dev = jax.lax.axis_index(axis_name)
+        L = -(-M // nd)
+        Mp = L * nd
+        pg_l = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(pg, ((0, Mp - M), (0, 0))), i_dev * L, L)
+        mask_l = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(pg_mask, (0, Mp - M)), i_dev * L, L)
+        rows_l = jax.lax.dynamic_slice_in_dim(jnp.arange(Mp), i_dev * L, L)
+    p_cam = pg_l @ rcw.T + pcw
     z = p_cam[:, 2]
     pc = cam_mod.world2cam(cam, p_cam)
-    ok = pg_mask & (z > 0) & cam_mod.is_in_frame(cam, pc, border)
+    ok = mask_l & (z > 0) & cam_mod.is_in_frame(cam, pc, border)
     score = img_ops.shi_tomasi(img, pc)
     cell = (pc[:, 0] / grid_size).astype(jnp.int32) * gh + (
         pc[:, 1] / grid_size
@@ -321,18 +406,27 @@ def select_new_points(
     cell = jnp.clip(cell, 0, G - 1)
     # argmax by packed scatter-min of (inverted score bits, row)
     inv_bits = jnp.int32(0x7FFFFFFF) - _f32_bits(jnp.maximum(score, 0.0))
-    key = _pack_min(inv_bits, jnp.arange(M))
+    key = _pack_min(inv_bits, rows_l, cap=Mp)
     key = jnp.where(ok, key, jnp.int64(0x7FFFFFFFFFFFFFFF))
     cell_min = (
         jnp.full(G, 0x7FFFFFFFFFFFFFFF, jnp.int64)
         .at[jnp.where(ok, cell, G)]
         .min(key, mode="drop")
     )
+    if axis_name is not None:
+        cell_min = jax.lax.pmin(cell_min, axis_name)
     found = cell_min < 0x7FFFFFFFFFFFFFFF
     row = jnp.clip((cell_min & jnp.int64(0xFFFFF)).astype(jnp.int32), 0, M - 1)
-    wscore = score[row]
+    if axis_name is None:
+        wscore = score[row]
+        wpc = pc[row]
+    else:
+        # winner rows are global: re-derive their projection + score
+        # from the replicated inputs (same per-row ops as above)
+        w_cam = pg[row] @ rcw.T + pcw
+        wpc = cam_mod.world2cam(cam, w_cam)
+        wscore = img_ops.shi_tomasi(img, wpc)
     add = found & (wscore > cell_value)  # beats the map (:160)
-    wpc = pc[row]
     return pg[row], wpc, cam_mod.cam2world(cam, wpc), wscore, add
 
 
@@ -615,7 +709,7 @@ def _unique_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
     jax.jit,
     static_argnames=(
         "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_iter",
-        "max_vox", "max_pg", "robust",
+        "max_vox", "max_pg", "robust", "axis_name",
     ),
 )
 def vio_frame_step(
@@ -644,6 +738,7 @@ def vio_frame_step(
     max_vox: int,
     max_pg: int,
     robust: str = "none",
+    axis_name: str | None = None,
 ):
     """The ENTIRE image frame in one dispatch — `detect`
     (lidar_selection.cpp:1027-1075) fused: image ring push, device voxel
@@ -680,11 +775,12 @@ def vio_frame_step(
         vm2, cam, rcw, pcw, gray, pg, pg_mask, vox, vox_mask,
         outlier_threshold=outlier_threshold, ncc_thre=ncc_thre,
         grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
-        ncc_en=ncc_en,
+        ncc_en=ncc_en, axis_name=axis_name,
     )
     npos, npx, nf, nscore, nadd = select_new_points(
         cam, rcw, pcw, gray, pg, pg_mask, tracked.cell_value,
         grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
+        axis_name=axis_name,
     )
 
     st, Gmat, perr, err, its = photometric_update_levels(
@@ -693,21 +789,37 @@ def vio_frame_step(
         Rci, Pci, Jdphi_dR, Jdp_dR,
         img_point_cov=img_point_cov, patch_size=patch_size,
         levels=(2, 1, 0), max_iter=max_iter, robust=robust,
+        axis_name=axis_name,
     )
     # cov <- cov - G cov (:980); Gmat = 0 when nothing was tracked
     st = st._replace(cov=st.cov - Gmat @ st.cov[0:6, :])
 
+    Gtot = gw * gh
+    if axis_name is None:
+        t_idx, t_valid = tracked.idx, tracked.valid
+        t_slevel = tracked.search_level
+    else:
+        # sharded mode: tracked rows are this device's padded cell
+        # slab — reassemble the full (G,) set for the replicated map
+        # scatters (identical scatter on every device keeps the visual
+        # map replicated); tiled all_gather restores cell order
+        ag = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)[:Gtot]
+        t_idx = ag(tracked.idx)
+        t_valid = ag(tracked.valid)
+        t_slevel = ag(tracked.search_level)
+        perr = ag(perr)
+
     rcw2 = Rci @ st.rot.astype(f32).T
     pcw2 = -rcw2 @ st.pos.astype(f32) + Pci
     opc, of, oscore, oadd = prep_observations(
-        vm2, cam, rcw2, pcw2, gray, tracked.idx, tracked.valid
+        vm2, cam, rcw2, pcw2, gray, t_idx, t_valid
     )
     vm2 = vmap_mod.add_observations(
-        vm2, tracked.idx, opc, of, rcw2, pcw2, oscore, fid,
-        tracked.search_level, oadd,
+        vm2, t_idx, opc, of, rcw2, pcw2, oscore, fid,
+        t_slevel, oadd,
     )
     vm2 = vmap_mod.add_points(vm2, npos, npx, nf, rcw, pcw, nscore, fid, nadd)
-    n_tracked = jnp.sum(tracked.valid, dtype=jnp.int32)
+    n_tracked = jnp.sum(t_valid, dtype=jnp.int32)
     n_added = jnp.sum(nadd, dtype=jnp.int32)
     f64 = jnp.float64
     stats = jnp.concatenate([
@@ -715,7 +827,7 @@ def vio_frame_step(
                    err.astype(f64), its.astype(f64)]),
         rcw2.reshape(9).astype(f64), pcw2.astype(f64),
     ])
-    return (st, vm2, tracked.idx, tracked.valid, opc, perr, err,
+    return (st, vm2, t_idx, t_valid, opc, perr, err,
             n_tracked, n_added, its, stats)
 
 
@@ -792,9 +904,13 @@ class Vio:
     """Host-side orchestration of the per-image VIO step (the
     LidarSelector object, lidar_selection.h:37-171)."""
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, mesh_runner=None):
+        """`mesh_runner`: optional `parallel.product.MeshRunner` — the
+        fused camera frame step then runs SPMD over its mesh (set up by
+        `Pipeline(cfg, mesh=...)`; same outputs, replicated)."""
         cap = cfg.capacity
         self.cfg = cfg
+        self.mesh_runner = mesh_runner
         self.cam = cam_mod.from_config(cfg.camera)
         self.grid_size = cfg.grid_size
         self.patch_size = cfg.patch_size
@@ -967,8 +1083,10 @@ class Vio:
             cmask[:n] = True
             cloud_j, cmask_j = jnp.asarray(cloud), jnp.asarray(cmask)
 
+        step_fn = (self.mesh_runner.vio_frame_step
+                   if self.mesh_runner is not None else vio_frame_step)
         (st, vm2, tidx, tvalid, opc, perr, err, n_tracked, n_added,
-         _its, stats_j) = vio_frame_step(
+         _its, stats_j) = step_fn(
             self.vmap, self.cam, state, prior, gray, fid,
             cloud_j, cmask_j,
             self.Rci, self.Pci, self.Jdphi_dR, self.Jdp_dR,

@@ -1,0 +1,199 @@
+"""Product multi-chip path (parallel/product.py + --mesh N): the fused
+frame steps SPMD over the 8-virtual-device CPU mesh must reproduce the
+single-device pipeline (SURVEY.md §2.3 residual-row data parallelism;
+the axis scaled is the reference's OpenMP loop, laserMapping.cpp:1516).
+
+Tiering: the stage-level equality tests are exact (bit-identical by
+construction: per-row ops are unchanged, argmin/argmax reductions are
+commutative) and fast; the end-to-end trajectory runs are `slow`.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from fastlivo_tpu import vio as vio_mod
+from fastlivo_tpu.config import CameraConfig, CapacityConfig, Config
+from fastlivo_tpu.io.synthetic import SyntheticDataset
+from fastlivo_tpu.ops.voxel_filter import voxel_downsample_device
+from fastlivo_tpu.parallel.product import MeshRunner
+from fastlivo_tpu.parallel.sharded import make_mesh
+from fastlivo_tpu.pipeline import Pipeline
+from fastlivo_tpu.run import run_synthetic
+from fastlivo_tpu.state import identity_state
+from fastlivo_tpu.vio import Vio
+
+W, H, F = 320, 256, 200.0
+
+
+def make_cfg():
+    cfg = Config()
+    cfg.camera = CameraConfig(
+        width=W, height=H, fx=F, fy=F, cx=(W - 1) / 2.0, cy=(H - 1) / 2.0,
+        d=[0.0, 0.0, 0.0, 0.0],
+    )
+    cfg.grid_size = 32
+    cfg.patch_size = 8
+    cfg.outlier_threshold = 300.0
+    cfg.img_point_cov = 30.0
+    cfg.max_iteration = 6
+    cfg.capacity = CapacityConfig(
+        vmap_points=4096, vmap_table_size=1 << 14, vmap_voxel_cap=8,
+        frame_ring=8, max_cands=4096, max_raw_points=8192, max_points=4096,
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(cam_size=(W, H), cam_f=F, cam_hz=10.0)
+
+
+@pytest.fixture(scope="module")
+def tracked_inputs(ds):
+    """A bootstrapped visual map + the select_tracked input set for a
+    second frame (the same prep vio_frame_step does)."""
+    cfg = make_cfg()
+    vio = Vio(cfg)
+    rng = np.random.default_rng(0)
+    cloud = ds.room.sample_surface(6000, rng).astype(np.float32)
+    rot, pos = ds.traj.pose(2.0)
+    s0 = identity_state()._replace(rot=jnp.asarray(rot), pos=jnp.asarray(pos))
+    vio.set_last_cloud(cloud)
+    vio.update(s0, s0, ds.render_image(2.0))
+    assert int(vio.vmap.n_pts) > 20
+
+    rot1, pos1 = ds.traj.pose(2.1)
+    rcw = np.asarray(vio.Rci) @ np.asarray(rot1, np.float32).T
+    pcw = -rcw @ np.asarray(pos1, np.float32) + np.asarray(vio.Pci)
+    gray = jnp.asarray(vio._to_gray(ds.render_image(2.1)))
+    cloud2 = ds.room.sample_surface(6000, np.random.default_rng(1))
+    R = cfg.capacity.max_raw_points
+    buf = np.zeros((R, 3), np.float32)
+    buf[:6000] = cloud2
+    cmask = np.zeros(R, bool)
+    cmask[:6000] = True
+    pg, pg_mask = voxel_downsample_device(
+        jnp.asarray(buf), jnp.asarray(cmask), 0.2, cfg.capacity.max_cands
+    )
+    vox, vox_mask = vio_mod._unique_voxels(pg, pg_mask, vio.max_vox)
+    return dict(
+        vio=vio, cfg=cfg, rcw=jnp.asarray(rcw), pcw=jnp.asarray(pcw),
+        gray=gray, pg=pg, pg_mask=pg_mask, vox=vox, vox_mask=vox_mask,
+    )
+
+
+def test_select_tracked_sharded_bitexact(tracked_inputs):
+    """Sharded select_tracked == single-device, bit for bit: phase-2
+    argmin/argmax combine over commutative pmin/pmax of unique keys and
+    every per-row op is unchanged."""
+    t = tracked_inputs
+    vio, cfg = t["vio"], t["cfg"]
+    statics = dict(
+        outlier_threshold=cfg.outlier_threshold, ncc_thre=cfg.ncc_thre,
+        grid_size=vio.grid_size, patch_size=vio.patch_size,
+        gw=vio.gw, gh=vio.gh, ncc_en=cfg.ncc_en,
+    )
+    ref = vio_mod.select_tracked(
+        vio.vmap, vio.cam, t["rcw"], t["pcw"], t["gray"], t["pg"],
+        t["pg_mask"], t["vox"], t["vox_mask"], **statics,
+    )
+    mesh = make_mesh(8)
+    G = vio.gw * vio.gh
+    shd = vio_mod.TrackedSet(
+        idx=P("dp"), pos=P("dp"), patch=P("dp"), search_level=P("dp"),
+        valid=P("dp"), cell_value=P(), errors=P("dp"),
+    )
+    fn = shard_map(
+        functools.partial(vio_mod.select_tracked, axis_name="dp", **statics),
+        mesh=mesh, in_specs=(P(),) * 9, out_specs=shd, check_vma=False,
+    )
+    got = fn(vio.vmap, vio.cam, t["rcw"], t["pcw"], t["gray"], t["pg"],
+             t["pg_mask"], t["vox"], t["vox_mask"])
+    assert int(jnp.sum(ref.valid)) > 10  # a meaningful tracked set
+    for name in ref._fields:
+        r = np.asarray(getattr(ref, name))
+        g = np.asarray(getattr(got, name))[: r.shape[0]]
+        np.testing.assert_array_equal(r, g, err_msg=name)
+
+
+def test_select_new_points_sharded_bitexact(tracked_inputs):
+    t = tracked_inputs
+    vio, cfg = t["vio"], t["cfg"]
+    cell_value = jnp.zeros(vio.gw * vio.gh, jnp.float32)
+    statics = dict(grid_size=vio.grid_size, patch_size=vio.patch_size,
+                   gw=vio.gw, gh=vio.gh)
+    ref = vio_mod.select_new_points(
+        vio.cam, t["rcw"], t["pcw"], t["gray"], t["pg"], t["pg_mask"],
+        cell_value, **statics,
+    )
+    mesh = make_mesh(8)
+    fn = shard_map(
+        functools.partial(vio_mod.select_new_points, axis_name="dp",
+                          **statics),
+        mesh=mesh, in_specs=(P(),) * 7, out_specs=(P(),) * 5,
+        check_vma=False,
+    )
+    got = fn(vio.cam, t["rcw"], t["pcw"], t["gray"], t["pg"], t["pg_mask"],
+             cell_value)
+    assert int(jnp.sum(ref[4])) > 5  # some points actually added
+    for r, g, name in zip(ref, got, ("pos", "px", "f", "score", "add")):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                      err_msg=name)
+
+
+def test_mesh_runner_capacity_check():
+    mesh = make_mesh(8)
+    runner = MeshRunner(mesh)
+    cfg = Config()
+    cfg.capacity.max_points = 1001  # not divisible by 8
+    with pytest.raises(ValueError, match="not divisible"):
+        runner.check_capacity(cfg.capacity)
+
+
+def _pipeline_cfg(with_cam):
+    cfg = Config()
+    cfg.img_enable = with_cam
+    cfg.dense_map_enable = True
+    cfg.capacity.max_raw_points = 8192
+    cfg.capacity.max_points = 4096
+    cfg.capacity.max_cands = 2048
+    cfg.capacity.vmap_points = 4096
+    if with_cam:
+        cfg.camera.width, cfg.camera.height = 320, 256
+        cfg.camera.fx = cfg.camera.fy = 160.0
+        cfg.camera.cx, cfg.camera.cy = 160.0, 128.0
+    return cfg
+
+
+def _run(mesh, with_cam, duration):
+    pipe = Pipeline(_pipeline_cfg(with_cam), mesh=mesh)
+    run_synthetic(pipe, duration, with_cam)
+    return pipe.tum_trajectory()
+
+
+@pytest.mark.slow
+def test_mesh_pipeline_lio_trajectory_matches_single():
+    """run.py --synthetic --mesh 8 == single-device to f32-reduction
+    epsilon (the ONLY divergence: psum'd HᵀH partials regroup the f32
+    row sums)."""
+    t1 = _run(None, False, 3.0)
+    t8 = _run(make_mesh(8), False, 3.0)
+    assert t1.shape == t8.shape and len(t1) >= 10
+    np.testing.assert_allclose(t8[:, 1:4], t1[:, 1:4], atol=1e-4)
+    np.testing.assert_allclose(t8[:, 4:], t1[:, 4:], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mesh_pipeline_livo_trajectory_matches_single():
+    """Full LIVO (camera frames through the sharded VIO step) under the
+    product mesh == single-device."""
+    t1 = _run(None, True, 3.0)
+    t8 = _run(make_mesh(8), True, 3.0)
+    assert t1.shape == t8.shape and len(t1) >= 10
+    np.testing.assert_allclose(t8[:, 1:4], t1[:, 1:4], atol=1e-4)
+    np.testing.assert_allclose(t8[:, 4:], t1[:, 4:], atol=1e-5)
