@@ -484,3 +484,138 @@ def test_non_bag_file_rejected(tmp_path):
     p.write_bytes(b"definitely not a rosbag v2.0 file" * 10)
     with pytest.raises(Exception):
         list(rb.read_bag(p))
+
+
+# --- vendor PointCloud2 bags end-to-end through run_bag -------------------
+#
+# Real-bytes regression for every spinning-lidar decoder (the reference's
+# de-facto fixtures are its demo bags, README.md:118-138): each test
+# serializes the vendor driver's actual PointCloud2 field layout
+# (padded offsets and all), writes a rosbag, and drives the full CLI
+# (`run.main --bag`) — exercising read_bag -> decode_pointcloud2 ->
+# _lidar_fields -> preprocess.decode_* -> Pipeline on raw bytes.
+
+_VENDOR_LAYOUTS = {
+    # name -> (fields [(name, offset, PF-datatype, np dtype)], point_step)
+    # velodyne_pointcloud XYZIRT organized layout (preprocess.cpp:253-357)
+    "velodyne": ([(b"x", 0, 7, "<f4"), (b"y", 4, 7, "<f4"),
+                  (b"z", 8, 7, "<f4"), (b"intensity", 16, 7, "<f4"),
+                  (b"ring", 20, 4, "<u2"), (b"time", 22, 7, "<f4")], 32),
+    # ouster_ros os_cloud_node/points layout (preprocess.cpp:222-251)
+    "ouster": ([(b"x", 0, 7, "<f4"), (b"y", 4, 7, "<f4"),
+                (b"z", 8, 7, "<f4"), (b"intensity", 16, 7, "<f4"),
+                (b"t", 20, 6, "<u4"), (b"reflectivity", 24, 4, "<u2"),
+                (b"ring", 26, 2, "u1"), (b"ambient", 28, 4, "<u2"),
+                (b"range", 32, 6, "<u4")], 48),
+    # hesai_ros XT32 layout: absolute f64 timestamps (preprocess.cpp:436-466)
+    "xt32": ([(b"x", 0, 7, "<f4"), (b"y", 4, 7, "<f4"),
+              (b"z", 8, 7, "<f4"), (b"intensity", 16, 7, "<f4"),
+              (b"timestamp", 24, 8, "<f8"), (b"ring", 32, 4, "<u2")], 40),
+}
+
+
+def make_vendor_pc2_msg(stamp, layout_name, **arrays) -> bytes:
+    """Serialize a PointCloud2 with the named vendor's wire layout."""
+    fields, point_step = _VENDOR_LAYOUTS[layout_name]
+    n = len(arrays["x"])
+    out = _ros_header(stamp)
+    out += struct.pack("<II", 1, n)
+    out += struct.pack("<I", len(fields))
+    for name, off, dt, _np in fields:
+        out += _ros_string(name) + struct.pack("<IBI", off, dt, 1)
+    raw = np.zeros(n, dtype=np.dtype(
+        {"names": [f[0].decode() for f in fields],
+         "formats": [f[3] for f in fields],
+         "offsets": [f[1] for f in fields], "itemsize": point_step}))
+    for k, v in arrays.items():
+        raw[k] = v
+    blob = raw.tobytes()
+    out += struct.pack("<BII", 0, point_step, point_step * n)
+    out += struct.pack("<I", len(blob)) + blob
+    out += struct.pack("<B", 1)
+    return out
+
+
+def _run_vendor_lio_replay(tmp_path, vendor, lidar_type, scan_line):
+    import yaml
+
+    from fastlivo_tpu import run as run_mod
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(duration=3.0, points_per_scan=2048, seed=7)
+    msgs = []
+    for t, acc, gyr in ds.imu_stream():
+        msgs.append((0, "/points_imu", "sensor_msgs/Imu", 100.0 + t,
+                     make_imu_msg(100.0 + t, acc, gyr)))
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        n = len(pts)
+        common = dict(x=pts[:, 0], y=pts[:, 1], z=pts[:, 2],
+                      intensity=np.full(n, 17.0, np.float32))
+        if vendor == "velodyne":
+            extra = dict(ring=np.arange(n) % scan_line,
+                         time=t_rel.astype(np.float32))
+        elif vendor == "ouster":
+            extra = dict(ring=np.arange(n) % scan_line,
+                         t=(t_rel * 1e9).astype(np.uint32))
+        else:  # xt32: absolute f64 per-point stamps
+            extra = dict(ring=np.arange(n) % scan_line,
+                         timestamp=100.0 + beg + t_rel)
+        msgs.append((1, "/points", "sensor_msgs/PointCloud2", 100.0 + beg,
+                     make_vendor_pc2_msg(100.0 + beg, vendor, **common,
+                                         **extra)))
+    msgs.sort(key=lambda m: m[3])
+    bag = tmp_path / f"{vendor}.bag"
+    build_bag(bag, [("none", msgs)])
+
+    cfg = {
+        "img_enable": 0, "lidar_enable": 1, "max_iteration": 4,
+        "filter_size_surf": 0.3, "filter_size_map": 0.3,
+        "laser_point_cov": 0.001, "point_filter_num": 1,
+        "common": {"lid_topic": "/points", "imu_topic": "/points_imu"},
+        "preprocess": {"lidar_type": lidar_type, "scan_line": scan_line,
+                       "blind": 0.1},
+        "mapping": {"acc_cov_scale": 1.0, "gyr_cov_scale": 1.0,
+                    "extrinsic_T": [0.0, 0.0, 0.0],
+                    "extrinsic_R": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+        "capacity": {"map_table_size": 1 << 16, "max_points": 4096,
+                     "max_raw_points": 4096, "max_imu_per_group": 64},
+    }
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "traj.txt"
+    rc = run_mod.main(["--config", str(cfg_yaml), "--bag", str(bag),
+                       "--out", str(out)])
+    assert rc == 0
+    traj = np.loadtxt(out).reshape(-1, 8)
+    assert len(traj) > 12
+    assert np.all(np.isfinite(traj))
+    # localization sanity vs the dataset's ground-truth trajectory
+    errs = []
+    for row in traj:
+        t = row[0] - 100.0
+        if t < 1.0:
+            continue  # filter convergence window
+        gt = ds.traj.pose(t)[1] - ds.traj.base_pos
+        errs.append(np.linalg.norm(row[1:4] - gt))
+    assert errs and float(np.sqrt(np.mean(np.square(errs)))) < 0.05, (
+        f"{vendor} replay ATE too high: {errs}"
+    )
+    return traj
+
+
+@pytest.mark.slow
+def test_cli_bag_replay_velodyne(tmp_path):
+    """VLP-16 bag (XYZIRT fields, f32 per-point time) through the CLI."""
+    _run_vendor_lio_replay(tmp_path, "velodyne", VELO16, 16)
+
+
+@pytest.mark.slow
+def test_cli_bag_replay_ouster(tmp_path):
+    """OS1-64 bag (u32 nanosecond `t`, padded 48-byte points) end-to-end."""
+    _run_vendor_lio_replay(tmp_path, "ouster", OUST64, 64)
+
+
+@pytest.mark.slow
+def test_cli_bag_replay_xt32(tmp_path):
+    """Hesai XT32 bag (absolute f64 `timestamp` field) end-to-end."""
+    _run_vendor_lio_replay(tmp_path, "xt32", XT32, 32)
