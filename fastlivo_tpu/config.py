@@ -94,6 +94,13 @@ class CapacityConfig:
     vmap_voxel_cap: int = 8  # visual points indexed per 0.5 m voxel
     vmap_table_size: int = 1 << 18  # visual voxel-hash slots
     frame_ring: int = 64  # reference-image ring buffer depth
+    # store the ring quantized to u8 (4x deeper ring per byte of HBM;
+    # the reference itself keeps frames as u8 cv::Mats, feature.h:40).
+    # Quantified on the 25 s yaw-sweep revisit scenario
+    # (scripts/quantify_ring_eviction.py): ring 64 loses ~17% late-run
+    # tracked points vs an unbounded control at +1.2% ATE; u8 buys a
+    # 4x deeper ring at the same memory to close that gap.
+    frame_ring_u8: bool = False
     max_tracked: int = 512  # padded sub_sparse_map size (grid cells)
     max_cands: int = 8192  # padded visual candidate gather size
 
@@ -223,7 +230,7 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
                     # fail at LOAD time, not minutes later mid-jit-trace
                     raise ValueError(
                         f"capacity.{k}={kw[k]!r}: must be one of {allowed}")
-            elif k in ("cache_knn", "mixed_gain"):
+            elif k in ("cache_knn", "mixed_gain", "frame_ring_u8"):
                 kw[k] = bool(v)
             elif k in ("dense_dims", "tiled_dir_dims"):
                 kw[k] = tuple(int(x) for x in v)

@@ -197,9 +197,13 @@ def affine_warp_patches(
     Out-of-image samples produce 0 (reference sets 0). -> (K, P, P)."""
     K = px_ref.shape[0]
     half = patch_size // 2
-    offs = (jnp.arange(patch_size) - half).astype(ref_imgs.dtype)
+    # compute dtype comes from the pixel coords, NOT the ring: the ring
+    # may be stored quantized (u8, capacity.frame_ring_u8) and integer
+    # arithmetic would corrupt the bilinear weights
+    cdt = px_ref.dtype
+    offs = (jnp.arange(patch_size) - half).astype(cdt)
     sc = (1 << pyramid_level) * (2 ** search_level.astype(jnp.int32)).astype(
-        ref_imgs.dtype
+        cdt
     )  # (K,)
     # patch coords: x runs over cols (u), y over rows (v); layout [y, x]
     dx = offs[None, None, :] * sc[:, None, None]  # (K, 1, P) u-offset
@@ -219,7 +223,7 @@ def affine_warp_patches(
     def g(rr, cc):
         rr = jnp.clip(rr, 0, H - 1)
         cc = jnp.clip(cc, 0, W - 1)
-        return ref_imgs[sl, rr, cc]
+        return ref_imgs[sl, rr, cc].astype(cdt)
 
     val = (
         (1 - au) * (1 - av) * g(v0, u0)

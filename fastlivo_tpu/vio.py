@@ -941,6 +941,7 @@ class Vio:
             ring=cap.frame_ring,
             height=cfg.camera.height,
             width=cfg.camera.width,
+            img_dtype=jnp.uint8 if cap.frame_ring_u8 else None,
         )
         self.fid = 0
         self.last_cloud: Optional[np.ndarray] = None

@@ -71,9 +71,18 @@ def empty_visual_map(
     height: int = 512,
     width: int = 640,
     dtype=jnp.float32,
+    img_dtype=None,
 ) -> VisualMap:
+    """`img_dtype=jnp.uint8` stores the reference-image ring quantized
+    to u8 — 4x deeper ring per byte of HBM, and actually CLOSER to the
+    reference, which keeps its frames as u8 cv::Mats (frame.h via
+    feature.h:40); our f32 ring preserves the fractional BGR->gray
+    weights the reference rounds away. Patch warps convert to f32 after
+    the gather, so downstream math is unchanged up to the <=0.5-level
+    quantization of the stored ref image."""
     assert table_size & (table_size - 1) == 0
     NP, KO, T, VC, R = n_points, n_obs, table_size, voxel_cap, ring
+    img_dtype = dtype if img_dtype is None else img_dtype
     return VisualMap(
         pos=jnp.zeros((NP, 3), dtype),
         value=jnp.zeros(NP, dtype),
@@ -90,7 +99,7 @@ def empty_visual_map(
         vox_keys=jnp.full(T, EMPTY, jnp.int32),
         vox_count=jnp.zeros(T, jnp.int32),
         vox_idx=jnp.zeros((T, VC), jnp.int32),
-        imgs=jnp.zeros((R, height, width), dtype),
+        imgs=jnp.zeros((R, height, width), img_dtype),
         img_fid=jnp.full(R, -1, jnp.int32),
     )
 
@@ -110,6 +119,8 @@ def push_image(m: VisualMap, img: jnp.ndarray, fid: jnp.ndarray) -> VisualMap:
     """Store the frame's grayscale image in ring slot fid % R."""
     R = m.imgs.shape[0]
     slot = fid % R
+    if jnp.issubdtype(m.imgs.dtype, jnp.integer):
+        img = jnp.round(jnp.clip(img, 0.0, 255.0))
     return m._replace(
         imgs=m.imgs.at[slot].set(img.astype(m.imgs.dtype)),
         img_fid=m.img_fid.at[slot].set(fid),

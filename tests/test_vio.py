@@ -327,3 +327,33 @@ def test_device_gray_bit_exact():
                       np.uint8)
     np.testing.assert_array_equal(np.asarray(v._gray_device(uu)),
                                   v._to_gray(uu))
+
+
+def test_u8_frame_ring_matches_f32(ds):
+    """capacity.frame_ring_u8 stores the reference-image ring quantized
+    to u8 (4x deeper ring per HBM byte; the reference itself keeps u8
+    cv::Mats, feature.h:40). The only difference vs the f32 ring is
+    <=0.5-intensity quantization of the REFERENCE patches, so a
+    multi-frame run must produce nearly identical states and the same
+    tracking behavior."""
+    runs = {}
+    for u8 in (False, True):
+        cfg = make_cfg()
+        cfg.capacity.frame_ring_u8 = u8
+        vio = Vio(cfg)
+        assert vio.vmap.imgs.dtype == (jnp.uint8 if u8 else jnp.float32)
+        vio.set_last_cloud(world_cloud(ds))
+        s = state_at(ds, 2.0)
+        vio.update(s, s, ds.render_image(2.0))
+        poses, tracked = [], []
+        for k in range(1, 5):
+            t = 2.0 + 0.1 * k
+            s = state_at(ds, t)
+            vio.set_last_cloud(world_cloud(ds, seed=k))
+            s_out = vio.update(s, s, ds.render_image(t))
+            poses.append(np.asarray(s_out.pos))
+            tracked.append(vio.last_stats["tracked"])
+        runs[u8] = (np.asarray(poses), tracked)
+    d = np.abs(runs[True][0] - runs[False][0]).max()
+    assert d < 2e-3, f"u8 ring diverged from f32: max |dpos| = {d}"
+    assert runs[True][1][-1] > 10, runs[True][1]
