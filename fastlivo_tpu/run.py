@@ -239,8 +239,16 @@ def main(argv=None):
     )
     ap.add_argument(
         "--block", type=int, default=0,
-        help="offline replay in N-event blocks (one device dispatch per N "
-        "events; amortizes per-dispatch overhead; LIO and full LIVO)",
+        help="offline replay in N-event blocks (LIO: one device dispatch "
+        "per N frames; LIVO: chained per-frame dispatches with "
+        "N-frame-deep deferred readback)",
+    )
+    ap.add_argument(
+        "--sync-read", action="store_true",
+        help="resolve each frame's device readback before the next frame "
+        "(off by default: offline replay defers readbacks one frame so "
+        "the device-to-host round trip overlaps the next frame's "
+        "dispatch; outputs are identical either way)",
     )
     ap.add_argument(
         "--map-pcd", default=None,
@@ -302,6 +310,14 @@ def main(argv=None):
         mesh = make_mesh(args.mesh)
     pipe = Pipeline(cfg, log_dir=args.log_dir, mesh=mesh)
     pipe.profile_every = args.profile_every
+    if not args.sync_read and not args.block and not cfg.debug:
+        # offline default: deferred readback (the round trip of frame
+        # N's single blocking read overlaps frame N+1's host prep and
+        # dispatches; outputs are bit-identical, resolved one frame
+        # late — run_bag/run_synthetic call finish() at end of stream).
+        # --block manages its own readback depth; debug keeps sync
+        # reads for the overlay.
+        pipe.async_read = True
     if args.viz_dir:
         from .viz import LiveViewer
 

@@ -30,7 +30,7 @@ Documented deviations from the reference:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -960,11 +960,13 @@ class Vio:
         self.last_pcw: Optional[np.ndarray] = None
         # DEFERRED READBACK (set via Pipeline.async_read): the camera
         # frame's single blocking stats read rides a reader thread and
-        # resolves at the NEXT camera frame (pipeline.py has the full
-        # story). Ignored when cfg.debug (the overlay needs sync reads).
+        # resolves `async_depth` camera frames later (pipeline.py has
+        # the full story; block replay sets depth = block size). Ignored
+        # when cfg.debug (the overlay needs sync reads).
         self.async_read = False
+        self.async_depth = 1
         self._reader = None
-        self._pending = None
+        self._pending: List = []
 
     @property
     def last_bgr(self) -> Optional[np.ndarray]:
@@ -1101,12 +1103,13 @@ class Vio:
         self.fid += 1
         if self.async_read and not self.cfg.debug:
             # deferred readback: submit this frame's read, then resolve
-            # the previous camera frame's (it has had a full camera
-            # period of head start)
-            old = self._pending
-            self._pending = self._ensure_reader().submit(np.asarray, stats_j)
-            if old is not None:
-                self._apply_stats(old.result())
+            # anything older than `async_depth` camera frames (each has
+            # had that many frames of head start on the reader thread)
+            self._pending.append(
+                self._ensure_reader().submit(np.asarray, stats_j)
+            )
+            while len(self._pending) > self.async_depth:
+                self._apply_stats(self._pending.pop(0).result())
             return st
         # counters + posterior camera pose in ONE packed transfer (the
         # separate int()/float()/np.asarray reads each cost a blocking
@@ -1139,10 +1142,9 @@ class Vio:
         return self._reader
 
     def resolve_pending(self):
-        """Materialize the deferred camera-frame stats (async mode)."""
-        if self._pending is not None:
-            fut, self._pending = self._pending, None
-            self._apply_stats(fut.result())
+        """Materialize all deferred camera-frame stats (async mode)."""
+        while self._pending:
+            self._apply_stats(self._pending.pop(0).result())
 
     def update_staged(self, state: NavState, prior: NavState, img: np.ndarray) -> NavState:
         """Unfused reference path (one dispatch per stage) — kept for the

@@ -112,40 +112,46 @@ def test_pipeline_rebuild_trigger_fires():
     assert int(pipe.map.n_alloc) <= 48
 
 
-def test_livo_block_steady_recognizes_device_cloud_carry():
-    """Regression (advisor r2, medium): a per-frame fused _process_group
-    hands the depth cloud to the Vio as a DEVICE handle
-    (set_last_cloud_device) and nulls last_cloud; _steady must treat
-    that carry as steady-state too, or one bootstrap interleave ratchets
-    the replayer into per-frame dispatch for the rest of the run."""
+def test_livo_block_replayer_sets_and_restores_depths():
+    """The chained LIVO block replayer drives the pipeline's deferred-
+    readback machinery (async depth = block size on both the lidar and
+    camera read paths) and restores the caller's settings afterwards —
+    a library consumer's interactive pipeline must not come back from a
+    block replay with silently altered readback behavior."""
     from fastlivo_tpu.replay import LivoBlockReplayer
 
     class FakeVio:
-        last_cloud = None
-        _last_cloud_dev = ("devhandle", 500)
+        async_read = False
+        async_depth = 1
 
-    class FakeScan:
-        beg_time = 10.0
-
-    class FakeG:
-        scan = FakeScan()
+        def resolve_pending(self):
+            pass
 
     class FakePipe:
-        map_built = True
-        init_done = True
-        ready = True
-        first_lidar_time = 0.0
-        vio = FakeVio()
+        class cfg:
+            img_enable = True
 
-    rep = LivoBlockReplayer.__new__(LivoBlockReplayer)
-    rep.pipe = FakePipe()
-    rep._lc_dev = None
-    rep._lc_n = 0
-    assert rep._steady(FakeG())          # device carry with enough rows
-    FakePipe.vio._last_cloud_dev = ("devhandle", 5)
-    assert not rep._steady(FakeG())      # too few valid rows
-    FakePipe.vio._last_cloud_dev = None
-    assert not rep._steady(FakeG())      # no cloud anywhere
+        vio = FakeVio()
+        async_read = False
+        async_depth = 1
+        outputs = ["sentinel"]
+        seen = None
+
+        def spin(self):
+            FakePipe.seen = (self.async_read, self.async_depth,
+                             self.vio.async_depth)
+            return []
+
+        def finish(self):
+            return []
+
+    pipe = FakePipe()
+    outs = LivoBlockReplayer(pipe, block=8).run()
+    assert outs == ["sentinel"]
+    assert FakePipe.seen == (True, 8, 8)   # depths live during the run
+    assert pipe.async_read is False        # caller settings restored
+    assert pipe.async_depth == 1
+    assert pipe.vio.async_depth == 1
 
 
 @pytest.mark.slow
