@@ -182,6 +182,15 @@ class Pipeline:
         self.async_depth = 1
         self._reader = None
         self._pending: List[dict] = []
+        # BLOCK-PACKED READBACK (replay.BlockReadCollector, set by the
+        # LIVO block replayer): the fused frame hands its packed stats
+        # row to the collector as a DEVICE handle and emits nothing; the
+        # collector stacks a whole block's rows on device and
+        # materializes them in ONE transfer. Offline-replay-only: a
+        # per-frame read costs a full relay service interval (~55 ms)
+        # even off the critical path, so read COUNT — not op count — is
+        # what bounds per-frame replay modes (docs/PERF_ANALYSIS.md r3).
+        self.read_collector = None
 
     @property
     def async_read(self) -> bool:
@@ -505,7 +514,7 @@ class Pipeline:
             self.state = st
             self._prop_pack_dev = None  # posterior != propagated
             self.map = m2
-            if self.async_read:
+            if self.async_read or self.read_collector is not None:
                 # DEFERRED READBACK: hand the packed stats row (and the
                 # dense cloud, if a consumer needs it) to the reader
                 # thread and return; the read resolves at the next
@@ -518,11 +527,22 @@ class Pipeline:
                     if self.vio is not None:
                         self.vio.set_last_cloud_device(self._dense_dev, N)
                 self.last_effect = (down_j, active_j)
+                t_done = time.perf_counter()
+                if self.read_collector is not None:
+                    # block-packed mode: no read at all — the collector
+                    # stacks the block's rows device-side and emits all
+                    # frames from one transfer at the block boundary
+                    self.read_collector.add_lidar(stats_j, dict(
+                        scan=scan, inten_np=inten_np, cov_handle=st.cov,
+                        timing={"undistort": 0.0, "downsample": 0.0,
+                                "ekf": t_done - t0, "map": 0.0,
+                                "total": t_done - t0},
+                    ))
+                    return None
                 need_dense = self.cfg.dense_map_enable and (
                     self.cfg.pcd_save_en or self.on_frame is not None
                     or self.materialize_dense
                 )
-                t_done = time.perf_counter()
                 fut = self._ensure_reader().submit(
                     _read_back, stats_j,
                     dense_j if need_dense else None, N,

@@ -338,38 +338,136 @@ class BlockReplayer:
 
 
 # ---------------------------------------------------------------------
-# Full-LIVO block replay: chained per-frame dispatches, block-deep
-# deferred readback.
+# Full-LIVO block replay: chained per-frame dispatches, block-packed
+# readback.
+
+
+@jax.jit
+def _stack_rows(*rows):
+    """Stack the block's packed stats rows — its single D2H transfer.
+    All rows are (28,) f64 (the camera row is zero-padded to the lidar
+    row's width inside vio_frame_step) and flush pads the count to the
+    block size, so exactly ONE executable shape covers every flush of a
+    replay — a retrace per event pattern would pay a multi-second
+    remote compile mid-run."""
+    return jnp.stack([r.astype(jnp.float64) for r in rows])
+
+
+class BlockReadCollector:
+    """Accumulates per-frame packed stats rows as DEVICE handles and
+    materializes a whole block in ONE device->host transfer.
+
+    Measured r3 (docs/PERF_ANALYSIS.md): a per-frame read costs a full
+    relay service interval (~55 ms) even when deferred onto a reader
+    thread — LIO-only offline replay with per-frame deferred reads runs
+    59.7 ms/frame while its op execution is ~0.3 ms, i.e. read COUNT is
+    what bounds every per-frame replay mode. Packing a block's rows
+    device-side divides that bound by the block size.
+
+    The pipeline/Vio hand rows over in dispatch order (lidar rows carry
+    the _emit_output metadata; camera rows apply via Vio._apply_stats),
+    so flushing preserves exact per-frame output order and content.
+    """
+
+    def __init__(self, pipe, block: int):
+        self.pipe = pipe
+        self.E = block
+        self.entries: List = []  # ("lidar", meta) | ("cam", None)
+        self.rows: List = []     # device f64 rows, dispatch order
+        self._pad_row = None     # lazy (28,) zero row for partial blocks
+        self._reader = None
+        self._inflight = None    # (future, entries) of the previous flush
+
+    def __len__(self):
+        return len(self.entries)
+
+    def add_lidar(self, stats_j, meta: dict):
+        self.rows.append(stats_j)
+        self.entries.append(("lidar", meta))
+
+    def add_cam(self, stats_j):
+        self.rows.append(stats_j)
+        self.entries.append(("cam", None))
+
+    def flush(self):
+        """Submit this block's single packed read to the reader thread
+        and emit the PREVIOUS block's frames (whose read has had a whole
+        block of head start) — even the one read per block stays off the
+        dispatch critical path. Call `drain()` at end of stream."""
+        if not self.entries:
+            return
+        rows = self.rows
+        if len(rows) < self.E:
+            # pad partial blocks to the block size: _stack_rows then
+            # sees one shape signature for the whole replay (no
+            # mid-run retrace); padded rows are never consumed
+            if self._pad_row is None:
+                self._pad_row = jnp.zeros(28, jnp.float64)
+            rows = rows + [self._pad_row] * (self.E - len(rows))
+        if self._reader is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._reader = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fastlivo-block-read"
+            )
+        inflight = (
+            self._reader.submit(np.asarray, _stack_rows(*rows)),
+            list(self.entries),
+        )
+        self.entries.clear()
+        self.rows.clear()
+        prev, self._inflight = self._inflight, inflight
+        if prev is not None:
+            self._emit(prev)
+
+    def drain(self):
+        """End-of-stream barrier: flush and emit everything pending."""
+        self.flush()
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            self._emit(prev)
+
+    def _emit(self, inflight):
+        fut, entries = inflight
+        arr = fut.result()
+        p = self.pipe
+        for (kind, meta), row in zip(entries, arr):
+            if kind == "lidar":
+                p._emit_output(
+                    scan=meta["scan"], post_pack=row[3:27],
+                    n_down=int(row[0]), n_active=int(row[1]),
+                    iters=int(row[2]), res_rms=float(row[27]),
+                    dense_world=None, inten_np=meta["inten_np"],
+                    cov_handle=meta["cov_handle"], timing=meta["timing"],
+                )
+            else:
+                p.vio._apply_stats(row)
 
 
 class LivoBlockReplayer:
-    """Offline full-LIVO replay in blocks of E measurement groups.
+    """Offline full-LIVO replay in blocks of E measurement events.
 
-    Round-3 redesign: a block is E back-to-back dispatches of the SAME
-    fused per-frame executables the interactive pipeline runs
-    (frame_step.lidar_frame_step / vio.vio_frame_step), with every
-    device->host readback deferred E frames deep on the reader threads
-    (Pipeline.async_depth / Vio.async_depth) — not a single
-    scan-over-events mega-executable.
+    Round-3 redesign, in two measured steps (docs/PERF_ANALYSIS.md
+    "Round 3"; all numbers same-session A/Bs on a 12 s synthetic LIVO
+    run through the TPU relay):
 
-    The round-2 mega-executable (a lax.scan whose body lax.cond-switched
-    between the lidar and camera branches) measured STRICTLY worse:
-
-    * through the TPU relay (per-executed-op pricing): 194 ms per
-      lidar+camera pair vs 128 ms for chained dispatches on the same
-      12 s synthetic LIVO run — the scan/cond machinery re-threads the
-      geometric map pool and the visual-map SoA (image ring included)
-      through every event's branch outputs, which XLA cannot always
-      alias, so each event paid whole-state copies the per-frame
-      executables never make;
-    * on attached hardware the mega-executable buys only dispatch
-      amortization (~20 us/dispatch, negligible against a LIVO pair's
-      kernel work) while still paying those copies, plus a compile of a
-      program E times larger (~10 min through the relay's remote-compile
-      path; the chained form reuses per-frame executables already warm
-      from bootstrap).
-
-    docs/PERF_ANALYSIS.md "Round 3" has the measurements.
+    1. The round-2 single mega-executable (a lax.scan whose body
+       lax.cond-switched between the lidar and camera branches) was
+       retired: 194 ms per lidar+camera pair vs 123 ms for chained
+       per-frame dispatches — the scan/cond machinery re-threads the
+       geometric map pool and the visual-map SoA through every event's
+       branch outputs, which XLA cannot always alias, so each event
+       paid whole-state copies the per-frame executables never make;
+       it also compiled an E-times-larger program (~10 min through the
+       relay) and bought only dispatch amortization (~20 us each on
+       attached hardware) in return.
+    2. Per-frame readbacks were then shown to be the binding constraint
+       (each costs a ~55 ms relay service interval even deferred onto a
+       reader thread), so a block now performs E back-to-back dispatches
+       of the SAME fused per-frame executables with NO reads at all —
+       each frame's packed stats row joins a device-side stack
+       (BlockReadCollector) and the whole block materializes in ONE
+       transfer at the boundary.
 
     Because the executables ARE the per-frame path, block outputs match
     per-frame outputs exactly, except that the sliding-local-map trigger
@@ -378,11 +476,16 @@ class LivoBlockReplayer:
     motion against a hundreds-of-meters slide margin);
     tests/test_replay.py pins the trajectory agreement.
 
+    Per-frame consumers that need per-frame host data (trace logging,
+    PCD/RGB accumulation, viz hooks, materialize_dense, collect_cov,
+    debug) are incompatible with block-packed emission; with any of
+    them configured the replayer falls back to chained dispatches with
+    E-deep deferred readback (same executables, one deferred read per
+    frame).
+
     The LIO-only BlockReplayer above keeps its scan-fused
-    lidar_block_step: its per-event work (~0.2-0.5 ms) is far below the
-    readback service time, so one packed read per K frames is the win
-    there; a LIVO pair's VIO iteration cost is large enough to hide
-    per-frame deferred reads entirely.
+    lidar_block_step: it additionally amortizes the per-dispatch cost,
+    which at ~0.2-0.5 ms of per-frame work is worth another ~10x there.
     """
 
     def __init__(self, pipe, block: int = 8):
@@ -390,7 +493,38 @@ class LivoBlockReplayer:
         self.pipe = pipe
         self.E = max(int(block), 1)
 
+    def _per_frame_consumers(self) -> bool:
+        p = self.pipe
+        return (p.logger is not None or p.cfg.pcd_save_en
+                or p.on_frame is not None or p.materialize_dense
+                or p.collect_cov or p.cfg.debug)
+
     def run(self) -> List:
+        p = self.pipe
+        if self._per_frame_consumers():
+            return self._run_deferred()
+        collector = BlockReadCollector(p, self.E)
+        prev = (p.read_collector, p.vio.read_collector)
+        p.read_collector = collector
+        p.vio.read_collector = collector
+        try:
+            if p.sync.reset_flagged:
+                p._reset_imu()
+                p.sync.reset_flagged = False
+            for g in p.sync.drain():
+                p._process_group(g)
+                if len(collector) >= self.E:
+                    collector.flush()
+            collector.drain()
+            p.finish()  # warm-up frames may have used deferred reads
+        finally:
+            p.read_collector, p.vio.read_collector = prev
+        return p.outputs
+
+    def _run_deferred(self) -> List:
+        """Fallback for per-frame consumers: chained dispatches with
+        E-deep deferred readback (one read per frame, off the critical
+        path by up to E frames)."""
         p = self.pipe
         prev = (p.async_read, p.async_depth, p.vio.async_depth)
         p.async_read = True

@@ -757,10 +757,11 @@ def vio_frame_step(
     per-point errors, mean_err, n_tracked, n_added, iters, stats).
 
     `stats` packs [n_tracked, n_added, mean_err, iters, rcw'(9),
-    pcw'(3)] (f64, (16,)) — every host-needed scalar plus the posterior
-    world->camera pose in ONE device->host transfer; reading the pieces
-    separately cost ~5 blocking relay round trips (~30-65 ms each) per
-    interactive camera frame."""
+    pcw'(3), 0-pad] (f64, (28,), zero-padded to the lidar stats row's
+    width for the block-read collector) — every host-needed scalar plus
+    the posterior world->camera pose in ONE device->host transfer;
+    reading the pieces separately cost ~5 blocking relay round trips
+    (~30-65 ms each) per interactive camera frame."""
     f32 = gray.dtype
     vm2 = vmap_mod.push_image(vm, gray, fid)
     pg, pg_mask = voxel_downsample_device(cloud, cloud_mask, 0.2, max_pg)
@@ -822,10 +823,14 @@ def vio_frame_step(
     n_tracked = jnp.sum(t_valid, dtype=jnp.int32)
     n_added = jnp.sum(nadd, dtype=jnp.int32)
     f64 = jnp.float64
+    # padded to the lidar stats row's width (28, frame_step.py) so the
+    # block-read collector stacks a single row shape — one executable
+    # for every block flush instead of a retrace per event pattern
     stats = jnp.concatenate([
         jnp.stack([n_tracked.astype(f64), n_added.astype(f64),
                    err.astype(f64), its.astype(f64)]),
         rcw2.reshape(9).astype(f64), pcw2.astype(f64),
+        jnp.zeros(12, f64),
     ])
     return (st, vm2, t_idx, t_valid, opc, perr, err,
             n_tracked, n_added, its, stats)
@@ -967,6 +972,10 @@ class Vio:
         self.async_depth = 1
         self._reader = None
         self._pending: List = []
+        # BLOCK-PACKED READBACK (replay.BlockReadCollector): the camera
+        # frame's stats row joins the block's device-side stack instead
+        # of being read at all; _apply_stats runs at the block boundary
+        self.read_collector = None
 
     @property
     def last_bgr(self) -> Optional[np.ndarray]:
@@ -1101,6 +1110,9 @@ class Vio:
         )
         self.vmap = vm2
         self.fid += 1
+        if self.read_collector is not None and not self.cfg.debug:
+            self.read_collector.add_cam(stats_j)
+            return st
         if self.async_read and not self.cfg.debug:
             # deferred readback: submit this frame's read, then resolve
             # anything older than `async_depth` camera frames (each has

@@ -34,13 +34,15 @@ def main():
         "/root/reference/config/avia.yaml",
         "/root/reference/config/camera_pinhole.yaml",
     )
+    if mode.startswith("lio"):
+        cfg.img_enable = False
     pipe = Pipeline(cfg)
     cam = cfg.camera
     ds = SyntheticDataset(
         duration=duration,
         points_per_scan=8192,
         lidar_noise=0.004,
-        cam_hz=10.0,
+        cam_hz=0.0 if mode.startswith("lio") else 10.0,
         cam_size=(cam.width, cam.height),
         cam_f=cam.fx,
         cam_d=np.asarray(cam.d[:4]),
@@ -72,7 +74,7 @@ def main():
         from fastlivo_tpu.replay import LivoBlockReplayer
 
         rep = LivoBlockReplayer(pipe, block_e)
-    elif mode == "frame-async":
+    elif mode in ("frame-async", "lio-async"):
         pipe.async_read = True
 
     def process():

@@ -112,46 +112,78 @@ def test_pipeline_rebuild_trigger_fires():
     assert int(pipe.map.n_alloc) <= 48
 
 
-def test_livo_block_replayer_sets_and_restores_depths():
-    """The chained LIVO block replayer drives the pipeline's deferred-
-    readback machinery (async depth = block size on both the lidar and
-    camera read paths) and restores the caller's settings afterwards —
-    a library consumer's interactive pipeline must not come back from a
-    block replay with silently altered readback behavior."""
-    from fastlivo_tpu.replay import LivoBlockReplayer
+def test_livo_block_replayer_modes_and_restoration():
+    """The LIVO block replayer (a) uses block-packed readback
+    (BlockReadCollector on both the lidar and camera read paths) when no
+    per-frame consumer is configured, (b) falls back to chained
+    dispatches with E-deep deferred readback when one is, and (c)
+    restores the caller's settings afterwards — a library consumer's
+    interactive pipeline must not come back from a block replay with
+    silently altered readback behavior."""
+    from fastlivo_tpu.replay import BlockReadCollector, LivoBlockReplayer
 
     class FakeVio:
         async_read = False
         async_depth = 1
+        read_collector = None
 
         def resolve_pending(self):
             pass
 
+    class FakeSync:
+        reset_flagged = False
+
+        def drain(self):
+            return []
+
     class FakePipe:
         class cfg:
             img_enable = True
+            pcd_save_en = False
+            debug = False
 
+        logger = None
+        on_frame = None
+        materialize_dense = False
+        collect_cov = False
+        sync = FakeSync()
         vio = FakeVio()
         async_read = False
         async_depth = 1
+        read_collector = None
         outputs = ["sentinel"]
         seen = None
 
         def spin(self):
-            FakePipe.seen = (self.async_read, self.async_depth,
+            FakePipe.seen = ("deferred", self.async_read, self.async_depth,
                              self.vio.async_depth)
             return []
 
         def finish(self):
+            if FakePipe.seen is None:
+                FakePipe.seen = ("collector",
+                                 type(self.read_collector).__name__,
+                                 type(self.vio.read_collector).__name__)
             return []
 
+    # (a) no per-frame consumers -> block-packed collector on both paths
     pipe = FakePipe()
     outs = LivoBlockReplayer(pipe, block=8).run()
     assert outs == ["sentinel"]
-    assert FakePipe.seen == (True, 8, 8)   # depths live during the run
-    assert pipe.async_read is False        # caller settings restored
-    assert pipe.async_depth == 1
-    assert pipe.vio.async_depth == 1
+    assert FakePipe.seen == ("collector", BlockReadCollector.__name__,
+                             BlockReadCollector.__name__)
+    assert pipe.read_collector is None          # restored
+    assert pipe.vio.read_collector is None
+
+    # (b) a per-frame consumer (logger) -> E-deep deferred readback
+    FakePipe.seen = None
+    pipe2 = FakePipe()
+    pipe2.logger = object()
+    LivoBlockReplayer(pipe2, block=8).run()
+    assert FakePipe.seen == ("deferred", True, 8, 8)
+    assert pipe2.async_read is False            # restored
+    assert pipe2.async_depth == 1
+    assert pipe2.vio.async_depth == 1
 
 
 @pytest.mark.slow
