@@ -346,13 +346,34 @@ def bench_vio(mixed_gain: bool = False):
         its.append(its_total)
     times = np.asarray(times)
 
+    # STREAMED throughput (mirrors bench_lidar): K identical dispatches
+    # back-to-back, ONE sync — the per-dispatch blocking timing above
+    # charges a relay round trip to every frame, which no deployed
+    # consumer pays (deferred readback). Calls are independent (same
+    # inputs), so every dispatch does identical work with a known
+    # iteration count; execution is still serialized on the one core.
+    def chain(K=8):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(K):
+            last = run(state, img, tr_pos, tr_patch, tr_sl, tr_v)
+        jax.block_until_ready(last[0].pos)
+        return (time.perf_counter() - t0) / K
+
+    chain()
+    stream_ts = np.asarray([chain() for _ in range(4)])
+
     def finish():
         rows = np.asarray([int(i) for i in its], float) * (VIO_PTS * P * P)
-        # median-based headline (relay hiccup outliers), mean alongside
+        px = float(np.median(rows))  # identical inputs -> stable its
+        # streamed headline (relay hiccup/round-trip robust); blocking
+        # per-dispatch median kept alongside for r01/r02 comparability
         return {
-            "vio_pixels_per_sec": float(np.median(rows / times)),
+            "vio_pixels_per_sec": px / float(np.median(stream_ts)),
+            "vio_pixels_per_sec_sync": float(np.median(rows / times)),
             "vio_pixels_per_sec_mean": float((rows / times).mean()),
             "vio_iters_per_frame": float(np.mean(rows) / (VIO_PTS * P * P)),
+            "vio_streamed_ms_median": float(np.median(stream_ts)) * 1e3,
             "vio_ms_median": float(np.median(times)) * 1e3,
             "vio_ms_mean": times.mean() * 1e3,
         }

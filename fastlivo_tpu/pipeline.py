@@ -680,8 +680,12 @@ class Pipeline:
             self.logger.log_post(scan.end_time, post_pack)
             self.logger.log_pos(scan.beg_time - (self.first_lidar_time or 0.0),
                                 post_pack)
-        rot_np = post_pack[0:9].reshape(3, 3)
-        pos_np = post_pack[9:12]
+        # COPY the pose slices: np.asarray of a device array is
+        # zero-copy on the CPU backend, so a FrameOutput holding VIEWS
+        # of post_pack would pin the whole packed stats buffer per frame
+        # forever (tests/test_sync_points.py memory-boundedness guard)
+        rot_np = np.array(post_pack[0:9]).reshape(3, 3)
+        pos_np = np.array(post_pack[9:12])
         from .io.synthetic import _rot_to_quat
 
         quat = _rot_to_quat(rot_np)
@@ -689,7 +693,7 @@ class Pipeline:
             t=scan.end_time,
             pos=pos_np,
             quat=quat,
-            vel=post_pack[12:15],
+            vel=np.array(post_pack[12:15]),
             n_active=n_active,
             iters=iters,
             n_points=n_down,

@@ -1,5 +1,6 @@
 """Fused lidar_frame_step == the staged undistort/filter/EKF/insert path."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fastlivo_tpu import imu as imu_mod
@@ -12,6 +13,7 @@ from fastlivo_tpu.state import identity_state
 from test_lio import build_map, make_room_points, scan_from_pose
 
 
+@pytest.mark.slow
 def test_fused_equals_staged():
     world = make_room_points(step=0.15)
     m = build_map(world, voxel=0.3, table=1 << 16)

@@ -1,5 +1,6 @@
 """Gauss-Jordan solver vs numpy reference."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fastlivo_tpu.ops.linalg import gj_solve
@@ -30,6 +31,7 @@ def test_gj_solve_vector_rhs():
     np.testing.assert_allclose(x, np.linalg.solve(S, b), rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_kalman_gain6_matches_dense_numpy():
     """The pivot-free Cholesky gain must equal the dense factored form
     K_1[:, :6] = P (HtH_pad P + I)^-1 [:, :6] computed in numpy f64,

@@ -109,6 +109,7 @@ def test_pipeline_with_dense_backend():
     assert ate < 0.05, f"dense-backend ATE {ate:.4f}"
 
 
+@pytest.mark.slow
 def test_async_read_outputs_identical(lio_run):
     """Deferred-readback mode (pipe.async_read, the serving deployment
     path): identical outputs to the synchronous pipeline — same frame

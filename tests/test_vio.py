@@ -329,6 +329,7 @@ def test_device_gray_bit_exact():
                                   v._to_gray(uu))
 
 
+@pytest.mark.slow
 def test_u8_frame_ring_matches_f32(ds):
     """capacity.frame_ring_u8 stores the reference-image ring quantized
     to u8 (4x deeper ring per HBM byte; the reference itself keeps u8
