@@ -81,6 +81,13 @@ class CapacityConfig:
     # esti_plane A·n=-1 parametrization, common_lib.h:449-493, solved in
     # f64). Measured end-to-end equivalent; see tests/test_reference_algebra.py
     plane_fit: str = "tls"
+    # sliding-local-map mode: "ref" (default) reproduces the reference's
+    # lasermap_fov_segment exactly — including its runaway-slide quirk
+    # with shipped cube_side_length values (lio.LocalMapTracker
+    # docstring), under which map boundedness rests on pool compaction;
+    # "clamped" re-centers the window on the sensor instead, so the
+    # emitted delete boxes actually bound the map for ANY cube size
+    slider: str = "ref"
     map_table_size: int = 1 << 20  # voxel-hash slots (one map point per slot)
     max_probe: int = 12  # open-addressing probe depth (= insert's depth)
     knn_voxel_radius: int = 1  # 3x3x3 neighborhood for the 5-NN gather;
@@ -221,11 +228,12 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
         for k, v in cap.items():
             if k not in fields:
                 continue
-            if k in ("map_backend", "vio_robust", "plane_fit"):
+            if k in ("map_backend", "vio_robust", "plane_fit", "slider"):
                 kw[k] = str(v)
                 allowed = {"map_backend": ("tiled", "dense", "hash"),
                            "vio_robust": ("none", "huber", "tukey"),
-                           "plane_fit": ("tls", "ref")}[k]
+                           "plane_fit": ("tls", "ref"),
+                           "slider": ("ref", "clamped")}[k]
                 if kw[k] not in allowed:
                     # fail at LOAD time, not minutes later mid-jit-trace
                     raise ValueError(

@@ -304,8 +304,15 @@ class LocalMapTracker:
     DET_RANGE = 300.0  # laserMapping.cpp:83
     MOV_THRESHOLD = 1.5  # :90
 
-    def __init__(self, cube_len: float):
+    def __init__(self, cube_len: float, mode: str = "ref"):
+        """`mode`: "ref" reproduces lasermap_fov_segment verbatim
+        (including the runaway-slide quirk above); "clamped" (opt-in via
+        `capacity.slider: clamped`) re-centers the window on the sensor
+        whenever it nears an edge, emitting the vacated slabs as delete
+        boxes — the window then tracks the trajectory for ANY cube size
+        and the map stays bounded by construction."""
         self.cube_len = float(cube_len)
+        self.mode = mode
         self.initialized = False
         self.vmin = [0.0, 0.0, 0.0]
         self.vmax = [0.0, 0.0, 0.0]
@@ -320,6 +327,8 @@ class LocalMapTracker:
             self.vmax = [p + half for p in pos]
             self.initialized = True
             return []
+        if self.mode == "clamped":
+            return self._update_clamped(pos)
         thr = self.MOV_THRESHOLD * self.DET_RANGE
         d_lo = [abs(pos[i] - self.vmin[i]) for i in range(3)]
         d_hi = [abs(pos[i] - self.vmax[i]) for i in range(3)]
@@ -342,5 +351,32 @@ class LocalMapTracker:
                 lo, hi = list(self.vmin), list(self.vmax)
                 hi[i] = self.vmin[i] + mov
                 boxes.append((lo, hi))
+        self.vmin, self.vmax = nmin, nmax
+        return boxes
+
+    def _update_clamped(self, pos):
+        """Re-centering slider: when the sensor is within a quarter cube
+        of an edge, shift the window so the sensor is centered again and
+        emit the vacated slab per moved axis. The per-frame shift equals
+        the sensor's drift from center, so the window follows the
+        trajectory exactly and never runs away."""
+        thr = 0.25 * self.cube_len
+        boxes = []
+        nmin, nmax = list(self.vmin), list(self.vmax)
+        for i in range(3):
+            center = 0.5 * (self.vmin[i] + self.vmax[i])
+            shift = pos[i] - center
+            near_edge = (pos[i] - self.vmin[i] <= thr
+                         or self.vmax[i] - pos[i] <= thr)
+            if not near_edge or shift == 0.0:
+                continue
+            nmin[i] += shift
+            nmax[i] += shift
+            lo, hi = list(self.vmin), list(self.vmax)
+            if shift > 0:
+                hi[i] = self.vmin[i] + shift  # vacated low slab
+            else:
+                lo[i] = self.vmax[i] + shift  # vacated high slab
+            boxes.append((lo, hi))
         self.vmin, self.vmax = nmin, nmax
         return boxes

@@ -113,7 +113,8 @@ class Pipeline:
         self._frames_since_rebuild_check = 0
         self.profile_every = 0  # >0: staged re-dispatch every N frames
         self.last_stage_profile: Optional[dict] = None
-        self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length)
+        self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length,
+                                               mode=cap.slider)
         self.mesh_runner = None
         if mesh is not None:
             from .parallel.product import MeshRunner

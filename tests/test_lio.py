@@ -186,6 +186,43 @@ def test_local_map_tracker():
     assert t.vmax[0] > 1000.0 and t.vmin[0] > -1000.0  # window advanced
 
 
+def test_local_map_tracker_ref_mode_runs_away_on_small_cubes():
+    """The documented reference quirk, pinned: with the shipped
+    cube_side_length values (avia.yaml: 20 m << 2*450 m), need_move
+    fires every frame and the window slides 150 m/axis/frame away from
+    the trajectory — after a few frames the emitted delete boxes no
+    longer intersect anything near the sensor (laserMapping.cpp:363-421
+    with its shipped configs; lio.LocalMapTracker docstring)."""
+    t = lio.LocalMapTracker(cube_len=20.0, mode="ref")
+    t.update([0.0, 0.0, 0.0])
+    for _ in range(5):
+        t.update([0.0, 0.0, 0.0])
+    # window ran away: the stationary sensor is far outside it
+    assert t.vmin[0] > 100.0 or t.vmax[0] < -100.0
+
+
+def test_local_map_tracker_clamped_mode_follows_trajectory():
+    """Opt-in `capacity.slider: clamped`: the window re-centers on the
+    sensor instead, so it tracks ANY trajectory with ANY cube size and
+    the vacated slabs it emits actually bound the map."""
+    t = lio.LocalMapTracker(cube_len=20.0, mode="clamped")
+    t.update([0.0, 0.0, 0.0])
+    total_deleted_span = 0.0
+    for k in range(1, 200):
+        x = 0.5 * k  # 0.5 m/frame straight-line traverse
+        boxes = t.update([x, 0.0, 0.0])
+        # window always contains the sensor, roughly centered
+        assert t.vmin[0] < x < t.vmax[0]
+        assert abs((t.vmin[0] + t.vmax[0]) / 2 - x) <= 5.0 + 1e-9
+        for lo, hi in boxes:
+            assert hi[0] <= t.vmin[0] + 1e-9  # vacated slab trails the window
+            total_deleted_span += hi[0] - lo[0]
+    # the traverse vacated ~the whole path behind the window
+    assert total_deleted_span > 80.0
+    # and the window never ran away (span constant)
+    assert abs((t.vmax[0] - t.vmin[0]) - 20.0) < 1e-6
+
+
 def test_voxel_downsample_device_matches_host():
     import jax.numpy as jnp
     from fastlivo_tpu.ops.voxel_filter import voxel_downsample_device
