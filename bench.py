@@ -615,6 +615,27 @@ def main():
             _progress("interactive done")
         except Exception:
             inter = None
+    livo = None
+    # Full-LIVO offline pair cost (block replay, the fastest mode):
+    # runs in a fresh subprocess with whatever watchdog budget remains —
+    # on a slow relay day the core bench already consumed it and this
+    # is skipped rather than risking the whole record
+    remaining = WATCHDOG_S - (time.perf_counter() - _T0) - 90.0
+    if remaining > 120 and not os.environ.get("FASTLIVO_BENCH_NO_LIVO"):
+        try:
+            import subprocess
+
+            _progress(f"livo pair start (subprocess, {remaining:.0f}s budget)")
+            r = subprocess.run(
+                [sys.executable, "scripts/bench_livo_modes.py",
+                 "block", "8", "8"],
+                capture_output=True, text=True, timeout=remaining,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            livo = json.loads(r.stdout.strip().splitlines()[-1])
+            _progress("livo pair done")
+        except Exception:
+            livo = None
     # A *_net number is only meaningful when the measured dispatch
     # overhead is small relative to the frame time; if overhead
     # dominates (degraded relay session), subtracting it would divide
@@ -668,6 +689,12 @@ def main():
         )
         out["detail"]["interactive"] = {
             k: round(v, 1) for k, v in inter.items()
+        }
+    if livo is not None:
+        out["livo_pair_ms_block"] = round(livo["ms_per_pair"], 1)
+        out["detail"]["livo_block_replay"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in livo.items()
         }
     if lid_dense is not None:
         out["dense_points_per_sec"] = round(lid_dense["points_per_sec"], 1)
