@@ -236,9 +236,12 @@ def bench_lidar(backend="tiled", n_scan=N_SCAN, world_n=400_000,
 
     # median dispatch for the sync metric: relay round-trip hiccups
     # (occasional 5-10x outliers, environmental not kernel) inflate the
-    # mean; the mean-based rate is kept alongside for r01 comparability
+    # mean; the mean-based rate is kept alongside for r01 comparability.
+    # Streamed (chained, one sync) and sync (blocking per dispatch)
+    # rates carry DISTINCT keys — r01/r02 recorded sync semantics under
+    # the bare name, so the streamed rate never reuses it.
     return {
-        "points_per_sec": n_scan / np.median(stream_ts),
+        "points_per_sec_streamed": n_scan / np.median(stream_ts),
         "points_per_sec_sync": n_scan / np.median(times),
         "points_per_sec_mean": n_scan / times.mean(),
         "streamed_frame_ms_median": float(np.median(stream_ts)) * 1e3,
@@ -369,7 +372,7 @@ def bench_vio(mixed_gain: bool = False):
         # streamed headline (relay hiccup/round-trip robust); blocking
         # per-dispatch median kept alongside for r01/r02 comparability
         return {
-            "vio_pixels_per_sec": px / float(np.median(stream_ts)),
+            "vio_pixels_per_sec_streamed": px / float(np.median(stream_ts)),
             "vio_pixels_per_sec_sync": float(np.median(rows / times)),
             "vio_pixels_per_sec_mean": float((rows / times).mean()),
             "vio_iters_per_frame": float(np.mean(rows) / (VIO_PTS * P * P)),
@@ -457,7 +460,8 @@ WATCHDOG_S = 520
 # the stale-fallback path below when the relay stalls the live run.
 LAST_KNOWN = {
     # completed clean-session run 2026-08-18 (median protocol,
-    # overhead floor 0.202 ms)
+    # overhead floor 0.202 ms). schema 1: points_per_sec = sync rate.
+    "schema": 1,
     "metric": "lidar_frame_step_points_per_sec",
     "value": 14543937.4,
     "unit": "points/s",
@@ -634,7 +638,17 @@ def main():
             )
             livo = json.loads(r.stdout.strip().splitlines()[-1])
             _progress("livo pair done")
-        except Exception:
+        except Exception as e:
+            # surface WHY the metric is missing instead of silently
+            # dropping livo_pair_ms_block from the record
+            tail = ""
+            try:
+                tail = (r.stderr or "").strip().splitlines()[-5:]
+                tail = " | ".join(tail)
+            except Exception:
+                pass
+            _progress(f"livo pair FAILED: {type(e).__name__}: {e} "
+                      f"[stderr: {tail}]")
             livo = None
     # A *_net number is only meaningful when the measured dispatch
     # overhead is small relative to the frame time; if overhead
@@ -646,11 +660,21 @@ def main():
         return None
 
     out = {
-        "metric": "lidar_frame_step_points_per_sec",
-        "value": round(lid["points_per_sec"], 1),
+        # schema 2 (round 4+): the headline metric name says which
+        # semantics the value carries (streamed = chained dispatches,
+        # one sync); the blocking per-dispatch rate is emitted under
+        # points_per_sec_sync. r01/r02 records used schema 1, where the
+        # bare points_per_sec key meant the sync rate.
+        "schema": 2,
+        "metric": "lidar_streamed_points_per_sec",
+        "value": round(lid["points_per_sec_streamed"], 1),
         "unit": "points/s",
         "vs_baseline": round(
-            lid["points_per_sec"] / base["points_per_sec"], 2
+            lid["points_per_sec_streamed"] / base["points_per_sec"], 2
+        ),
+        "points_per_sec_sync": round(lid["points_per_sec_sync"], 1),
+        "vs_baseline_sync": round(
+            lid["points_per_sec_sync"] / base["points_per_sec"], 2
         ),
         "baseline_points_per_sec": round(base["points_per_sec"], 1),
         "dispatch_overhead_ms": round(overhead_ms, 3),
@@ -665,21 +689,37 @@ def main():
         out["points_per_sec_net"] = round(net_pts, 1)
         out["vs_baseline_net"] = round(net_pts / base["points_per_sec"], 2)
     if vio is not None:
-        out["vio_pixels_per_sec"] = round(vio["vio_pixels_per_sec"], 1)
+        out["vio_pixels_per_sec_streamed"] = round(
+            vio["vio_pixels_per_sec_streamed"], 1
+        )
+        out["vio_pixels_per_sec_sync"] = round(
+            vio["vio_pixels_per_sec_sync"], 1
+        )
         out["vio_baseline_pixels_per_sec"] = round(
             base["vio_pixels_per_sec"], 1
         )
         out["vio_vs_baseline"] = round(
-            vio["vio_pixels_per_sec"] / base["vio_pixels_per_sec"], 2
+            vio["vio_pixels_per_sec_streamed"] / base["vio_pixels_per_sec"],
+            2,
+        )
+        out["vio_vs_baseline_sync"] = round(
+            vio["vio_pixels_per_sec_sync"] / base["vio_pixels_per_sec"], 2
         )
         out["detail"]["vio"] = {k: round(v, 2) for k, v in vio.items()}
         vio_net_ms = _net(vio["vio_ms_median"])
         if vio_net_ms:
-            vio_net = (vio["vio_pixels_per_sec"]
+            # net = the SYNC rate with the measured dispatch overhead
+            # removed (vio_ms_median is the sync per-dispatch median)
+            vio_net = (vio["vio_pixels_per_sec_sync"]
                        * vio["vio_ms_median"] / vio_net_ms)
             out["detail"]["vio_pixels_per_sec_net"] = round(vio_net, 1)
     if lid_big is not None:
-        out["big_points_per_sec"] = round(lid_big["points_per_sec"], 1)
+        out["big_points_per_sec_streamed"] = round(
+            lid_big["points_per_sec_streamed"], 1
+        )
+        out["big_points_per_sec_sync"] = round(
+            lid_big["points_per_sec_sync"], 1
+        )
         out["detail"]["lidar_big_128k"] = {
             k: round(v, 2) for k, v in lid_big.items()
         }
@@ -697,9 +737,11 @@ def main():
             for k, v in livo.items()
         }
     if lid_dense is not None:
-        out["dense_points_per_sec"] = round(lid_dense["points_per_sec"], 1)
+        out["dense_points_per_sec_streamed"] = round(
+            lid_dense["points_per_sec_streamed"], 1
+        )
         out["dense_vs_baseline"] = round(
-            lid_dense["points_per_sec"] / base["points_per_sec"], 2
+            lid_dense["points_per_sec_streamed"] / base["points_per_sec"], 2
         )
         out["detail"]["lidar_dense"] = {
             k: round(v, 2) for k, v in lid_dense.items()

@@ -112,6 +112,7 @@ class Pipeline:
         self.map_built = False
         self._frames_since_rebuild_check = 0
         self.profile_every = 0  # >0: staged re-dispatch every N frames
+        self._n_steady = 0  # steady-state lidar frames (profile cadence)
         self.last_stage_profile: Optional[dict] = None
         self.tracker = lio_mod.LocalMapTracker(cfg.cube_side_length,
                                                mode=cap.slider)
@@ -515,6 +516,18 @@ class Pipeline:
             self.state = st
             self._prop_pack_dev = None  # posterior != propagated
             self.map = m2
+            # staged profile cadence is mode-independent: the deferred-
+            # readback default must not silently disable --profile-every
+            # (the trigger used to live only on the sync path below)
+            self._n_steady += 1
+            profile_now = bool(
+                self.profile_every
+                and self._n_steady % self.profile_every == 0
+            )
+            if profile_now:
+                self.last_stage_profile = self._profile_stages(
+                    pose_table, buf, trel, pmask, cap
+                )
             if self.async_read or self.read_collector is not None:
                 # DEFERRED READBACK: hand the packed stats row (and the
                 # dense cloud, if a consumer needs it) to the reader
@@ -594,10 +607,6 @@ class Pipeline:
             # one fused dispatch: attribute the whole span to "ekf"
             t_undistort = t_down = t0
             t_ekf = t_map = time.perf_counter()
-            if self.profile_every and len(self.outputs) % self.profile_every == 0:
-                self.last_stage_profile = self._profile_stages(
-                    pose_table, buf, trel, pmask, cap
-                )
         else:
             # ---- bootstrap path (first frames): staged -------------------
             und = imu_mod.undistort(

@@ -471,10 +471,13 @@ class LivoBlockReplayer:
 
     Because the executables ARE the per-frame path, block outputs match
     per-frame outputs exactly, except that the sliding-local-map trigger
-    consumes a posterior up to E frames old instead of 1 — the same
-    class of deviation as the documented one-frame slider lag (cm of
-    motion against a hundreds-of-meters slide margin);
-    tests/test_replay.py pins the trajectory agreement.
+    consumes a posterior E to 2E-1 frames old instead of 1
+    (BlockReadCollector.flush emits the PREVIOUS block's rows after
+    dispatching the current one, adding a block of lag on top of the
+    block boundary itself) — the same class of deviation as the
+    documented one-frame slider lag (decimetres of motion against a
+    hundreds-of-meters slide margin); tests/test_replay.py pins the
+    trajectory agreement.
 
     Per-frame consumers that need per-frame host data (trace logging,
     PCD/RGB accumulation, viz hooks, materialize_dense, collect_cov,

@@ -30,9 +30,10 @@ def main():
     from fastlivo_tpu.io.synthetic import SyntheticDataset
     from fastlivo_tpu.pipeline import Pipeline
 
+    ref = os.environ.get("REFERENCE_DIR", "/root/reference")
     cfg = load_config(
-        "/root/reference/config/avia.yaml",
-        "/root/reference/config/camera_pinhole.yaml",
+        os.path.join(ref, "config", "avia.yaml"),
+        os.path.join(ref, "config", "camera_pinhole.yaml"),
     )
     if mode.startswith("lio"):
         cfg.img_enable = False

@@ -166,3 +166,26 @@ def test_async_read_interleaves_one_pending(lio_run):
     got += pipe.finish()
     assert len(got) == len(outs_ref)
     assert [o.t for o in got] == [o.t for o in outs_ref]
+
+
+def test_profile_every_works_under_async_read():
+    """--profile-every must populate the staged breakdown in the
+    deferred-readback default too (advisor r3: the trigger used to live
+    only on the sync-read path, making the flag a silent no-op with
+    pipe.async_read=True)."""
+    ds = SyntheticDataset(
+        duration=2.5, points_per_scan=4096, lidar_noise=0.004, seed=3
+    )
+    pipe = Pipeline(small_config())
+    pipe.async_read = True
+    pipe.profile_every = 2
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) > 4
+    prof = pipe.last_stage_profile
+    assert prof is not None
+    assert set(prof) == {"undistort", "downsample", "ekf", "map"}
+    assert all(v > 0.0 for v in prof.values())
