@@ -16,6 +16,7 @@ reference's isInFrame margins).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -162,22 +163,44 @@ def shi_tomasi(img: jnp.ndarray, pc: jnp.ndarray) -> jnp.ndarray:
     """vk::shiTomasiScore at integer positions floor(pc): (K, 2) -> (K,).
 
     8x8 box of centered-difference gradients; score is the smaller
-    eigenvalue of the averaged structure tensor."""
+    eigenvalue of the averaged structure tensor.
+
+    Computed from dense gradient-product maps + one 8x8 box filter over
+    the image, then 3 gathers per candidate — the per-candidate window
+    formulation streamed 256 random image lookups per row (2M per
+    camera frame at 8k candidates) and dominated select_new_points'
+    measured cost. Identical to the window version away from the image
+    border (candidates are border-guarded by every caller); the box-sum
+    association order differs (reduce_window tree vs sequential), a
+    ~1 ulp effect."""
     half = 4
     box = 2 * half
-    u = jnp.floor(pc[..., 0]).astype(jnp.int32)
-    v = jnp.floor(pc[..., 1]).astype(jnp.int32)
-    offs = jnp.arange(box) - half
-    rows = v[:, None, None] + offs[None, :, None] + jnp.zeros((1, 1, box), jnp.int32)
-    cols = u[:, None, None] + offs[None, None, :] + jnp.zeros((1, box, 1), jnp.int32)
-    dx = 0.5 * (_gather(img, rows, cols + 1) - _gather(img, rows, cols - 1))
-    dy = 0.5 * (_gather(img, rows + 1, cols) - _gather(img, rows - 1, cols))
     area = box * box
-    dXX = jnp.sum(dx * dx, axis=(-2, -1)) / area
-    dYY = jnp.sum(dy * dy, axis=(-2, -1)) / area
-    dXY = jnp.sum(dx * dy, axis=(-2, -1)) / area
-    tr = dXX + dYY
-    det = dXX * dYY - dXY * dXY
+    H, W = img.shape
+    # dense centered-difference gradients with index-clamp edge
+    # semantics (pad-edge == clamped +-1 sample)
+    ip = jnp.pad(img, 1, mode="edge")
+    gx = 0.5 * (ip[1:-1, 2:] - ip[1:-1, :-2])
+    gy = 0.5 * (ip[2:, 1:-1] - ip[:-2, 1:-1])
+
+    def box8(x):
+        # window rooted at (v-half, u-half), clamped like the gathers
+        xp = jnp.pad(x, ((half, half - 1), (half, half - 1)), mode="edge")
+        return jax.lax.reduce_window(
+            xp, jnp.asarray(0, x.dtype), jax.lax.add,
+            (box, box), (1, 1), "VALID",
+        )
+
+    dXX = box8(gx * gx) / area
+    dYY = box8(gy * gy) / area
+    dXY = box8(gx * gy) / area
+    u = jnp.clip(jnp.floor(pc[..., 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.floor(pc[..., 1]).astype(jnp.int32), 0, H - 1)
+    xx = dXX[v, u]
+    yy = dYY[v, u]
+    xy = dXY[v, u]
+    tr = xx + yy
+    det = xx * yy - xy * xy
     disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
     return 0.5 * (tr - disc)
 

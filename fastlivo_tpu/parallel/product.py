@@ -189,15 +189,15 @@ class MeshRunner:
                        cloud_mask, Rci, Pci, Jdphi_dR, Jdp_dR,
                        outlier_threshold, ncc_thre, img_point_cov, *,
                        grid_size, patch_size, gw, gh, ncc_en, max_iter,
-                       max_vox, max_pg, robust="none"):
+                       max_pg, robust="none"):
         """Drop-in for `vio.vio_frame_step` (same returns, replicated)."""
-        key = (grid_size, patch_size, gw, gh, ncc_en, max_iter, max_vox,
+        key = (grid_size, patch_size, gw, gh, ncc_en, max_iter,
                max_pg, robust, gray.shape, vm.pos.shape[0])
         fn = self._vio_cache.get(key)
         if fn is None:
             fn = self._build_vio(
                 grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
-                ncc_en=ncc_en, max_iter=max_iter, max_vox=max_vox,
+                ncc_en=ncc_en, max_iter=max_iter,
                 max_pg=max_pg, robust=robust,
             )
             self._vio_cache[key] = fn

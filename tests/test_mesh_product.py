@@ -80,7 +80,8 @@ def tracked_inputs(ds):
     pg, pg_mask = voxel_downsample_device(
         jnp.asarray(buf), jnp.asarray(cmask), 0.2, cfg.capacity.max_cands
     )
-    vox, vox_mask = vio_mod._unique_voxels(pg, pg_mask, vio.max_vox)
+    from fastlivo_tpu import visual_map as vmap_mod
+    vox, vox_mask = vmap_mod.voxel_of(pg), pg_mask
     return dict(
         vio=vio, cfg=cfg, rcw=jnp.asarray(rcw), pcw=jnp.asarray(pcw),
         gray=gray, pg=pg, pg_mask=pg_mask, vox=vox, vox_mask=vox_mask,

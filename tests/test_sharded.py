@@ -134,8 +134,9 @@ def test_sharded_vio_update_matches_single_device():
     from fastlivo_tpu.ops.voxel_filter import voxel_downsample
     pg, pgm = voxel_downsample(v.last_cloud, 0.2, max_out=v.max_pg)
     vox_np = np.unique(np.floor(pg[pgm] / 0.5).astype(np.int32), axis=0)
-    vox = np.zeros((v.max_vox, 3), np.int32); vox[: len(vox_np)] = vox_np[: v.max_vox]
-    vmask = np.zeros(v.max_vox, bool); vmask[: len(vox_np)] = True
+    max_vox = 2048  # unique keys still valid input post-dedup-removal
+    vox = np.zeros((max_vox, 3), np.int32); vox[: len(vox_np)] = vox_np[:max_vox]
+    vmask = np.zeros(max_vox, bool); vmask[: len(vox_np)] = True
     tr = select_tracked(
         v.vmap, v.cam, jnp.asarray(rcw), jnp.asarray(pcw), img,
         jnp.asarray(pg), jnp.asarray(pgm), jnp.asarray(vox), jnp.asarray(vmask),
