@@ -26,6 +26,25 @@ from .ops import voxel_map as vm
 from .state import NavState, pack24
 
 
+@functools.partial(jax.jit, static_argnames=("R",))
+def stage_scan(w: jnp.ndarray, R: int):
+    """One packed (B+1, 4) f32 upload -> ((R,3) pts, (R,) t_rel, (R,)
+    mask) at the fused step's static capacity shape. Rows [0:B] carry
+    [x y z t_rel]; row B carries the live count in column 0. B is the
+    caller's pow2 bucket >= the scan size — uploading the zero-padded
+    full-capacity buffers instead costs ~3x the wire (each relay upload
+    also pays a flat ~2 ms service, so one pack beats three arrays)."""
+    B = w.shape[0] - 1
+    n = w[B, 0].astype(jnp.int32)
+    pts = w[:B, 0:3]
+    trel = w[:B, 3]
+    if B < R:
+        pts = jnp.zeros((R, 3), w.dtype).at[:B].set(pts)
+        trel = jnp.zeros(R, w.dtype).at[:B].set(trel)
+    mask = jnp.arange(R) < n
+    return pts, trel, mask
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -54,14 +73,14 @@ def lidar_frame_step(
 ):
     """Returns (posterior state, new map, down (max_points,3), dmask,
     n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,),
-    stats (28,) f64).
+    stats (29,) f64).
 
     `active` marks the downsampled points whose point-to-plane residual
     fed the final update — the /cloud_effected observability surface
     (publish_effect_world, laserMapping.cpp:871-885).
 
-    `stats` (28,) packs [n_down, n_active, iters, pack24(posterior),
-    residual_rms] so an interactive caller gets every host-needed
+    `stats` (29,) packs [n_down, n_active, iters, pack24(posterior),
+    residual_rms, map_occupancy] so an interactive caller gets every host-needed
     scalar plus the logged state row in ONE device->host transfer with
     no extra dispatch (each blocking read through the axon relay is a
     ~30 ms round trip). residual_rms is the posterior point-to-plane
@@ -107,6 +126,12 @@ def lidar_frame_step(
         jnp.sum(jnp.where(res.active, res.res.astype(jnp.float64), 0.0)
                 ** 2) / n_act_safe
     )
-    stats = jnp.concatenate([head, pack24(res.state), res_rms[None]])
+    # map occupancy rides the packed row so load-factor checks
+    # (_maybe_rebuild) never issue a blocking device read mid-stream —
+    # float(map.n_alloc) drains the whole dispatch queue through the
+    # relay (~a block of compute) before returning
+    occ = (m2.n_alloc if hasattr(m2, "n_alloc") else m2.count)
+    stats = jnp.concatenate([head, pack24(res.state), res_rms[None],
+                             occ.astype(jnp.float64)[None]])
     return (res.state, m2, down, dmask, res.n_active, res.iters,
             dense_world, res.active, stats)

@@ -137,6 +137,34 @@ def propagate_packed(s, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
     return st, _pack_pose(pose, st), a_last, g_last
 
 
+def pack_pairs_wire(acc_avg, gyr_avg, dt, offs, valid, tail_dt, row0_off):
+    """Host-side: everything `prepare_pairs` returned in ONE (P+1, 9)
+    f32 array. A device_put through the relay costs ~2 ms of service
+    REGARDLESS of size, so the seven per-group uploads were ~13 ms of
+    pure wire overhead per measurement event; one packed array is one."""
+    P = len(dt)
+    w = np.zeros((P + 1, 9), np.float32)
+    w[:P, 0:3] = acc_avg
+    w[:P, 3:6] = gyr_avg
+    w[:P, 6] = dt
+    w[:P, 7] = offs
+    w[:P, 8] = valid
+    w[P, 0] = tail_dt
+    w[P, 1] = row0_off
+    return w
+
+
+@jax.jit
+def propagate_wire(s, wire, acc_s_last, angvel_last, calib):
+    """`propagate_packed` fed from a single `pack_pairs_wire` upload."""
+    P = wire.shape[0] - 1
+    return propagate_packed(
+        s, wire[:P, 0:3], wire[:P, 3:6], wire[:P, 6], wire[:P, 7],
+        wire[:P, 8] > 0.5, wire[P, 0], acc_s_last, angvel_last, calib,
+        row0_off=wire[P, 1],
+    )
+
+
 class ImuInitializer:
     """Host-side static initializer (IMU_init, IMU_Processing.cpp:137-181).
 

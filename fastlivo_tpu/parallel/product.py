@@ -168,8 +168,10 @@ class MeshRunner:
                 jnp.sum(jnp.where(active, resid.astype(jnp.float64), 0.0)
                         ** 2) / n_act_safe
             )
+            occ = (m2.n_alloc if hasattr(m2, "n_alloc") else m2.count)
             stats = jnp.concatenate([head, pack24(res.state),
-                                     res_rms[None]])
+                                     res_rms[None],
+                                     occ.astype(jnp.float64)[None]])
             return (res.state, m2, down, dmask, res.n_active, res.iters,
                     dense_world, active, stats)
 
@@ -185,8 +187,8 @@ class MeshRunner:
         return jax.jit(smapped)
 
     # -- camera ---------------------------------------------------------
-    def vio_frame_step(self, vm, cam, state, prior, gray, fid, cloud,
-                       cloud_mask, Rci, Pci, Jdphi_dR, Jdp_dR,
+    def vio_frame_step(self, vm, cam, state, prior, gray, meta, cloud,
+                       Rci, Pci, Jdphi_dR, Jdp_dR,
                        outlier_threshold, ncc_thre, img_point_cov, *,
                        grid_size, patch_size, gw, gh, ncc_en, max_iter,
                        max_pg, robust="none"):
@@ -202,11 +204,11 @@ class MeshRunner:
             )
             self._vio_cache[key] = fn
         f32 = jnp.float32
-        return fn(vm, cam, state, prior, gray, fid, cloud, cloud_mask,
+        return fn(vm, cam, state, prior, gray, meta, cloud,
                   Rci, Pci, Jdphi_dR, Jdp_dR,
                   jnp.asarray(outlier_threshold, f32),
                   jnp.asarray(ncc_thre, f32),
-                  jnp.asarray(img_point_cov, f32))
+                  jnp.asarray(img_point_cov))
 
     def _build_vio(self, **statics):
         from .. import vio as vio_mod
@@ -218,7 +220,7 @@ class MeshRunner:
         smapped = shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(rep,) * 15,
+            in_specs=(rep,) * 14,
             out_specs=(rep,) * 11,
             check_vma=False,
         )

@@ -111,6 +111,13 @@ class Pipeline:
             self._map_mod = vm
         self.map_built = False
         self._frames_since_rebuild_check = 0
+        # per-frame jit scalar args cached as committed device arrays —
+        # passing a Python float re-uploads a scalar every call (~2 ms
+        # of relay service each). Dtypes preserve the original traced
+        # semantics exactly: filter_size_surf was already f32 at the
+        # call site; laser_point_cov is consumed via asarray(·, f64).
+        self._fss_dev = jnp.float32(cfg.filter_size_surf)
+        self._lpc_dev = jnp.asarray(float(cfg.laser_point_cov), jnp.float64)
         self.profile_every = 0  # >0: staged re-dispatch every N frames
         self._n_steady = 0  # steady-state lidar frames (profile cadence)
         self.last_stage_profile: Optional[dict] = None
@@ -148,6 +155,12 @@ class Pipeline:
         # host pack24 of the previous frame's posterior — free from the
         # frame's packed stats read; feeds the local-map slider
         self._last_post = None
+        # host copy of the map's occupancy scalar, refreshed from each
+        # frame's packed stats row (stats[28]) — lets _maybe_rebuild's
+        # load-factor check run without a blocking device read (which
+        # drains the whole dispatch queue through the relay). None until
+        # the first fused frame resolves, or after a compact/rebuild.
+        self._map_occ_host: Optional[float] = None
         # device handle of the last fused frame's full dense cloud
         # (handed to the VIO without a host round trip)
         self._dense_dev = None
@@ -258,6 +271,8 @@ class Pipeline:
             return None
         pend = self._pending.pop(0)
         stats, dense_np = pend["fut"].result()
+        if len(stats) > 28:
+            self._map_occ_host = float(stats[28])
         return self._emit_output(
             scan=pend["scan"],
             post_pack=stats[3:27],
@@ -346,23 +361,33 @@ class Pipeline:
                 self.logger.log_imu(
                     imu_t[i] - self.first_lidar_time, acc_avg[i], gyr_avg[i]
                 )
-        # ONE fused dispatch (propagate + on-device pose pack) and ONE
-        # blocking read per group — interactive frame time through the
-        # relay is round-trip-count-bound, not compute-bound
+        # ONE fused dispatch (propagate + on-device pose pack) fed from
+        # ONE packed upload per group — interactive frame time through
+        # the relay is round-trip-count-bound, not compute-bound, and
+        # each device_put costs a ~2 ms service interval regardless of
+        # size (7 separate uploads here measured ~13 ms of pure wire)
+        # pow2-bucket the scan length to the group's live pair count:
+        # the relay prices composite executables per EXECUTED op, so
+        # propagating over the full 64-row capacity when a 20 Hz event
+        # group carries ~10 IMU pairs paid ~4-6x the 18x18 f64
+        # covariance recursion for rows that are masked no-ops
+        n_rows = max(len(imu_t) - 1, 0)
+        B = min(cap, 1 << max(3, int(max(n_rows - 1, 1)).bit_length()))
+        wire = imu_mod.pack_pairs_wire(
+            acc_avg[:B], gyr_avg[:B], dt[:B], offs[:B], valid[:B],
+            tail_dt, row0_off
+        )
         st, pose_pack, self.acc_s_last, self.angvel_last = (
-            imu_mod.propagate_packed(
-                self.state,
-                jnp.asarray(acc_avg), jnp.asarray(gyr_avg), jnp.asarray(dt),
-                jnp.asarray(offs), jnp.asarray(valid), jnp.asarray(tail_dt),
+            imu_mod.propagate_wire(
+                self.state, jnp.asarray(wire),
                 self.acc_s_last, self.angvel_last, self.calib,
-                row0_off=jnp.asarray(row0_off),
             )
         )
         self.state = st
         self._prop_pack_dev = pose_pack
         self.last_group_end = end_time
         # kept rows: row0 + the valid pairs (host-known, no device read)
-        keep = np.concatenate([[True], valid])
+        keep = np.concatenate([[True], valid[:B]])
         self._scan_tables.append(
             (pose_pack, np.nonzero(keep)[0].astype(np.int32))
         )
@@ -450,13 +475,6 @@ class Pipeline:
         else:
             pts_np, t_rel_np = scan.pts[:, :3], scan.t_rel
             inten_np = (scan.pts[:, 3] if scan.pts.shape[1] > 3 else None)
-        buf = np.zeros((rawcap, 3), np.float32)
-        buf[:N] = pts_np
-        trel = np.full(rawcap, 0.0, np.float32)
-        trel[:N] = t_rel_np
-        pmask = np.zeros(rawcap, bool)
-        pmask[:N] = True
-
         if not self.ready:
             self.ready = True
         ekf_inited = (
@@ -482,8 +500,6 @@ class Pipeline:
             )
         self._maybe_rebuild()
 
-        lid_rot = jnp.asarray(self.cfg.extrinsic_R, jnp.float32)
-        lid_off = jnp.asarray(self.cfg.extrinsic_T, jnp.float32)
         fused = (
             self.map_built and ekf_inited and self.cfg.lidar_enable
         )
@@ -505,12 +521,13 @@ class Pipeline:
             else:
                 from .frame_step import lidar_frame_step as step_fn
 
+            pts_j, trel_j, pmask_j = self._stage_scan(pts_np, t_rel_np, N)
             (st, m2, down_j, dmask_j, n_act_j, iters_j,
              dense_j, active_j, stats_j) = step_fn(
                 self.state, self.map, pose_table, self.calib,
-                jnp.asarray(buf), jnp.asarray(trel), jnp.asarray(pmask),
-                jnp.float32(self.cfg.filter_size_surf),
-                laser_point_cov=self.cfg.laser_point_cov,
+                pts_j, trel_j, pmask_j,
+                self._fss_dev,
+                laser_point_cov=self._lpc_dev,
                 **statics,
             )
             self.state = st
@@ -525,6 +542,7 @@ class Pipeline:
                 and self._n_steady % self.profile_every == 0
             )
             if profile_now:
+                buf, trel, pmask = self._pad_scan_np(pts_np, t_rel_np, N)
                 self.last_stage_profile = self._profile_stages(
                     pose_table, buf, trel, pmask, cap
                 )
@@ -585,6 +603,7 @@ class Pipeline:
                                        int(stats[2]))
             post_pack = stats[3:27]
             res_rms = float(stats[27])
+            self._map_occ_host = float(stats[28])
             if self.cfg.dense_map_enable:
                 # materialize (a blocking transfer) only when a consumer
                 # exists this frame (PCD accumulation, viz hook). The
@@ -609,6 +628,9 @@ class Pipeline:
             t_ekf = t_map = time.perf_counter()
         else:
             # ---- bootstrap path (first frames): staged -------------------
+            lid_rot = self.calib.lid_rot
+            lid_off = self.calib.lid_off
+            buf, trel, pmask = self._pad_scan_np(pts_np, t_rel_np, N)
             und = imu_mod.undistort(
                 self.state, pose_table, jnp.asarray(buf), jnp.asarray(trel),
                 jnp.asarray(pmask), self.calib,
@@ -826,18 +848,32 @@ class Pipeline:
         self._frames_since_rebuild_check = 0
         from .ops import tiled_map as tmod
 
+        # occupancy from the packed stats row when available (a few
+        # frames stale under deferred readback — irrelevant against a
+        # 0.85 load-factor threshold); fall back to a blocking device
+        # read only before the first fused frame has resolved
+        occ = self._map_occ_host
         if self._map_mod is tmod:
-            if float(self.map.n_alloc) > 0.85 * self.map.slot_key.shape[0]:
+            if occ is None:
+                occ = float(self.map.n_alloc)
+            if occ > 0.85 * self.map.slot_key.shape[0]:
                 self.map = tmod.compact(self.map)
+                self._map_occ_host = None  # stale post-compact
         elif self._map_mod is vm:
-            if float(self.map.count) > 0.7 * self.map.check.shape[0]:
+            if occ is None:
+                occ = float(self.map.count)
+            if occ > 0.7 * self.map.check.shape[0]:
                 self.map = vm.rebuild(self.map)
+                self._map_occ_host = None
         # visual-map capacity: drop points outside the local cube when
         # the point pool nears exhaustion (the reference's feat_map only
         # ever grows; see visual_map.compact)
         if self.vio is not None:
             vmap = self.vio.vmap
-            if int(vmap.n_pts) > 0.9 * vmap.pos.shape[0]:
+            n_pts = self.vio._n_pts_host
+            if n_pts is None:
+                n_pts = int(vmap.n_pts)
+            if n_pts > 0.9 * vmap.pos.shape[0]:
                 from . import visual_map as vmap_mod
 
                 self.vio.vmap = vmap_mod.compact(
@@ -845,6 +881,36 @@ class Pipeline:
                     jnp.asarray(np.asarray(self.state.pos), jnp.float32),
                     jnp.float32(self.cfg.cube_side_length),
                 )
+                self.vio._n_pts_host = None
+
+    def _pad_scan_np(self, pts_np, t_rel_np, N):
+        """Zero-padded (rawcap,) host scan buffers — bootstrap/profile
+        paths only; the fused steady path stages on device instead
+        (`_stage_scan`) to keep the uploaded bytes at the scan's size."""
+        rawcap = self.cfg.capacity.max_raw_points
+        buf = np.zeros((rawcap, 3), np.float32)
+        buf[:N] = pts_np
+        trel = np.zeros(rawcap, np.float32)
+        trel[:N] = t_rel_np
+        pmask = np.zeros(rawcap, bool)
+        pmask[:N] = True
+        return buf, trel, pmask
+
+    def _stage_scan(self, pts_np, t_rel_np, N):
+        """ONE packed pow2-bucketed upload for the scan (points + t_rel
+        + count), padded/masked on device to the static rawcap shape.
+        The padded 3-array upload was ~13 ms of relay wire per frame at
+        8k-point scans in a 32k-capacity rig; the bucketed pack is ~4 ms.
+        Each distinct bucket compiles one tiny staging executable."""
+        rawcap = self.cfg.capacity.max_raw_points
+        B = min(rawcap, 1 << max(10, int(max(N - 1, 1)).bit_length()))
+        w = np.zeros((B + 1, 4), np.float32)
+        w[:N, 0:3] = pts_np
+        w[:N, 3] = t_rel_np
+        w[B, 0] = N
+        from .frame_step import stage_scan
+
+        return stage_scan(jnp.asarray(w), R=rawcap)
 
     def _to_world(self, pts_body, mask, lid_rot, lid_off):
         p = jnp.asarray(pts_body)

@@ -61,8 +61,8 @@ def lidar_block_step(
     """K chained scan steps in one executable.
 
     Returns (state', map', acc_s_last', angvel_last', ys) with ys a
-    single packed (K, 42) f64 array (_pack_summary layout; tail =
-    [n_active, iters, res_rms]) — ONE host read per block instead of 11
+    single packed (K, 43) f64 array (_pack_summary layout; tail =
+    [n_active, iters, res_rms, map_occupancy]) — ONE host read per block instead of 11
     (each blocking read through the relay is a ~30-65 ms round trip).
     res_rms is the posterior point-to-plane residual RMS, the online
     filter-health signal (frame_step.py)."""
@@ -100,8 +100,9 @@ def lidar_block_step(
         res_rms = jnp.sqrt(jnp.sum(
             jnp.where(res.active, res.res.astype(jnp.float64), 0.0) ** 2
         ) / n_safe)
+        occ = (m2.n_alloc if hasattr(m2, "n_alloc") else m2.count)
         ys = _pack_summary(st1, res.state,
-                           (res.n_active, res.iters, res_rms))
+                           (res.n_active, res.iters, res_rms, occ))
         return (res.state, m2, acc_s2, angv2), ys
 
     (st_f, m_f, acc_f, ang_f), ys = jax.lax.scan(
@@ -300,6 +301,7 @@ class BlockReplayer:
         po_bg, po_ba, po_gv = u["po_bg"], u["po_ba"], u["po_gv"]
         n_act, iters = u["tail"][:, 0], u["tail"][:, 1]
         res_rms = u["tail"][:, 2]
+        p._map_occ_host = float(u["tail"][-1, 3])
         self._last_po_pos = po_p[-1]
         if p.logger is not None:
             if self._last_po_bias is not None:
@@ -345,7 +347,7 @@ class BlockReplayer:
 @jax.jit
 def _stack_rows(*rows):
     """Stack the block's packed stats rows — its single D2H transfer.
-    All rows are (28,) f64 (the camera row is zero-padded to the lidar
+    All rows are (29,) f64 (the camera row is zero-padded to the lidar
     row's width inside vio_frame_step) and flush pads the count to the
     block size, so exactly ONE executable shape covers every flush of a
     replay — a retrace per event pattern would pay a multi-second
@@ -374,7 +376,7 @@ class BlockReadCollector:
         self.E = block
         self.entries: List = []  # ("lidar", meta) | ("cam", None)
         self.rows: List = []     # device f64 rows, dispatch order
-        self._pad_row = None     # lazy (28,) zero row for partial blocks
+        self._pad_row = None     # lazy (29,) zero row for partial blocks
         self._reader = None
         self._inflight = None    # (future, entries) of the previous flush
 
@@ -402,7 +404,7 @@ class BlockReadCollector:
             # sees one shape signature for the whole replay (no
             # mid-run retrace); padded rows are never consumed
             if self._pad_row is None:
-                self._pad_row = jnp.zeros(28, jnp.float64)
+                self._pad_row = jnp.zeros(29, jnp.float64)
             rows = rows + [self._pad_row] * (self.E - len(rows))
         if self._reader is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -433,6 +435,7 @@ class BlockReadCollector:
         p = self.pipe
         for (kind, meta), row in zip(entries, arr):
             if kind == "lidar":
+                p._map_occ_host = float(row[28])
                 p._emit_output(
                     scan=meta["scan"], post_pack=row[3:27],
                     n_down=int(row[0]), n_active=int(row[1]),

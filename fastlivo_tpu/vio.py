@@ -93,6 +93,11 @@ def _to_gray_dev(img: jnp.ndarray) -> jnp.ndarray:
     return (0.114 * b + 0.587 * g + 0.299 * r).astype(jnp.float32)
 
 
+@jax.jit
+def _cast_gray_dev(img: jnp.ndarray) -> jnp.ndarray:
+    return img.astype(jnp.float32)
+
+
 def _bilinear_resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
     """Host-side bilinear resample to (H, W) with half-pixel-centered
     sampling (cv::resize INTER_LINEAR convention), for image sizes that
@@ -691,9 +696,10 @@ def vio_frame_step(
     state: NavState,
     prior: NavState,
     gray: jnp.ndarray,  # (H, W) f32
-    fid: jnp.ndarray,  # () int32
+    meta: jnp.ndarray,  # (2,) int32 [n_cloud_points, frame_id] — one
+    # packed upload instead of a (R,) mask transfer + a scalar (each
+    # relay device_put costs ~2 ms of service regardless of size)
     cloud: jnp.ndarray,  # (R, 3) world cloud of the current scan
-    cloud_mask: jnp.ndarray,  # (R,)
     Rci: jnp.ndarray,
     Pci: jnp.ndarray,
     Jdphi_dR: jnp.ndarray,
@@ -729,12 +735,14 @@ def vio_frame_step(
     per-point errors, mean_err, n_tracked, n_added, iters, stats).
 
     `stats` packs [n_tracked, n_added, mean_err, iters, rcw'(9),
-    pcw'(3), 0-pad] (f64, (28,), zero-padded to the lidar stats row's
+    pcw'(3), 0-pad, n_pts] (f64, (29,), zero-padded to the lidar stats row's
     width for the block-read collector) — every host-needed scalar plus
     the posterior world->camera pose in ONE device->host transfer;
     reading the pieces separately cost ~5 blocking relay round trips
     (~30-65 ms each) per interactive camera frame."""
     f32 = gray.dtype
+    fid = meta[1]
+    cloud_mask = jnp.arange(cloud.shape[0]) < meta[0]
     vm2 = vmap_mod.push_image(vm, gray, fid)
     pg, pg_mask = voxel_downsample_device(cloud, cloud_mask, 0.2, max_pg)
     # sub_feat_map voxel set (addFromSparseMap :361-380): queried with
@@ -804,7 +812,7 @@ def vio_frame_step(
     n_tracked = jnp.sum(t_valid, dtype=jnp.int32)
     n_added = jnp.sum(nadd, dtype=jnp.int32)
     f64 = jnp.float64
-    # padded to the lidar stats row's width (28, frame_step.py) so the
+    # padded to the lidar stats row's width (29, frame_step.py) so the
     # block-read collector stacks a single row shape — one executable
     # for every block flush instead of a retrace per event pattern
     stats = jnp.concatenate([
@@ -812,6 +820,7 @@ def vio_frame_step(
                    err.astype(f64), its.astype(f64)]),
         rcw2.reshape(9).astype(f64), pcw2.astype(f64),
         jnp.zeros(12, f64),
+        vm2.n_pts.astype(f64)[None],  # pool occupancy (see frame_step)
     ])
     return (st, vm2, t_idx, t_valid, opc, perr, err,
             n_tracked, n_added, its, stats)
@@ -935,6 +944,18 @@ class Vio:
         self.max_pg = cap.max_cands
         self.cloud_cap = cap.max_raw_points  # fused-step input capacity
         self.last_stats = {}
+        # per-frame jit scalar args cached as committed device arrays
+        # (a Python float re-uploads a scalar every call, ~2 ms of relay
+        # service each). Dtypes preserve the traced semantics exactly:
+        # the thresholds only ever combine with f32 values (select_
+        # tracked), img_point_cov is consumed via asarray(·, f64).
+        self._out_thre_dev = jnp.float32(cfg.outlier_threshold)
+        self._ncc_thre_dev = jnp.float32(cfg.ncc_thre)
+        self._ipc_dev = jnp.asarray(float(cfg.img_point_cov), jnp.float64)
+        # host copy of the point-pool occupancy (stats[28]) — keeps the
+        # pipeline's visual-map load-factor check read-free; None until
+        # the first frame's stats resolve or after a compact
+        self._n_pts_host: Optional[int] = None
         self.last_overlay = None  # /rgb_img equivalent when cfg.debug
         # img_rgb (detect :1035) — resolved lazily from the raw frame:
         # the resize/cast costs host milliseconds every image frame but
@@ -1019,6 +1040,14 @@ class Vio:
             # host path — XLA's FMA contraction makes the f32 weighted
             # sum differ from numpy by 1 ulp, and bit-parity wins
             return _to_gray_dev(jnp.asarray(img))
+        if (img.ndim == 2 and img.shape == (H, W)
+                and np.issubdtype(img.dtype, np.integer)
+                and img.dtype.itemsize <= 2):
+            # already-grayscale integer frames (mono8/mono16 bags, the
+            # synthetic camera): upload the integer bytes and cast on
+            # device — u8/u16 -> f32 is exact, and the wire shrinks 4x
+            # (a 640x512 f32 frame is ~17 ms of relay upload; u8 ~5 ms)
+            return _cast_gray_dev(jnp.asarray(img))
         return jnp.asarray(self._to_gray(img))
 
     def _resize_color(self, img: np.ndarray) -> np.ndarray:
@@ -1051,7 +1080,6 @@ class Vio:
         self._last_bgr_src = np.array(img, copy=True)
         self._last_bgr_cache = None
         gray = self._gray_device(img)
-        fid = jnp.int32(self.fid)
         R = self.cloud_cap
         if self._last_cloud_dev is not None:
             cloud_dev, n = self._last_cloud_dev
@@ -1060,29 +1088,28 @@ class Vio:
             cloud_dev = None
             n = 0 if self.last_cloud is None else min(len(self.last_cloud), R)
         if n < 10:
-            self.vmap = vmap_mod.push_image(self.vmap, gray, fid)
+            self.vmap = vmap_mod.push_image(self.vmap, gray,
+                                            jnp.int32(self.fid))
             self.fid += 1
             return state
 
         if cloud_dev is not None:
-            # lidar frame's dense cloud, never left the device
+            # lidar frame's dense cloud, never left the device (the
+            # live-row mask is rebuilt inside the fused step from meta)
             cloud_j = cloud_dev
-            cmask_j = jnp.asarray(np.arange(R) < n)
         else:
             cloud = np.zeros((R, 3), np.float32)
             cloud[:n] = self.last_cloud[:n, :3]
-            cmask = np.zeros(R, bool)
-            cmask[:n] = True
-            cloud_j, cmask_j = jnp.asarray(cloud), jnp.asarray(cmask)
+            cloud_j = jnp.asarray(cloud)
 
+        meta = jnp.asarray(np.array([n, self.fid], np.int32))
         step_fn = (self.mesh_runner.vio_frame_step
                    if self.mesh_runner is not None else vio_frame_step)
         (st, vm2, tidx, tvalid, opc, perr, err, n_tracked, n_added,
          _its, stats_j) = step_fn(
-            self.vmap, self.cam, state, prior, gray, fid,
-            cloud_j, cmask_j,
+            self.vmap, self.cam, state, prior, gray, meta, cloud_j,
             self.Rci, self.Pci, self.Jdphi_dR, self.Jdp_dR,
-            cfg.outlier_threshold, cfg.ncc_thre, cfg.img_point_cov,
+            self._out_thre_dev, self._ncc_thre_dev, self._ipc_dev,
             grid_size=self.grid_size, patch_size=self.patch_size,
             gw=self.gw, gh=self.gh, ncc_en=cfg.ncc_en,
             max_iter=cfg.max_iteration,
@@ -1123,6 +1150,8 @@ class Vio:
         }
         self.last_rcw = stats[4:13].reshape(3, 3).astype(np.float32)
         self.last_pcw = stats[13:16].astype(np.float32)
+        if len(stats) > 28:
+            self._n_pts_host = int(stats[28])
 
     def _ensure_reader(self):
         if self._reader is None:

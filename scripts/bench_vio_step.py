@@ -64,8 +64,7 @@ def main():
     gray = v._gray_device(imgs[-1][1])
     cloud_dev, n = v._last_cloud_dev
     R = v.cloud_cap
-    cmask = jnp.asarray(np.arange(R) < min(n, R))
-    fid = jnp.int32(v.fid)
+    meta = jnp.asarray(np.array([min(n, R), v.fid], np.int32))
     f32 = jnp.float32
     args_tail = (v.Rci, v.Pci, v.Jdphi_dR, v.Jdp_dR,
                  f32(cfg.outlier_threshold), f32(cfg.ncc_thre),
@@ -81,7 +80,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(k):
             out = vio_mod.vio_frame_step(
-                vm, v.cam, st, st, gray, fid, cloud_dev, cmask,
+                vm, v.cam, st, st, gray, meta, cloud_dev,
                 *args_tail, **statics)
             st, vm = out[0], out[1]
         jax.block_until_ready(out[10])

@@ -70,7 +70,7 @@ def test_fused_equals_staged():
     assert int(it_f) == int(res.iters)
     # the packed stats row mirrors the scalar outputs + posterior pack24
     stats = np.asarray(stats_f)
-    assert stats.shape == (28,)
+    assert stats.shape == (29,)
     assert int(stats[0]) == int(jnp.sum(dmask))
     assert int(stats[1]) == int(res.n_active)
     assert int(stats[2]) == int(res.iters)
