@@ -521,7 +521,10 @@ class Pipeline:
             else:
                 from .frame_step import lidar_frame_step as step_fn
 
-            pts_j, trel_j, pmask_j = self._stage_scan(pts_np, t_rel_np, N)
+            pts_j, trel_j, pmask_j, B = self._stage_scan(pts_np, t_rel_np, N)
+            # the downsample output can never exceed the live input
+            # count, so the EKF batch shape shrinks with the bucket
+            statics["max_points"] = min(cap.max_points, B)
             (st, m2, down_j, dmask_j, n_act_j, iters_j,
              dense_j, active_j, stats_j) = step_fn(
                 self.state, self.map, pose_table, self.calib,
@@ -898,10 +901,15 @@ class Pipeline:
 
     def _stage_scan(self, pts_np, t_rel_np, N):
         """ONE packed pow2-bucketed upload for the scan (points + t_rel
-        + count), padded/masked on device to the static rawcap shape.
-        The padded 3-array upload was ~13 ms of relay wire per frame at
-        8k-point scans in a 32k-capacity rig; the bucketed pack is ~4 ms.
-        Each distinct bucket compiles one tiny staging executable."""
+        + count), masked on device AT THE BUCKET SHAPE (not rawcap):
+        the fused frame step then runs every stage — undistortion,
+        downsample, EKF, insert — at pow2-of-the-scan-size shapes.
+        Returns (pts (B,3), t_rel (B,), mask (B,), B). Two wins through
+        the relay: the padded 3-array upload was ~13 ms of wire per
+        frame at 8k-point scans in a 32k-capacity rig (the pack is
+        ~4 ms), and the degraded relay mode prices executables by their
+        array shapes — lio_update at N=16384 measures 39 ms vs 16 ms at
+        N=4096 for identical content. One compile per distinct bucket."""
         rawcap = self.cfg.capacity.max_raw_points
         B = min(rawcap, 1 << max(10, int(max(N - 1, 1)).bit_length()))
         w = np.zeros((B + 1, 4), np.float32)
@@ -910,7 +918,7 @@ class Pipeline:
         w[B, 0] = N
         from .frame_step import stage_scan
 
-        return stage_scan(jnp.asarray(w), R=rawcap)
+        return (*stage_scan(jnp.asarray(w), R=B), B)
 
     def _to_world(self, pts_body, mask, lid_rot, lid_off):
         p = jnp.asarray(pts_body)

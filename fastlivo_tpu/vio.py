@@ -996,13 +996,15 @@ class Vio:
 
     def set_last_cloud_device(self, dense_dev, n: int):
         """DEVICE-side variant of set_last_cloud: the lidar frame's full
-        (cloud_cap, 3) dense world cloud stays on device and only the
-        valid-row count crosses to the host — in interactive mode the
-        host handoff cost a blocking device read on the lidar frame AND
-        a re-upload on the image frame (2 relay round trips per pair).
-        Row semantics match the host path exactly: rows >= n are masked,
-        zero rows within n ride through the voxel filter as before."""
-        assert dense_dev.shape[0] == self.cloud_cap, (
+        dense world cloud stays on device and only the valid-row count
+        crosses to the host — in interactive mode the host handoff cost
+        a blocking device read on the lidar frame AND a re-upload on the
+        image frame (2 relay round trips per pair). The row capacity is
+        whatever bucket the lidar frame ran at (pipeline._stage_scan),
+        bounded by cloud_cap; the fused VIO step masks rows >= n on
+        device, so zero rows within n ride through the voxel filter as
+        in the host path."""
+        assert dense_dev.shape[0] <= self.cloud_cap, (
             dense_dev.shape, self.cloud_cap)
         self._last_cloud_dev = (dense_dev, int(n))
         self.last_cloud = None
