@@ -683,6 +683,42 @@ def photometric_update_levels(
     return new_state, Gmat, perr, last_err, it
 
 
+def _dedup_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
+    """Sort-free dedup + compaction of the scan cloud's 0.5 m voxel
+    keys — the sub_feat_map key set (addFromSparseMap :361-380).
+
+    One spatial-hash scatter-min picks a winner row per hash slot; a
+    row survives if it IS the winner or if its key differs from the
+    winner's (a slot collision between distinct keys — kept as a
+    duplicate rather than dropped, so every unique key is preserved).
+    A cumsum then compacts survivors into the (max_vox,) output.
+    O(M) scatter/gather ops vs the O(M log M) s64 sort np.unique
+    semantics required; downstream consumers are duplicate-idempotent
+    (select_tracked's per-cell scatter-argmin), so keeping the rare
+    collision duplicates is exact."""
+    keys = vmap_mod.voxel_of(pg)  # (M, 3) int32
+    M = keys.shape[0]
+    TB = 1 << int(M).bit_length()  # 2M hash slots (static)
+    h = (
+        (keys[:, 0] * jnp.int32(73856093))
+        ^ (keys[:, 1] * jnp.int32(19349663))
+        ^ (keys[:, 2] * jnp.int32(83492791))
+    ) & jnp.int32(TB - 1)
+    rid = jnp.arange(M, dtype=jnp.int32)
+    rid_m = jnp.where(pg_mask, rid, M)
+    win = jnp.full(TB, M, jnp.int32).at[h].min(rid_m, mode="drop")
+    w = win[h]  # winning row of this row's slot
+    same_key = jnp.all(keys == keys[jnp.clip(w, 0, M - 1)], axis=-1)
+    keep = pg_mask & ((w == rid) | ~same_key)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    out_idx = jnp.where(keep & (rank < max_vox), rank, max_vox)
+    vox = jnp.zeros((max_vox, 3), jnp.int32).at[out_idx].set(
+        keys, mode="drop"
+    )
+    vmask = jnp.zeros(max_vox, bool).at[out_idx].set(True, mode="drop")
+    return vox, vmask
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -745,16 +781,17 @@ def vio_frame_step(
     cloud_mask = jnp.arange(cloud.shape[0]) < meta[0]
     vm2 = vmap_mod.push_image(vm, gray, fid)
     pg, pg_mask = voxel_downsample_device(cloud, cloud_mask, 0.2, max_pg)
-    # sub_feat_map voxel set (addFromSparseMap :361-380): queried with
-    # per-point voxel keys, duplicates included. The reference dedups
-    # the keys first; here deduplication is REDUNDANT — duplicate voxel
-    # queries yield duplicate candidate rows pointing at the same map
-    # points, and the per-cell scatter-argmin in select_tracked picks
-    # the identical winner (same packed distance bits; the row-id
-    # tiebreak only differs between bit-equal distances of the same
-    # point). Dropping the sorted-unique step removed a ~30 ms 8k-row
-    # s64 sort from every camera frame on the measured chip.
-    vox, vox_mask = vmap_mod.voxel_of(pg), pg_mask
+    # sub_feat_map voxel set (addFromSparseMap :361-380), deduplicated
+    # sort-free (see _dedup_voxels; the lexicographic sorted-unique this
+    # replaced was a ~30 ms 8k-row s64 device sort per camera frame).
+    # Deduplication here is a SHAPE optimization, not a correctness
+    # requirement — duplicate voxel queries yield duplicate candidate
+    # rows pointing at the same map points and the per-cell
+    # scatter-argmin in select_tracked picks the identical winner — so
+    # the residual duplicates the hash pass keeps on slot collisions
+    # are harmless, while the candidate batch shrinks to half of max_pg
+    # (the degraded relay prices executables by array shape).
+    vox, vox_mask = _dedup_voxels(pg, pg_mask, max_pg // 2)
 
     rot32 = state.rot.astype(f32)
     pos32 = state.pos.astype(f32)
@@ -1206,7 +1243,7 @@ class Vio:
         pg_down, pg_mask = voxel_downsample_device(
             jnp.asarray(cloud), jnp.asarray(cmask), 0.2, self.max_pg
         )
-        vox, vox_mask = vmap_mod.voxel_of(pg_down), pg_mask
+        vox, vox_mask = _dedup_voxels(pg_down, pg_mask, self.max_pg // 2)
 
         n_pts = int(self.vmap.n_pts)
         stats = {"tracked": 0, "added": 0, "err": 0.0}

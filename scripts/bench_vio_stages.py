@@ -52,7 +52,7 @@ def main():
     vm0 = v.vmap
     gray = v._gray_device(imgs[-1][1])
     cloud_dev, n = v._last_cloud_dev
-    R = v.cloud_cap
+    R = cloud_dev.shape[0]  # scan-bucket shape (<= v.cloud_cap)
     cmask = jnp.asarray(np.arange(R) < min(n, R))
     fid = jnp.int32(v.fid)
     f32 = jnp.float32
