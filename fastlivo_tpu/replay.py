@@ -166,11 +166,23 @@ class BlockReplayer:
         self._last_po_bias = None
 
     def _stage(self, groups):
-        """Host-side staging of K groups into stacked device inputs."""
+        """Host-side staging of K groups into stacked device inputs.
+
+        Shapes are pow2-bucketed to the block's content (largest scan,
+        largest IMU-pair count) instead of the rig capacities — the
+        degraded relay prices executables by array shape, and a 32k-
+        capacity rig streaming 8k-point scans paid 4x on every stacked
+        array (same lever as pipeline._stage_scan). One compile per
+        distinct (scan bucket, imu bucket) pair."""
         p = self.pipe
         cap = p.cfg.capacity
-        P = cap.max_imu_per_group
-        R = cap.max_raw_points
+        n_scan_max = max(min(len(g.scan.pts), cap.max_raw_points)
+                         for g in groups)
+        n_imu_max = max(len(g.imu_t) + 1 for g in groups)
+        P = min(cap.max_imu_per_group,
+                1 << max(3, int(max(n_imu_max - 1, 1)).bit_length()))
+        R = min(cap.max_raw_points,
+                1 << max(10, int(max(n_scan_max - 1, 1)).bit_length()))
         K = len(groups)
         A = np.zeros((K, P, 3), np.float32)
         G = np.zeros((K, P, 3), np.float32)
@@ -283,7 +295,7 @@ class BlockReplayer:
             p.acc_s_last, p.angvel_last,
             jnp.float32(p.cfg.filter_size_surf),
             laser_point_cov=p.cfg.laser_point_cov,
-            max_points=cap.max_points,
+            max_points=min(cap.max_points, PTS.shape[1]),
             max_iter=p.cfg.max_iteration,
             knn_radius=cap.knn_voxel_radius,
             max_probe=cap.max_probe,
@@ -495,7 +507,8 @@ class LivoBlockReplayer:
     """
 
     def __init__(self, pipe, block: int = 8):
-        assert pipe.cfg.img_enable and pipe.vio is not None
+        # works LIO-only too (vio None): chained per-frame dispatches
+        # with block-packed readback, no scan-carried map
         self.pipe = pipe
         self.E = max(int(block), 1)
 
@@ -510,9 +523,11 @@ class LivoBlockReplayer:
         if self._per_frame_consumers():
             return self._run_deferred()
         collector = BlockReadCollector(p, self.E)
-        prev = (p.read_collector, p.vio.read_collector)
+        prev = (p.read_collector,
+                p.vio.read_collector if p.vio is not None else None)
         p.read_collector = collector
-        p.vio.read_collector = collector
+        if p.vio is not None:
+            p.vio.read_collector = collector
         try:
             if p.sync.reset_flagged:
                 p._reset_imu()
@@ -524,7 +539,9 @@ class LivoBlockReplayer:
             collector.drain()
             p.finish()  # warm-up frames may have used deferred reads
         finally:
-            p.read_collector, p.vio.read_collector = prev
+            p.read_collector = prev[0]
+            if p.vio is not None:
+                p.vio.read_collector = prev[1]
         return p.outputs
 
     def _run_deferred(self) -> List:
@@ -532,15 +549,18 @@ class LivoBlockReplayer:
         E-deep deferred readback (one read per frame, off the critical
         path by up to E frames)."""
         p = self.pipe
-        prev = (p.async_read, p.async_depth, p.vio.async_depth)
+        prev = (p.async_read, p.async_depth,
+                p.vio.async_depth if p.vio is not None else None)
         p.async_read = True
         p.async_depth = self.E
-        p.vio.async_depth = self.E
+        if p.vio is not None:
+            p.vio.async_depth = self.E
         try:
             p.spin()
             p.finish()  # end-of-stream barrier: resolve the deferred tail
         finally:
             p.async_read = prev[0]
             p.async_depth = prev[1]
-            p.vio.async_depth = prev[2]
+            if p.vio is not None:
+                p.vio.async_depth = prev[2]
         return p.outputs

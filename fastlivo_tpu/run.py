@@ -64,8 +64,24 @@ def _lidar_fields(msg_type: str, msg: dict, lidar_type: int) -> dict:
     raise ValueError(f"unsupported lidar_type {lidar_type} for {msg_type}")
 
 
+def _make_replayer(pipe: Pipeline, block: int, block_scan: bool = False):
+    """Default block replay = chained per-frame dispatches with
+    block-packed readback (LivoBlockReplayer; works LIO-only too) — it
+    never carries the geometric map through a lax.scan, which the
+    degraded relay mode prices per iteration (measured 46.7 vs 38.5
+    ms/frame LIO at E=8). `block_scan` opts into the scan-fused
+    lidar_block_step (LIO-only), which additionally amortizes the
+    ~0.2-0.5 ms per-dispatch cost and wins on attached hardware /
+    clean relay sessions."""
+    from .replay import BlockReplayer, LivoBlockReplayer
+
+    if block_scan and not pipe.cfg.img_enable:
+        return BlockReplayer(pipe, block)
+    return LivoBlockReplayer(pipe, block)
+
+
 def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
-            block: int = 0, rate: float = 0.0):
+            block: int = 0, rate: float = 0.0, block_scan: bool = False):
     """Replay a bag. `rate` > 0 paces messages at that multiple of
     wall-clock time by their receive stamps — the `rosbag play -r`
     role, for validating real-time behavior; 0 replays as fast as
@@ -88,10 +104,7 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
         topics.update(img_topics)
     replayer = None
     if block:
-        from .replay import BlockReplayer, LivoBlockReplayer
-
-        replayer = (LivoBlockReplayer(pipe, block) if cfg.img_enable
-                    else BlockReplayer(pipe, block))
+        replayer = _make_replayer(pipe, block, block_scan)
     n_frames = 0
     t_wall0 = time.perf_counter()
     t_bag0 = None
@@ -131,7 +144,7 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
 
 
 def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool,
-                  block: int = 0):
+                  block: int = 0, block_scan: bool = False):
     from .io.synthetic import SyntheticDataset
 
     cam = pipe.cfg.camera
@@ -155,10 +168,7 @@ def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool,
     for t, img in ds.images():
         pipe.push_img(t, img)
     if block:
-        from .replay import BlockReplayer, LivoBlockReplayer
-
-        rep = (LivoBlockReplayer(pipe, block) if pipe.cfg.img_enable
-               else BlockReplayer(pipe, block))
+        rep = _make_replayer(pipe, block, block_scan)
         outs = rep.run()
     else:
         outs = pipe.spin() + pipe.finish()
@@ -239,9 +249,15 @@ def main(argv=None):
     )
     ap.add_argument(
         "--block", type=int, default=0,
-        help="offline replay in N-event blocks (LIO: one device dispatch "
-        "per N frames; LIVO: chained per-frame dispatches with "
-        "N-frame-deep deferred readback)",
+        help="offline replay in N-event blocks: chained per-frame "
+        "dispatches with ONE packed device read per block",
+    )
+    ap.add_argument(
+        "--block-scan", action="store_true",
+        help="with --block in LIO mode: use the scan-fused "
+        "lidar_block_step (one device dispatch per N frames) instead "
+        "of chained dispatches — amortizes per-dispatch cost, best on "
+        "attached hardware",
     )
     ap.add_argument(
         "--sync-read", action="store_true",
@@ -339,7 +355,7 @@ def main(argv=None):
     ds = None
     if args.bag:
         n = run_bag(pipe, args.bag, args.max_frames, args.block,
-                    rate=args.rate)
+                    rate=args.rate, block_scan=args.block_scan)
     elif args.synthetic:
         if args.eval and args.block:
             # block replay does not collect per-frame covariances
@@ -349,7 +365,7 @@ def main(argv=None):
                      "run without --block")
         pipe.collect_cov = args.eval  # per-frame covariance for NEES
         n, ds = run_synthetic(pipe, args.duration, cfg.img_enable,
-                              args.block)
+                              args.block, block_scan=args.block_scan)
     else:
         ap.error("need --bag or --synthetic")
     wall = time.perf_counter() - t0

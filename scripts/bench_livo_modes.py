@@ -75,6 +75,14 @@ def main():
         from fastlivo_tpu.replay import LivoBlockReplayer
 
         rep = LivoBlockReplayer(pipe, block_e)
+    elif mode == "lio-block":
+        from fastlivo_tpu.replay import BlockReplayer
+
+        rep = BlockReplayer(pipe, block_e)
+    elif mode == "lio-chain-block":
+        from fastlivo_tpu.replay import LivoBlockReplayer
+
+        rep = LivoBlockReplayer(pipe, block_e)
     elif mode in ("frame-async", "lio-async"):
         pipe.async_read = True
 
@@ -101,7 +109,7 @@ def main():
     print(json.dumps({
         "mode": mode,
         "duration_s": duration,
-        "block_E": block_e if mode == "block" else 0,
+        "block_E": block_e if mode.endswith("block") else 0,
         "n_pairs_timed": n,
         "ms_per_pair": round(wall / max(n, 1) * 1e3, 2),
         "wall_s": round(wall, 3),
