@@ -687,15 +687,18 @@ def _dedup_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
     """Sort-free dedup + compaction of the scan cloud's 0.5 m voxel
     keys — the sub_feat_map key set (addFromSparseMap :361-380).
 
-    One spatial-hash scatter-min picks a winner row per hash slot; a
-    row survives if it IS the winner or if its key differs from the
-    winner's (a slot collision between distinct keys — kept as a
-    duplicate rather than dropped, so every unique key is preserved).
-    A cumsum then compacts survivors into the (max_vox,) output.
-    O(M) scatter/gather ops vs the O(M log M) s64 sort np.unique
-    semantics required; downstream consumers are duplicate-idempotent
-    (select_tracked's per-cell scatter-argmin), so keeping the rare
-    collision duplicates is exact."""
+    Linear-probed spatial hash: each round, unresolved rows scatter-min
+    their row id at slot (h+round); a row whose slot winner carries the
+    SAME key is resolved (the winner represents the key), winners are
+    kept, and rows whose winner holds a DIFFERENT key (slot collision
+    between distinct keys) re-compete at the next probe offset. After
+    four rounds the still-unresolved leftovers are kept verbatim —
+    possibly duplicates, at ~p^4 collision probability — so every
+    unique key always survives. A cumsum compacts survivors into the
+    (max_vox,) output. O(M) scatter/gather ops vs the O(M log M) s64
+    sort np.unique semantics required; downstream consumers are
+    duplicate-idempotent (select_tracked's per-cell scatter-argmin), so
+    surviving duplicates are exact."""
     keys = vmap_mod.voxel_of(pg)  # (M, 3) int32
     M = keys.shape[0]
     TB = 1 << int(M).bit_length()  # 2M hash slots (static)
@@ -706,10 +709,19 @@ def _dedup_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
     ) & jnp.int32(TB - 1)
     rid = jnp.arange(M, dtype=jnp.int32)
     rid_m = jnp.where(pg_mask, rid, M)
-    win = jnp.full(TB, M, jnp.int32).at[h].min(rid_m, mode="drop")
-    w = win[h]  # winning row of this row's slot
-    same_key = jnp.all(keys == keys[jnp.clip(w, 0, M - 1)], axis=-1)
-    keep = pg_mask & ((w == rid) | ~same_key)
+    resolved = ~pg_mask
+    is_winner = jnp.zeros(M, bool)
+    for p in range(4):
+        slot_p = (h + p) & jnp.int32(TB - 1)
+        contend = jnp.where(resolved, M, rid_m)
+        win = jnp.full(TB, M, jnp.int32).at[slot_p].min(
+            contend, mode="drop"
+        )
+        w = win[slot_p]
+        same_key = jnp.all(keys == keys[jnp.clip(w, 0, M - 1)], axis=-1)
+        is_winner = is_winner | (~resolved & (w == rid))
+        resolved = resolved | (~resolved & (w < M) & same_key)
+    keep = pg_mask & (is_winner | ~resolved)
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     out_idx = jnp.where(keep & (rank < max_vox), rank, max_vox)
     vox = jnp.zeros((max_vox, 3), jnp.int32).at[out_idx].set(

@@ -94,3 +94,78 @@ def test_fused_equals_staged():
     und_np = np.asarray(und)
     exp = und_np @ np.asarray(rot32).T + np.asarray(pos32)
     np.testing.assert_allclose(dw, exp[np.asarray(rmask)], atol=1e-5)
+
+
+def test_stage_scan_matches_padded_arrays():
+    """stage_scan's one packed upload == the zero-padded 3-array form
+    the fused step consumed before round 4 (pipeline._stage_scan)."""
+    from fastlivo_tpu.frame_step import stage_scan
+
+    rng = np.random.default_rng(7)
+    N, B, R = 900, 1024, 1024
+    pts = rng.normal(size=(N, 3)).astype(np.float32)
+    trel = rng.uniform(0, 0.1, N).astype(np.float32)
+    w = np.zeros((B + 1, 4), np.float32)
+    w[:N, 0:3] = pts
+    w[:N, 3] = trel
+    w[B, 0] = N
+    p_j, t_j, m_j = stage_scan(jnp.asarray(w), R=R)
+    buf = np.zeros((R, 3), np.float32); buf[:N] = pts
+    tr = np.zeros(R, np.float32); tr[:N] = trel
+    mask = np.zeros(R, bool); mask[:N] = True
+    np.testing.assert_array_equal(np.asarray(p_j), buf)
+    np.testing.assert_array_equal(np.asarray(t_j), tr)
+    np.testing.assert_array_equal(np.asarray(m_j), mask)
+
+    # bucket smaller than capacity: device-side pad to R
+    p_j, t_j, m_j = stage_scan(jnp.asarray(w), R=2048)
+    assert p_j.shape == (2048, 3)
+    np.testing.assert_array_equal(np.asarray(p_j)[:N], pts)
+    assert not np.asarray(m_j)[N:].any()
+
+
+def test_stats_carries_map_occupancy():
+    """stats[28] = the posterior map's occupancy scalar (n_alloc/count),
+    so load-factor checks never need a blocking device read."""
+    world = make_room_points(step=0.15)
+    m = build_map(world, voxel=0.3, table=1 << 16)
+    rng = np.random.default_rng(4)
+    Npts = 1500
+    pos0 = np.array([0.3, -0.2, 1.1])
+    pts = scan_from_pose(world, np.eye(3), pos0, n=Npts, rng=rng,
+                         noise=0.003)
+    R = 2048
+    buf = np.zeros((R, 3), np.float32); buf[:Npts] = pts
+    tr = np.zeros(R, np.float32)
+    tr[:Npts] = np.sort(rng.uniform(0, 0.1, Npts)).astype(np.float32)
+    pm = np.zeros(R, bool); pm[:Npts] = True
+    s = identity_state()._replace(
+        pos=jnp.asarray(pos0), grav=jnp.asarray([0.0, 0.0, -9.81]))
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0),
+        cov_acc=jnp.full(3, 0.01, jnp.float32),
+        cov_gyr=jnp.full(3, 0.001, jnp.float32),
+        cov_bias_acc=jnp.full(3, 1e-5, jnp.float32),
+        cov_bias_gyr=jnp.full(3, 1e-5, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
+    )
+    P = 4
+    pose = imu_mod.PoseTable(
+        offs=jnp.asarray(np.linspace(0, 0.1, P).astype(np.float32)),
+        rot=jnp.tile(jnp.asarray(s.rot, jnp.float32)[None], (P, 1, 1)),
+        pos=jnp.tile(jnp.asarray(s.pos, jnp.float32)[None], (P, 1)),
+        vel=jnp.zeros((P, 3), jnp.float32),
+        acc=jnp.zeros((P, 3), jnp.float32),
+        gyr=jnp.zeros((P, 3), jnp.float32),
+    )
+    out = lidar_frame_step(
+        s, m, pose, calib, jnp.asarray(buf), jnp.asarray(tr),
+        jnp.asarray(pm), jnp.float32(0.3), laser_point_cov=0.001,
+        max_points=2048, max_iter=2, knn_radius=1, max_probe=12,
+    )
+    m2, stats = out[1], np.asarray(out[8])
+    assert stats.shape == (29,)
+    occ = m2.n_alloc if hasattr(m2, "n_alloc") else m2.count
+    assert stats[28] == float(occ)
+    assert stats[28] > 0

@@ -303,3 +303,45 @@ def test_merge_pose_packs_matches_host_merge():
     np.testing.assert_array_equal(np.asarray(got.vel), pad(rows[:, 13:16]))
     np.testing.assert_array_equal(np.asarray(got.acc), pad(rows[:, 16:19]))
     np.testing.assert_array_equal(np.asarray(got.gyr), pad(rows[:, 19:22]))
+
+
+def test_propagate_wire_matches_unpacked():
+    """propagate_wire (one packed upload) == propagate_packed on the
+    same prepared pairs, bit for bit."""
+    import jax
+    from fastlivo_tpu.state import identity_state
+
+    rng = np.random.default_rng(11)
+    n = 10
+    imu_t = np.sort(rng.uniform(0.0, 0.1, n + 1))
+    acc = rng.normal(0, 0.3, (n + 1, 3)) + [0, 0, 9.81]
+    gyr = rng.normal(0, 0.1, (n + 1, 3))
+    P = 16
+    a, g, d, o, v, td, r0 = imu_mod.prepare_pairs(
+        imu_t, acc, gyr, beg_time=0.0, end_time=0.105,
+        last_end_time=0.005, max_pairs=P,
+    )
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0),
+        cov_acc=jnp.full(3, 0.01, jnp.float32),
+        cov_gyr=jnp.full(3, 0.001, jnp.float32),
+        cov_bias_acc=jnp.full(3, 1e-5, jnp.float32),
+        cov_bias_gyr=jnp.full(3, 1e-5, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
+    )
+    s = identity_state()._replace(grav=jnp.asarray([0.0, 0.0, -9.81]))
+    z3 = jnp.zeros(3, jnp.float32)
+    ref = imu_mod.propagate_packed(
+        s, jnp.asarray(a), jnp.asarray(g), jnp.asarray(d), jnp.asarray(o),
+        jnp.asarray(v), jnp.asarray(td), z3, z3, calib,
+        row0_off=jnp.asarray(r0),
+    )
+    wire = imu_mod.pack_pairs_wire(a, g, d, o, v, td, r0)
+    got = imu_mod.propagate_wire(s, jnp.asarray(wire), z3, z3, calib)
+    for r, w in zip(ref, got):
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(r)[0]),
+            np.asarray(jax.tree_util.tree_leaves(w)[0]),
+        )
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))

@@ -358,3 +358,24 @@ def test_u8_frame_ring_matches_f32(ds):
     d = np.abs(runs[True][0] - runs[False][0]).max()
     assert d < 2e-3, f"u8 ring diverged from f32: max |dpos| = {d}"
     assert runs[True][1][-1] > 10, runs[True][1]
+
+
+def test_dedup_voxels_preserves_unique_keys():
+    """Sort-free _dedup_voxels: every unique 0.5 m voxel key of the
+    masked-in points survives (collisions may add harmless duplicates,
+    never drop a key), and emitted rows are exactly those keys."""
+    import fastlivo_tpu.vio as vio_mod
+
+    rng = np.random.default_rng(3)
+    M = 4096
+    pg = rng.uniform(-3, 3, (M, 3)).astype(np.float32)  # ~1.7k voxels < max_vox
+    mask = rng.random(M) < 0.9
+    vox, vmask = vio_mod._dedup_voxels(
+        jnp.asarray(pg), jnp.asarray(mask), M // 2
+    )
+    vox = np.asarray(vox)[np.asarray(vmask)]
+    want = np.unique(np.floor(pg[mask] / 0.5).astype(np.int32), axis=0)
+    got = np.unique(vox, axis=0)
+    np.testing.assert_array_equal(got, want)
+    # duplicates kept on collisions are bounded: far fewer rows than M
+    assert len(vox) < len(want) + 64
