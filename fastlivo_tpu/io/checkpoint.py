@@ -57,7 +57,12 @@ def load(path: str | Path):
     vkeys = [k for k in z.files if k.startswith("vmap/")]
     visual = None
     if vkeys:
+        # ignore fields older snapshots carried that the current
+        # VisualMap no longer stores (obs_f/obs_campos are derived
+        # since round 4)
+        fields = set(vmap_mod.VisualMap._fields)
         visual = vmap_mod.VisualMap(**{
             k.split("/", 1)[1]: jnp.asarray(z[k]) for k in vkeys
+            if k.split("/", 1)[1] in fields
         })
     return state, m, visual

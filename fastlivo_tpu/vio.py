@@ -279,7 +279,9 @@ def select_tracked(
     t_ok = has_map & depth_ok & ref["ok"]
 
     depth_ref = jnp.linalg.norm(ref["campos"] - wpos, axis=-1)
-    f_ref = ref["f"]
+    # bearing derived from the stored pixel (Feature::f = cam2world(px),
+    # the exact function the stored f was computed with)
+    f_ref = cam_mod.cam2world(cam, ref["px"])
     xyz_ref = f_ref * depth_ref[:, None]
     # pixel offsets on the ref image (level_ref = 0, pyramid_level = 0)
     du_px = ref["px"] + jnp.asarray([half, 0.0], img.dtype)
@@ -432,7 +434,7 @@ def select_new_points(
         wpc = cam_mod.world2cam(cam, w_cam)
         wscore = img_ops.shi_tomasi(img, wpc)
     add = found & (wscore > cell_value)  # beats the map (:160)
-    return pg[row], wpc, cam_mod.cam2world(cam, wpc), wscore, add
+    return pg[row], wpc, wscore, add
 
 
 @functools.partial(
@@ -816,7 +818,7 @@ def vio_frame_step(
         grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
         ncc_en=ncc_en, axis_name=axis_name,
     )
-    npos, npx, nf, nscore, nadd = select_new_points(
+    npos, npx, nscore, nadd = select_new_points(
         cam, rcw, pcw, gray, pg, pg_mask, tracked.cell_value,
         grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
         axis_name=axis_name,
@@ -850,14 +852,14 @@ def vio_frame_step(
 
     rcw2 = Rci @ st.rot.astype(f32).T
     pcw2 = -rcw2 @ st.pos.astype(f32) + Pci
-    opc, of, oscore, oadd = prep_observations(
+    opc, oscore, oadd = prep_observations(
         vm2, cam, rcw2, pcw2, gray, t_idx, t_valid
     )
     vm2 = vmap_mod.add_observations(
-        vm2, t_idx, opc, of, rcw2, pcw2, oscore, fid,
+        vm2, t_idx, opc, rcw2, pcw2, oscore, fid,
         t_slevel, oadd,
     )
-    vm2 = vmap_mod.add_points(vm2, npos, npx, nf, rcw, pcw, nscore, fid, nadd)
+    vm2 = vmap_mod.add_points(vm2, npos, npx, rcw, pcw, nscore, fid, nadd)
     n_tracked = jnp.sum(t_valid, dtype=jnp.int32)
     n_added = jnp.sum(nadd, dtype=jnp.int32)
     f64 = jnp.float64
@@ -915,8 +917,7 @@ def prep_observations(
         (delta_p > 0.5) | (delta_theta > 10.0) | (pix_dist > 40.0)
     )
     score = img_ops.shi_tomasi(img, pc)
-    f = cam_mod.cam2world(cam, pc)
-    return pc, f, score, add
+    return pc, score, add
 
 
 def render_overlay(gray: np.ndarray, px: np.ndarray, errors: np.ndarray,
@@ -1276,7 +1277,7 @@ class Vio:
             cell_value = jnp.zeros(self.gw * self.gh, jnp.float32)
 
         # --- addSparseMap with the PRIOR pose (:1054 runs before ComputeJ)
-        npos, npx, nf, nscore, nadd = select_new_points(
+        npos, npx, nscore, nadd = select_new_points(
             self.cam, rcw_j, pcw_j, gray,
             jnp.asarray(pg_down), jnp.asarray(pg_mask), cell_value,
             grid_size=self.grid_size, patch_size=self.patch_size,
@@ -1304,12 +1305,12 @@ class Vio:
             # --- addObservation with the POSTERIOR pose (:1064) ----------
             rcw2 = np.asarray(self.Rci) @ np.asarray(state.rot, np.float32).T
             pcw2 = -rcw2 @ np.asarray(state.pos, np.float32) + np.asarray(self.Pci)
-            opc, of, oscore, oadd = prep_observations(
+            opc, oscore, oadd = prep_observations(
                 self.vmap, self.cam, jnp.asarray(rcw2), jnp.asarray(pcw2),
                 gray, tracked.idx, tracked.valid,
             )
             self.vmap = vmap_mod.add_observations(
-                self.vmap, tracked.idx, opc, of, jnp.asarray(rcw2),
+                self.vmap, tracked.idx, opc, jnp.asarray(rcw2),
                 jnp.asarray(pcw2), oscore, fid, tracked.search_level, oadd,
             )
             if self.cfg.debug:
@@ -1320,7 +1321,7 @@ class Vio:
 
         # new map points carry the prior-pose first observation (:178-190)
         self.vmap = vmap_mod.add_points(
-            self.vmap, npos, npx, nf, rcw_j, pcw_j, nscore, fid, nadd
+            self.vmap, npos, npx, rcw_j, pcw_j, nscore, fid, nadd
         )
         stats["added"] = int(jnp.sum(nadd))
         self.last_stats = stats

@@ -45,11 +45,15 @@ class VisualMap(NamedTuple):
     n_obs: jnp.ndarray  # (NP,) i32
     n_pts: jnp.ndarray  # () i32 allocation cursor
     # observation rings
+    # NOTE round 4: the bearing f (= cam2world(px), point.cpp Feature::f)
+    # and the camera center campos (= -rcw^T pcw) are NOT stored — both
+    # are exact functions of stored fields, and every camera frame pays
+    # a full copy of each obs array it scatters into (the obs rings are
+    # the VIO step's dominant HBM traffic), so 6 derived floats per obs
+    # were ~31 MB of pure copy per frame at the default capacities.
     obs_px: jnp.ndarray  # (NP, KO, 2) f32
-    obs_f: jnp.ndarray  # (NP, KO, 3) f32 camera-frame bearing
     obs_rcw: jnp.ndarray  # (NP, KO, 3, 3) f32 world->cam rotation
     obs_pcw: jnp.ndarray  # (NP, KO, 3) f32 world->cam translation
-    obs_campos: jnp.ndarray  # (NP, KO, 3) f32 camera center in world
     obs_slot: jnp.ndarray  # (NP, KO) i32 image ring slot
     obs_fid: jnp.ndarray  # (NP, KO) i32 frame id (-1 empty)
     obs_level: jnp.ndarray  # (NP, KO) i32 feature level
@@ -89,10 +93,8 @@ def empty_visual_map(
         n_obs=jnp.zeros(NP, jnp.int32),
         n_pts=jnp.int32(0),
         obs_px=jnp.zeros((NP, KO, 2), dtype),
-        obs_f=jnp.zeros((NP, KO, 3), dtype),
         obs_rcw=jnp.zeros((NP, KO, 3, 3), dtype),
         obs_pcw=jnp.zeros((NP, KO, 3), dtype),
-        obs_campos=jnp.zeros((NP, KO, 3), dtype),
         obs_slot=jnp.zeros((NP, KO), jnp.int32),
         obs_fid=jnp.full((NP, KO), -1, jnp.int32),
         obs_level=jnp.zeros((NP, KO), jnp.int32),
@@ -132,7 +134,6 @@ def add_points(
     m: VisualMap,
     pts: jnp.ndarray,  # (B, 3) world positions
     px: jnp.ndarray,  # (B, 2) pixel of first observation
-    f: jnp.ndarray,  # (B, 3) bearing
     rcw: jnp.ndarray,  # (3, 3) current world->cam rotation
     pcw: jnp.ndarray,  # (3,) current world->cam translation
     value: jnp.ndarray,  # (B,) Shi-Tomasi scores
@@ -145,7 +146,7 @@ def add_points(
     # cast to the map dtype here so f64 callers don't rely on implicit
     # scatter downcasting (a hard error in future JAX releases)
     dt = m.pos.dtype
-    pts, px, f, value = (x.astype(dt) for x in (pts, px, f, value))
+    pts, px, value = (x.astype(dt) for x in (pts, px, value))
     rcw, pcw = rcw.astype(dt), pcw.astype(dt)
     NP = m.pos.shape[0]
     B = pts.shape[0]
@@ -159,18 +160,14 @@ def add_points(
     idx = jnp.where(mask, m.n_pts + order_idx, NP)  # NP = dropped
     n_new = jnp.sum(mask, dtype=jnp.int32)
 
-    campos = -pcw @ rcw  # R^T(-p): camera center in world
-
     mm = m._replace(
         pos=m.pos.at[idx].set(pts, mode="drop"),
         value=m.value.at[idx].set(value, mode="drop"),
         n_obs=m.n_obs.at[idx].set(1, mode="drop"),
         n_pts=m.n_pts + n_new,
         obs_px=m.obs_px.at[idx, 0].set(px, mode="drop"),
-        obs_f=m.obs_f.at[idx, 0].set(f, mode="drop"),
         obs_rcw=m.obs_rcw.at[idx, 0].set(rcw, mode="drop"),
         obs_pcw=m.obs_pcw.at[idx, 0].set(pcw, mode="drop"),
-        obs_campos=m.obs_campos.at[idx, 0].set(campos, mode="drop"),
         obs_slot=m.obs_slot.at[idx, 0].set(fid % m.imgs.shape[0], mode="drop"),
         obs_fid=m.obs_fid.at[idx, 0].set(fid, mode="drop"),
         obs_level=m.obs_level.at[idx, 0].set(0, mode="drop"),
@@ -267,8 +264,8 @@ def compact(m: VisualMap, center: jnp.ndarray, radius) -> VisualMap:
 
     m2 = m._replace(
         pos=g(m.pos), value=g(m.value), n_obs=g(m.n_obs), n_pts=n2,
-        obs_px=g(m.obs_px), obs_f=g(m.obs_f), obs_rcw=g(m.obs_rcw),
-        obs_pcw=g(m.obs_pcw), obs_campos=g(m.obs_campos),
+        obs_px=g(m.obs_px), obs_rcw=g(m.obs_rcw),
+        obs_pcw=g(m.obs_pcw),
         obs_slot=g(m.obs_slot), obs_fid=g(m.obs_fid),
         obs_level=g(m.obs_level),
         vox_keys=jnp.full_like(m.vox_keys, EMPTY),
@@ -324,7 +321,12 @@ def close_view_obs(m: VisualMap, idx: jnp.ndarray, campos: jnp.ndarray):
     pos = m.pos[safe]  # (K, 3)
     obs_dir = campos[None, :] - pos
     obs_dir = obs_dir / (jnp.linalg.norm(obs_dir, axis=-1, keepdims=True) + 1e-12)
-    dirs = m.obs_campos[safe] - pos[:, None, :]  # (K, KO, 3)
+    # camera centers derived from the stored pose (campos = -pcw @ rcw,
+    # the exact expression add_* evaluated when it was stored)
+    camposes = -jnp.einsum(
+        "koj,koji->koi", m.obs_pcw[safe], m.obs_rcw[safe]
+    )  # (K, KO, 3)
+    dirs = camposes - pos[:, None, :]  # (K, KO, 3)
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
     cos = jnp.einsum("kj,koj->ko", obs_dir, dirs)
     fid = m.obs_fid[safe]  # (K, KO)
@@ -345,10 +347,9 @@ def close_view_obs(m: VisualMap, idx: jnp.ndarray, campos: jnp.ndarray):
 
     return {
         "px": take(m.obs_px[safe]),
-        "f": take(m.obs_f[safe]),
         "rcw": take(m.obs_rcw[safe]),
         "pcw": take(m.obs_pcw[safe]),
-        "campos": take(m.obs_campos[safe]),
+        "campos": take(camposes),
         "slot": take(m.obs_slot[safe]),
         "fid": take(fid),
         "level": take(m.obs_level[safe]),
@@ -362,7 +363,6 @@ def add_observations(
     m: VisualMap,
     idx: jnp.ndarray,  # (K,) point indices (unique)
     px: jnp.ndarray,  # (K, 2)
-    f: jnp.ndarray,  # (K, 3)
     rcw: jnp.ndarray,  # (3, 3)
     pcw: jnp.ndarray,  # (3,)
     value: jnp.ndarray,  # (K,) new Shi-Tomasi values
@@ -374,7 +374,7 @@ def add_observations(
     the ring is full, overwrite the furthest-view observation
     (getFurthestViewObs eviction, point.cpp:219-247)."""
     dt = m.pos.dtype
-    px, f, value = px.astype(dt), f.astype(dt), value.astype(dt)
+    px, value = px.astype(dt), value.astype(dt)
     rcw, pcw = rcw.astype(dt), pcw.astype(dt)
     KO = m.obs_px.shape[1]
     NP = m.pos.shape[0]
@@ -382,8 +382,11 @@ def add_observations(
     campos = -pcw @ rcw
     n = m.n_obs[safe]
     full = n >= KO
+    camposes = -jnp.einsum(
+        "koj,koji->koi", m.obs_pcw[safe], m.obs_rcw[safe]
+    )
     dist = jnp.linalg.norm(
-        m.obs_campos[safe] - campos[None, None, :], axis=-1
+        camposes - campos[None, None, :], axis=-1
     )  # (K, KO)
     dist = jnp.where(m.obs_fid[safe] >= 0, dist, -1.0)
     evict = jnp.argmax(dist, axis=-1)
@@ -394,10 +397,8 @@ def add_observations(
         value=m.value.at[widx].set(value, mode="drop"),
         n_obs=m.n_obs.at[widx].set(jnp.minimum(n + 1, KO), mode="drop"),
         obs_px=m.obs_px.at[widx, w].set(px, mode="drop"),
-        obs_f=m.obs_f.at[widx, w].set(f, mode="drop"),
         obs_rcw=m.obs_rcw.at[widx, w].set(rcw, mode="drop"),
         obs_pcw=m.obs_pcw.at[widx, w].set(pcw, mode="drop"),
-        obs_campos=m.obs_campos.at[widx, w].set(campos, mode="drop"),
         obs_slot=m.obs_slot.at[widx, w].set(slot, mode="drop"),
         obs_fid=m.obs_fid.at[widx, w].set(fid, mode="drop"),
         obs_level=m.obs_level.at[widx, w].set(level, mode="drop"),

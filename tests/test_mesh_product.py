@@ -136,13 +136,13 @@ def test_select_new_points_sharded_bitexact(tracked_inputs):
     fn = shard_map(
         functools.partial(vio_mod.select_new_points, axis_name="dp",
                           **statics),
-        mesh=mesh, in_specs=(P(),) * 7, out_specs=(P(),) * 5,
+        mesh=mesh, in_specs=(P(),) * 7, out_specs=(P(),) * 4,
         check_vma=False,
     )
     got = fn(vio.cam, t["rcw"], t["pcw"], t["gray"], t["pg"], t["pg_mask"],
              cell_value)
-    assert int(jnp.sum(ref[4])) > 5  # some points actually added
-    for r, g, name in zip(ref, got, ("pos", "px", "f", "score", "add")):
+    assert int(jnp.sum(ref[3])) > 5  # some points actually added
+    for r, g, name in zip(ref, got, ("pos", "px", "score", "add")):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
                                       err_msg=name)
 

@@ -26,7 +26,7 @@ def test_add_points_and_voxel_lookup():
     ], jnp.float32)
     rcw, pcw = id_pose()
     m = vmap.add_points(
-        m, pts, jnp.zeros((4, 2)), jnp.tile(jnp.asarray([0., 0., 1.]), (4, 1)),
+        m, pts, jnp.zeros((4, 2)),
         rcw, pcw, jnp.asarray([5., 6., 7., 8.]), jnp.int32(0),
         jnp.asarray([True, True, True, False]),
     )
@@ -50,7 +50,7 @@ def test_add_points_capacity_drop():
     B = 300  # exceeds NP=256
     pts = jnp.asarray(np.random.default_rng(0).uniform(0, 50, (B, 3)), jnp.float32)
     m = vmap.add_points(
-        m, pts, jnp.zeros((B, 2)), jnp.zeros((B, 3)), rcw, pcw,
+        m, pts, jnp.zeros((B, 2)), rcw, pcw,
         jnp.zeros(B), jnp.int32(0), jnp.ones(B, bool),
     )
     assert int(m.n_pts) == 256
@@ -61,7 +61,7 @@ def test_observation_ring_and_eviction():
     rcw, pcw = id_pose()
     pts = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
     m = vmap.add_points(
-        m, pts, jnp.zeros((1, 2)), jnp.asarray([[0., 0., 1.]]), rcw, pcw,
+        m, pts, jnp.zeros((1, 2)), rcw, pcw,
         jnp.asarray([5.0]), jnp.int32(0), jnp.ones(1, bool),
     )
     # add 5 more obs from different camera positions (ring cap 4)
@@ -70,7 +70,7 @@ def test_observation_ring_and_eviction():
         m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
         m = vmap.add_observations(
             m, jnp.asarray([0], jnp.int32), jnp.asarray([[k * 2.0, 0.0]]),
-            jnp.asarray([[0., 0., 1.]]), rcw, pcw_k, jnp.asarray([9.0]),
+            rcw, pcw_k, jnp.asarray([9.0]),
             jnp.int32(k), jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
         )
     assert int(m.n_obs[0]) == 4  # capped
@@ -85,7 +85,7 @@ def test_close_view_obs_picks_best_angle():
     m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(0))
     # first obs from camera at origin (dir (0,0,-1) from point)
     m = vmap.add_points(
-        m, pt, jnp.zeros((1, 2)), jnp.asarray([[0., 0., 1.]]), rcw,
+        m, pt, jnp.zeros((1, 2)), rcw,
         jnp.zeros(3, jnp.float32), jnp.asarray([1.0]), jnp.int32(0),
         jnp.ones(1, bool),
     )
@@ -95,7 +95,7 @@ def test_close_view_obs_picks_best_angle():
     m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(1))
     m = vmap.add_observations(
         m, jnp.asarray([0], jnp.int32), jnp.asarray([[7.0, 8.0]]),
-        jnp.asarray([[0., 0., 1.]]), rcw2, pcw2, jnp.asarray([2.0]),
+        rcw2, pcw2, jnp.asarray([2.0]),
         jnp.int32(1), jnp.ones(1, jnp.int32), jnp.ones(1, bool),
     )
     # current camera near origin -> first obs is closest in angle
@@ -119,7 +119,7 @@ def test_recycled_image_slot_invalidates_obs():
     m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(0))
     m = vmap.add_points(
         m, jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32), jnp.zeros((1, 2)),
-        jnp.asarray([[0., 0., 1.]]), rcw, pcw, jnp.asarray([1.0]),
+        rcw, pcw, jnp.asarray([1.0]),
         jnp.int32(0), jnp.ones(1, bool),
     )
     # push 4 more images: slot 0 (fid 0) is recycled by fid 4
@@ -150,7 +150,7 @@ def test_compact_reclaims_capacity_and_keeps_queries():
     B = len(pts)
     m = vmap_mod.add_points(
         m, jnp.asarray(pts), jnp.zeros((B, 2), jnp.float32),
-        jnp.zeros((B, 3), jnp.float32), jnp.eye(3, dtype=jnp.float32),
+        jnp.eye(3, dtype=jnp.float32),
         jnp.zeros(3, jnp.float32), jnp.ones(B, jnp.float32),
         jnp.int32(0), jnp.ones(B, bool),
     )
