@@ -118,6 +118,10 @@ class Pipeline:
         # call site; laser_point_cov is consumed via asarray(·, f64).
         self._fss_dev = jnp.float32(cfg.filter_size_surf)
         self._lpc_dev = jnp.asarray(float(cfg.laser_point_cov), jnp.float64)
+        # grow-only pow2 shape buckets (see _stage_scan / _propagate):
+        # stable executable shapes under sensor-size jitter
+        self._scan_bucket = 0
+        self._imu_bucket = 0
         self.profile_every = 0  # >0: staged re-dispatch every N frames
         self._n_steady = 0  # steady-state lidar frames (profile cadence)
         self.last_stage_profile: Optional[dict] = None
@@ -373,6 +377,8 @@ class Pipeline:
         # covariance recursion for rows that are masked no-ops
         n_rows = max(len(imu_t) - 1, 0)
         B = min(cap, 1 << max(3, int(max(n_rows - 1, 1)).bit_length()))
+        B = max(B, self._imu_bucket)  # grow-only (see _stage_scan)
+        self._imu_bucket = B
         wire = imu_mod.pack_pairs_wire(
             acc_avg[:B], gyr_avg[:B], dt[:B], offs[:B], valid[:B],
             tail_dt, row0_off
@@ -912,6 +918,12 @@ class Pipeline:
         N=4096 for identical content. One compile per distinct bucket."""
         rawcap = self.cfg.capacity.max_raw_points
         B = min(rawcap, 1 << max(10, int(max(N - 1, 1)).bit_length()))
+        # monotonic: real sensors jitter around their nominal scan size,
+        # and a bucket that flips across a pow2 boundary would retrace
+        # the fused step (a multi-second remote compile) every crossing.
+        # Growing-only costs at most one recompile per boundary reached.
+        B = max(B, self._scan_bucket)
+        self._scan_bucket = B
         w = np.zeros((B + 1, 4), np.float32)
         w[:N, 0:3] = pts_np
         w[:N, 3] = t_rel_np

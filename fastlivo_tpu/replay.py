@@ -164,6 +164,8 @@ class BlockReplayer:
         # slider and the logger's pre-row biases without device reads
         self._last_po_pos = None
         self._last_po_bias = None
+        self._scan_bucket = 0  # grow-only pow2 shape buckets (_stage)
+        self._imu_bucket = 0
 
     def _stage(self, groups):
         """Host-side staging of K groups into stacked device inputs.
@@ -183,6 +185,10 @@ class BlockReplayer:
                 1 << max(3, int(max(n_imu_max - 1, 1)).bit_length()))
         R = min(cap.max_raw_points,
                 1 << max(10, int(max(n_scan_max - 1, 1)).bit_length()))
+        # grow-only: block-to-block bucket flips would retrace the
+        # fused block step (multi-second remote compile) every flip
+        P = self._imu_bucket = max(P, self._imu_bucket)
+        R = self._scan_bucket = max(R, self._scan_bucket)
         K = len(groups)
         A = np.zeros((K, P, 3), np.float32)
         G = np.zeros((K, P, 3), np.float32)

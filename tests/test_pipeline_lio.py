@@ -189,3 +189,34 @@ def test_profile_every_works_under_async_read():
     assert prof is not None
     assert set(prof) == {"undistort", "downsample", "ekf", "map"}
     assert all(v > 0.0 for v in prof.values())
+
+
+def test_varying_scan_sizes_grow_only_bucket():
+    """Real sensors jitter around their nominal scan size; the fused
+    step's pow2 shape bucket must grow monotonically (no flip-flopping
+    retraces) and the pipeline must track through mixed-size scans."""
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=3
+    )
+    cfg = small_config()
+    pipe = Pipeline(cfg)
+    rng = np.random.default_rng(5)
+    buckets = []
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        # truncate each scan to a random size straddling a pow2 boundary
+        n = int(rng.integers(1900, 2600))
+        pipe.push_lidar(beg, pts[:n], t_rel[:n])
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) >= 40
+    # grow-only bucket: settled at the largest pow2 seen, never smaller
+    assert pipe._scan_bucket == 4096  # pow2 >= 2600, min 1024 -> 4096
+    # trajectory still tracks (loose gate: mixed sizes, short run)
+    errs = []
+    for o in outs:
+        if o.t < 2.5:
+            continue
+        _, gt_pos = ds.traj.pose(o.t)
+        errs.append(np.linalg.norm(o.pos - (gt_pos - ds.traj.base_pos)))
+    assert np.sqrt(np.mean(np.square(errs))) < 0.05
