@@ -292,15 +292,17 @@ def gather_voxel_points(
     tmask = T - 1
     slot, qcheck = _slot_check(vox, tmask)
     qcheck = jnp.where(vmask, qcheck, EMPTY + 1)
-    resolved = jnp.full(vox.shape[0], T, jnp.int32)
-    found = jnp.zeros(vox.shape[0], bool)
-    for _ in range(max_probe):
-        cur = m.vox_keys[slot]
-        hit = (cur == qcheck) & ~found
-        resolved = jnp.where(hit, slot, resolved)
-        found = found | hit
-        slot = (slot + 1) & tmask
-    safe = jnp.minimum(resolved, T - 1)
+    # the probe chain is `max_probe` CONSECUTIVE slots — gather them in
+    # ONE (Nv, P) lookup and take the first key hit, instead of P
+    # sequential gather/compare rounds (the degraded relay prices the
+    # executable per op; this was ~4x the op count of the whole lookup)
+    probes = (slot[:, None]
+              + jnp.arange(max_probe, dtype=jnp.int32)[None, :]) & tmask
+    hit = m.vox_keys[probes] == qcheck[:, None]  # (Nv, P)
+    found = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1)
+    resolved = jnp.take_along_axis(probes, first[:, None], axis=1)[:, 0]
+    safe = jnp.where(found, resolved, 0)
     idx = m.vox_idx[safe]  # (Nv, VC)
     cnt = jnp.where(found, m.vox_count[safe], 0)
     valid = jnp.arange(VC)[None, :] < cnt[:, None]
