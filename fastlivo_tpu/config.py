@@ -100,14 +100,20 @@ class CapacityConfig:
     vmap_obs: int = 20  # observations per point (lidar_selection.cpp:944)
     vmap_voxel_cap: int = 8  # visual points indexed per 0.5 m voxel
     vmap_table_size: int = 1 << 18  # visual voxel-hash slots
-    frame_ring: int = 64  # reference-image ring buffer depth
-    # store the ring quantized to u8 (4x deeper ring per byte of HBM;
-    # the reference itself keeps frames as u8 cv::Mats, feature.h:40).
-    # Quantified on the 25 s yaw-sweep revisit scenario
-    # (scripts/quantify_ring_eviction.py): ring 64 loses ~17% late-run
-    # tracked points vs an unbounded control at +1.2% ATE; u8 buys a
-    # 4x deeper ring at the same memory to close that gap.
-    frame_ring_u8: bool = False
+    # Reference-image pool depth. Images are retained with the
+    # reference's shared_ptr semantics (feature.h:40): a slot is only
+    # reused once no live observation references its image; at
+    # saturation the least-referenced image is evicted
+    # (visual_map.push_image). Quantified on the 25 s yaw-sweep revisit
+    # scenario (scripts/quantify_ring_eviction.py).
+    frame_ring: int = 256
+    # store the pool quantized to u8 — the reference itself keeps
+    # frames as u8 cv::Mats (feature.h:40), and u8 buys a 4x deeper
+    # pool per byte of HBM (256 u8 slots = the old 64 f32 slots). An
+    # f32 pool (frame_ring_u8: false) preserves the fractional
+    # BGR->gray weights instead; the two trajectories differ only by
+    # the <=0.5-level ref-image quantization (tests/test_vio.py).
+    frame_ring_u8: bool = True
     max_tracked: int = 512  # padded sub_sparse_map size (grid cells)
     max_cands: int = 8192  # padded visual candidate gather size
 

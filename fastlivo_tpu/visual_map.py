@@ -11,11 +11,16 @@ fixed-capacity arrays with int32 indices (SURVEY.md §7):
   - observations store everything a `Feature` carries: pixel, bearing,
     world->camera pose at capture, camera center, pyramid level, plus an
     int32 slot into the reference-image ring;
-  - the reference keeps every observing image alive via shared_ptr
-    (unbounded memory); here images live in a bounded ring of R slots
-    and an observation whose slot has been overwritten is masked out of
-    `close_view_obs` (documented deviation: obs older than R frames lose
-    their reference image);
+  - the reference keeps an observing image alive exactly as long as
+    some Feature references it (shared_ptr, feature.h:40). Here images
+    live in a fixed pool of R slots managed with the SAME semantics:
+    `push_image` only reuses slots no live observation references
+    (refcounts recomputed from the obs rings on device), so a reference
+    image survives arbitrarily long loiter/revisit gaps while its
+    observation is alive. Only when ALL R slots are live-referenced does
+    the pool fall back to evicting the oldest image (bounded-memory
+    deviation, reachable only at saturation); an observation whose slot
+    was reclaimed is masked out of `close_view_obs`;
   - `feat_map` becomes an open-addressing voxel hash whose slots hold up
     to VC point indices (0.5 m voxels, AddPoint lidar_selection.cpp:
     204-230); a full voxel drops further inserts (the reference grows
@@ -116,11 +121,54 @@ def _slot_check(keys: jnp.ndarray, mask: int):
     return sc(keys, mask)
 
 
+def _live_slot_refs(m: VisualMap) -> jnp.ndarray:
+    """(R,) count of live observations referencing each image slot.
+
+    An observation holds its image alive iff its point is allocated,
+    the obs exists (fid >= 0), and the slot still stores that fid —
+    the batched equivalent of the reference's shared_ptr refcount on
+    Feature::img (feature.h:40)."""
+    NP, KO = m.obs_fid.shape
+    R = m.imgs.shape[0]
+    alive = (jnp.arange(NP, dtype=jnp.int32) < m.n_pts)[:, None]
+    slot = jnp.clip(m.obs_slot, 0, R - 1)
+    ok = alive & (m.obs_fid >= 0) & (m.img_fid[slot] == m.obs_fid)
+    return (
+        jnp.zeros(R, jnp.int32)
+        .at[jnp.where(ok, slot, R)]
+        .add(1, mode="drop")
+    )
+
+
+def _slot_of_fid(m: VisualMap, fid: jnp.ndarray) -> jnp.ndarray:
+    """Pool slot holding frame `fid` (0 if absent — an absent fid makes
+    the stored obs fail `close_view_obs`'s img_fid check, same as the
+    pre-pool ring behavior)."""
+    return jnp.argmax(m.img_fid == fid).astype(jnp.int32)
+
+
 @jax.jit
 def push_image(m: VisualMap, img: jnp.ndarray, fid: jnp.ndarray) -> VisualMap:
-    """Store the frame's grayscale image in ring slot fid % R."""
-    R = m.imgs.shape[0]
-    slot = fid % R
+    """Store the frame's grayscale image in the pool.
+
+    Slot policy (reference-parity shared_ptr semantics, feature.h:40):
+    prefer empty slots, then the oldest DEAD slot (stored image no live
+    observation references); only when every slot is live-referenced
+    evict the LEAST-REFERENCED image, oldest first on ties — the only
+    point the bounded pool can diverge from the reference's unbounded
+    retention, and least-refs maximizes the observations that survive
+    it (a heavily-referenced loiter keyframe outlives recent
+    one-observation frames). Re-pushing a fid already in the pool
+    reuses its slot (idempotent)."""
+    refs = _live_slot_refs(m)
+    # argmin key: re-push (-2) < empty (-1) < dead (img_fid, oldest
+    # first) < live ((1+min(refs,200))<<22 + img_fid: fewest refs, then
+    # oldest). Assumes fid < 2^22 (~116 h of 10 Hz frames) so dead keys
+    # stay below every live key and the live key fits int32.
+    live_key = ((jnp.minimum(refs, 200) + 1) << 22) + m.img_fid
+    key = jnp.where(refs > 0, live_key, m.img_fid)
+    key = jnp.where(m.img_fid == fid, jnp.int32(-2), key)
+    slot = jnp.argmin(key).astype(jnp.int32)
     if jnp.issubdtype(m.imgs.dtype, jnp.integer):
         img = jnp.round(jnp.clip(img, 0.0, 255.0))
     return m._replace(
@@ -168,7 +216,7 @@ def add_points(
         obs_px=m.obs_px.at[idx, 0].set(px, mode="drop"),
         obs_rcw=m.obs_rcw.at[idx, 0].set(rcw, mode="drop"),
         obs_pcw=m.obs_pcw.at[idx, 0].set(pcw, mode="drop"),
-        obs_slot=m.obs_slot.at[idx, 0].set(fid % m.imgs.shape[0], mode="drop"),
+        obs_slot=m.obs_slot.at[idx, 0].set(_slot_of_fid(m, fid), mode="drop"),
         obs_fid=m.obs_fid.at[idx, 0].set(fid, mode="drop"),
         obs_level=m.obs_level.at[idx, 0].set(0, mode="drop"),
     )
@@ -394,7 +442,7 @@ def add_observations(
     evict = jnp.argmax(dist, axis=-1)
     w = jnp.where(full, evict, jnp.minimum(n, KO - 1))  # (K,)
     widx = jnp.where(mask, safe, NP)
-    slot = fid % m.imgs.shape[0]
+    slot = _slot_of_fid(m, fid)
     return m._replace(
         value=m.value.at[widx].set(value, mode="drop"),
         n_obs=m.n_obs.at[widx].set(jnp.minimum(n + 1, KO), mode="drop"),

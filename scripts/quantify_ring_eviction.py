@@ -29,13 +29,14 @@ from fastlivo_tpu.run import run_synthetic
 DURATION = 25.0
 
 
-def run(ring: int):
+def run(ring: int, u8: bool = False):
     cfg = Config()
     cfg.img_enable = True
     cfg.capacity.max_raw_points = 2048
     cfg.capacity.max_points = 1024
     cfg.capacity.vmap_points = 8192
     cfg.capacity.frame_ring = ring
+    cfg.capacity.frame_ring_u8 = u8
     cfg.camera.width, cfg.camera.height = 320, 256
     cfg.camera.fx = cfg.camera.fy = 160.0
     cfg.camera.cx, cfg.camera.cy = 159.5, 127.5
@@ -64,5 +65,8 @@ def run(ring: int):
 
 
 if __name__ == "__main__":
-    for ring in (int(a) for a in (sys.argv[1:] or ["64", "320"])):
-        print(run(ring), flush=True)
+    # args like "64", "256u8"; default compares the shipped default
+    # (256-slot u8 pool) against a deeper f32 control
+    for a in sys.argv[1:] or ["256u8", "320"]:
+        u8 = a.endswith("u8")
+        print(run(int(a[:-2] if u8 else a), u8), flush=True)

@@ -113,21 +113,64 @@ def test_close_view_obs_picks_best_angle():
     assert not bool(ref3["ok"][0])
 
 
-def test_recycled_image_slot_invalidates_obs():
-    m = small_map()  # ring of 4
+def test_referenced_image_survives_pool_churn():
+    """shared_ptr retention parity (feature.h:40): an image stays in the
+    pool as long as a live observation references it, however many
+    frames later — push_image only reuses DEAD slots."""
+    m = small_map()  # pool of 4
     rcw, pcw = id_pose()
-    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(0))
+    m = vmap.push_image(m, jnp.full((32, 40), 7.0), jnp.int32(0))
     m = vmap.add_points(
         m, jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32), jnp.zeros((1, 2)),
         rcw, pcw, jnp.asarray([1.0]),
         jnp.int32(0), jnp.ones(1, bool),
     )
-    # push 4 more images: slot 0 (fid 0) is recycled by fid 4
-    for k in range(1, 5):
+    # push 12 unreferenced images (3x the pool size): they must churn
+    # through the 3 dead slots and never touch fid 0's
+    for k in range(1, 13):
         m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
     ref = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
                               jnp.asarray([0.0, 0.0, 0.0], jnp.float32))
-    assert not bool(ref["ok"][0])
+    assert bool(ref["ok"][0])
+    slot = int(ref["slot"][0])
+    assert int(m.img_fid[slot]) == 0
+    assert float(m.imgs[slot, 0, 0]) == 7.0
+
+
+def test_pool_saturation_evicts_oldest():
+    """Only when every slot is live-referenced does the pool evict (LRU)
+    — the single bounded-memory divergence from the reference."""
+    m = small_map()  # pool of 4
+    rcw, pcw = id_pose()
+    for k in range(4):
+        m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
+        m = vmap.add_points(
+            m, jnp.asarray([[float(k), 0.0, 5.0]], jnp.float32),
+            jnp.zeros((1, 2)), rcw, pcw, jnp.asarray([1.0]),
+            jnp.int32(k), jnp.ones(1, bool),
+        )
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(4))
+    # fid 0 (oldest live) was evicted -> point 0's obs is unusable
+    ref0 = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
+                               jnp.asarray([0.0, 0.0, 0.0], jnp.float32))
+    assert not bool(ref0["ok"][0])
+    # fids 1-3 survive
+    for k in range(1, 4):
+        refk = vmap.close_view_obs(
+            m, jnp.asarray([k], jnp.int32),
+            jnp.asarray([float(k), 0.0, 0.0], jnp.float32),
+        )
+        assert bool(refk["ok"][0]), k
+
+
+def test_push_image_idempotent_slot():
+    """Re-pushing the same fid reuses its slot instead of burning a
+    second one."""
+    m = small_map()
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(5))
+    m = vmap.push_image(m, jnp.full((32, 40), 3.0), jnp.int32(5))
+    assert int(jnp.sum(m.img_fid == 5)) == 1
+    assert int(jnp.sum(m.img_fid >= 0)) == 1
 
 
 def test_compact_reclaims_capacity_and_keeps_queries():
