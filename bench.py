@@ -456,24 +456,32 @@ def bench_block(K=8):
 
 
 WATCHDOG_S = 520
-# Most recent completed same-day measurements (2026-08-17), used ONLY by
-# the stale-fallback path below when the relay stalls the live run.
+# Most recent COMPLETED bench.py run, used ONLY by the stale-fallback
+# path below when the relay stalls the live run: the round-3 driver
+# capture (2026-08-19, clean session, floor 0.085 ms; BENCH_r03.json),
+# translated to schema 2 key names. Round-4 script measurements since
+# that capture are better (interactive ~38 ms, LIVO pair 60-71 ms —
+# docs/PERF_ANALYSIS.md "Round 4") but were not a full bench.py run,
+# so they are not reported here.
 LAST_KNOWN = {
-    # completed clean-session run 2026-08-18 (median protocol,
-    # overhead floor 0.202 ms). schema 1: points_per_sec = sync rate.
-    "schema": 1,
-    "metric": "lidar_frame_step_points_per_sec",
-    "value": 14543937.4,
+    "schema": 2,
+    "metric": "lidar_streamed_points_per_sec",
+    "value": 63293021.9,
     "unit": "points/s",
-    "vs_baseline": 170.1,
+    "vs_baseline": 740.27,
+    "points_per_sec_sync": 19370334.1,
+    "vs_baseline_sync": 226.55,
     "baseline_points_per_sec": 85500.0,
-    "dispatch_overhead_ms": 0.202,
-    "points_per_sec_net": 17721187.6,
-    "vs_baseline_net": 207.27,
-    "vio_pixels_per_sec": 1614332716.7,
+    "dispatch_overhead_ms": 0.085,
+    "points_per_sec_net": 21525323.5,
+    "vs_baseline_net": 251.76,
+    "vio_pixels_per_sec_streamed": 5820551974.1,
+    "vio_pixels_per_sec_sync": 2701650161.8,
     "vio_baseline_pixels_per_sec": 36800000.0,
-    "vio_vs_baseline": 43.87,
-    "interactive_ms_per_frame": 93.5,
+    "vio_vs_baseline": 158.17,
+    "vio_vs_baseline_sync": 73.41,
+    "interactive_ms_per_frame": 58.7,
+    "livo_pair_ms_block": 121.8,
 }
 
 
