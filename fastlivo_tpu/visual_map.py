@@ -1,4 +1,4 @@
-"""SoA visual sparse map: points, observation rings, voxel index, image ring.
+"""SoA visual sparse map: points, observation rings, voxel index, image pool.
 
 TPU-native redesign of the reference's pointer-based visual map
 (reference: `feat_map` voxel hash of `VOXEL_POINTS*` lidar_selection.h:118
@@ -66,8 +66,8 @@ class VisualMap(NamedTuple):
     vox_keys: jnp.ndarray  # (T,) i32 31-bit verify hash; EMPTY = free
     vox_count: jnp.ndarray  # (T,) i32
     vox_idx: jnp.ndarray  # (T, VC) i32 point indices
-    # reference image ring
-    imgs: jnp.ndarray  # (R, H, W) f32
+    # reference image pool (refcounted allocation, see push_image)
+    imgs: jnp.ndarray  # (R, H, W) f32 or u8
     img_fid: jnp.ndarray  # (R,) i32 frame id stored in slot (-1 empty)
 
 
@@ -82,10 +82,11 @@ def empty_visual_map(
     dtype=jnp.float32,
     img_dtype=None,
 ) -> VisualMap:
-    """`img_dtype=jnp.uint8` stores the reference-image ring quantized
-    to u8 — 4x deeper ring per byte of HBM, and actually CLOSER to the
+    """`img_dtype=jnp.uint8` (the shipped default via
+    `capacity.frame_ring_u8`) stores the reference-image pool quantized
+    to u8 — 4x deeper pool per byte of HBM, and actually CLOSER to the
     reference, which keeps its frames as u8 cv::Mats (frame.h via
-    feature.h:40); our f32 ring preserves the fractional BGR->gray
+    feature.h:40); an f32 pool preserves the fractional BGR->gray
     weights the reference rounds away. Patch warps convert to f32 after
     the gather, so downstream math is unchanged up to the <=0.5-level
     quantization of the stored ref image."""

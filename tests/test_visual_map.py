@@ -222,3 +222,30 @@ def test_compact_reclaims_capacity_and_keeps_queries():
         m2, jnp.asarray(pad), jnp.asarray(vmask)
     )
     assert not np.asarray(valid)[: len(fvox)].any()
+
+
+def test_compact_releases_image_refs():
+    """A point dropped by compact releases its image references: the
+    freed slot becomes DEAD and is reused before any live slot."""
+    m = small_map()  # pool of 4
+    rcw, pcw = id_pose()
+    # point 0 near origin (kept), point 1 far (compacted away)
+    for k, pos in ((0, [0.0, 0.0, 1.0]), (1, [90.0, 0.0, 1.0])):
+        m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
+        m = vmap.add_points(
+            m, jnp.asarray([pos], jnp.float32), jnp.zeros((1, 2)),
+            rcw, pcw, jnp.asarray([1.0]), jnp.int32(k), jnp.ones(1, bool),
+        )
+    m = vmap.compact(m, jnp.zeros(3, jnp.float32), jnp.float32(10.0))
+    assert int(m.n_pts) == 1
+    refs = vmap._live_slot_refs(m)
+    slot1 = int(jnp.argmax(m.img_fid == 1))
+    assert int(refs[slot1]) == 0  # fid 1's image is dead after compact
+    slot0 = int(jnp.argmax(m.img_fid == 0))
+    assert int(refs[slot0]) == 1  # kept point still holds fid 0
+    # fill the two empty slots, then one more: the DEAD fid-1 slot must
+    # be reclaimed while the live fid-0 image survives
+    for k in range(2, 5):
+        m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
+    assert not bool(jnp.any(m.img_fid == 1))
+    assert bool(jnp.any(m.img_fid == 0))
