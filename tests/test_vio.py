@@ -379,3 +379,29 @@ def test_dedup_voxels_preserves_unique_keys():
     np.testing.assert_array_equal(got, want)
     # duplicates kept on collisions are bounded: far fewer rows than M
     assert len(vox) < len(want) + 64
+
+
+def test_pool_retains_ref_images_beyond_depth(ds):
+    """shared_ptr retention through the fused path: with a 4-slot image
+    pool, points bootstrapped at fid 0 keep their reference image alive
+    across 8 subsequent camera frames (old ring semantics overwrote
+    slot 0 at fid 4, masking every bootstrap observation and collapsing
+    the tracked set)."""
+    cfg = make_cfg()
+    cfg.capacity.frame_ring = 4
+    vio = Vio(cfg)
+    s0 = state_at(ds, 2.0)
+    vio.set_last_cloud(world_cloud(ds))
+    vio.update(s0, s0, ds.render_image(2.0))
+    assert int(vio.vmap.n_pts) > 20
+    tracked = []
+    for k in range(1, 9):
+        t = 2.0 + 0.05 * k
+        s = state_at(ds, t)
+        vio.set_last_cloud(world_cloud(ds, seed=k))
+        vio.update(s, s, ds.render_image(t))
+        tracked.append(vio.last_stats["tracked"])
+    # fid 0 is the most-referenced image -> survives 8 pushes through a
+    # 4-slot pool, and tracking stays healthy
+    assert bool(jnp.any(vio.vmap.img_fid == 0)), np.asarray(vio.vmap.img_fid)
+    assert tracked[-1] > 10, tracked
