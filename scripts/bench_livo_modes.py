@@ -37,6 +37,13 @@ def main():
     )
     if mode.startswith("lio"):
         cfg.img_enable = False
+    # A/B hooks for the reference-image pool (perf attribution)
+    if os.environ.get("FASTLIVO_FRAME_RING"):
+        cfg.capacity.frame_ring = int(os.environ["FASTLIVO_FRAME_RING"])
+    if os.environ.get("FASTLIVO_FRAME_RING_U8"):
+        cfg.capacity.frame_ring_u8 = bool(
+            int(os.environ["FASTLIVO_FRAME_RING_U8"])
+        )
     pipe = Pipeline(cfg)
     cam = cfg.camera
     ds = SyntheticDataset(
