@@ -457,31 +457,28 @@ def bench_block(K=8):
 
 WATCHDOG_S = 520
 # Most recent COMPLETED bench.py run, used ONLY by the stale-fallback
-# path below when the relay stalls the live run: the round-3 driver
-# capture (2026-08-19, clean session, floor 0.085 ms; BENCH_r03.json),
-# translated to schema 2 key names. Round-4 script measurements since
-# that capture are better (interactive ~38 ms, LIVO pair 60-71 ms —
-# docs/PERF_ANALYSIS.md "Round 4") but were not a full bench.py run,
-# so they are not reported here.
+# path below when the relay stalls the live run: full round-4 capture
+# 2026-08-20 (clean session, floor 0.061 ms, incl. the 256-slot u8
+# reference-image pool).
 LAST_KNOWN = {
     "schema": 2,
     "metric": "lidar_streamed_points_per_sec",
-    "value": 63293021.9,
+    "value": 76181929.5,
     "unit": "points/s",
-    "vs_baseline": 740.27,
-    "points_per_sec_sync": 19370334.1,
-    "vs_baseline_sync": 226.55,
+    "vs_baseline": 891.02,
+    "points_per_sec_sync": 22649073.5,
+    "vs_baseline_sync": 264.9,
     "baseline_points_per_sec": 85500.0,
-    "dispatch_overhead_ms": 0.085,
-    "points_per_sec_net": 21525323.5,
-    "vs_baseline_net": 251.76,
-    "vio_pixels_per_sec_streamed": 5820551974.1,
-    "vio_pixels_per_sec_sync": 2701650161.8,
+    "dispatch_overhead_ms": 0.061,
+    "points_per_sec_net": 24724725.5,
+    "vs_baseline_net": 289.18,
+    "vio_pixels_per_sec_streamed": 5667171276.0,
+    "vio_pixels_per_sec_sync": 3324288286.9,
     "vio_baseline_pixels_per_sec": 36800000.0,
-    "vio_vs_baseline": 158.17,
-    "vio_vs_baseline_sync": 73.41,
-    "interactive_ms_per_frame": 58.7,
-    "livo_pair_ms_block": 121.8,
+    "vio_vs_baseline": 154.0,
+    "vio_vs_baseline_sync": 90.33,
+    "interactive_ms_per_frame": 40.1,
+    "livo_pair_ms_block": 84.9,
 }
 
 
