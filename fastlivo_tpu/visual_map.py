@@ -311,17 +311,23 @@ def compact(m: VisualMap, center: jnp.ndarray, radius) -> VisualMap:
     def g(a):
         return a[perm]
 
+    # blank dropped rows' observations: a row reused later by add_points
+    # only writes obs slot 0, and with pool retention the stale entries'
+    # reference images can STILL be alive — a stale obs would otherwise
+    # be a selectable close_view_obs candidate for the NEW point
+    # (tests/test_visual_map.py::test_compact_blanks_dropped_obs)
+    new_alive = jnp.arange(NP, dtype=jnp.int32) < n2
     m2 = m._replace(
         pos=g(m.pos), value=g(m.value), n_obs=g(m.n_obs), n_pts=n2,
         obs_px=g(m.obs_px), obs_rcw=g(m.obs_rcw),
         obs_pcw=g(m.obs_pcw),
-        obs_slot=g(m.obs_slot), obs_fid=g(m.obs_fid),
+        obs_slot=g(m.obs_slot),
+        obs_fid=jnp.where(new_alive[:, None], g(m.obs_fid), -1),
         obs_level=g(m.obs_level),
         vox_keys=jnp.full_like(m.vox_keys, EMPTY),
         vox_count=jnp.zeros_like(m.vox_count),
         vox_idx=jnp.zeros_like(m.vox_idx),
     )
-    new_alive = jnp.arange(NP, dtype=jnp.int32) < n2
     vk, vc, vi = _voxel_index_insert(
         m2.vox_keys, m2.vox_count, m2.vox_idx, m2.pos,
         jnp.arange(NP, dtype=jnp.int32), new_alive, 12,

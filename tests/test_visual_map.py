@@ -249,3 +249,35 @@ def test_compact_releases_image_refs():
         m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(k))
     assert not bool(jnp.any(m.img_fid == 1))
     assert bool(jnp.any(m.img_fid == 0))
+
+
+def test_compact_blanks_dropped_obs():
+    """A row dropped by compact and later reused by add_points must not
+    resurrect the dropped point's observations: with pool retention
+    their reference images can still be alive, making a stale obs a
+    selectable (and WRONG) close_view_obs candidate for the new point."""
+    m = small_map()
+    rcw, pcw = id_pose()
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(0))
+    m = vmap.add_points(
+        m, jnp.asarray([[50.0, 0.0, 5.0]], jnp.float32), jnp.zeros((1, 2)),
+        rcw, pcw, jnp.asarray([1.0]), jnp.int32(0), jnp.ones(1, bool),
+    )
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(1))
+    m = vmap.add_observations(
+        m, jnp.asarray([0], jnp.int32), jnp.asarray([[1.0, 1.0]]),
+        rcw, jnp.asarray([-50.0, 0.0, -4.0], jnp.float32),
+        jnp.asarray([2.0]), jnp.int32(1), jnp.zeros(1, jnp.int32),
+        jnp.ones(1, bool),
+    )
+    m = vmap.compact(m, jnp.zeros(3, jnp.float32), jnp.float32(10.0))
+    assert int(m.n_pts) == 0
+    assert int(jnp.sum(m.obs_fid >= 0)) == 0  # all obs blanked
+    # reuse row 0 for a new point; only its creation obs may exist
+    m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(2))
+    m = vmap.add_points(
+        m, jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32), jnp.zeros((1, 2)),
+        rcw, pcw, jnp.asarray([1.0]), jnp.int32(2), jnp.ones(1, bool),
+    )
+    fids = np.asarray(m.obs_fid[0])
+    assert fids[0] == 2 and (fids[1:] == -1).all(), fids
