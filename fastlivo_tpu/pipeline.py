@@ -210,6 +210,11 @@ class Pipeline:
         # even off the critical path, so read COUNT — not op count — is
         # what bounds per-frame replay modes (docs/PERF_ANALYSIS.md r3).
         self.read_collector = None
+        # True when THIS pipeline installed the collector via
+        # enable_block_read (live mode): spin()/finish() then own the
+        # flush/drain cadence. Replayer-installed collectors manage
+        # their own cadence and must not be double-flushed.
+        self._own_collector = False
 
     @property
     def async_read(self) -> bool:
@@ -244,19 +249,62 @@ class Pipeline:
             self.sync.reset_flagged = False
         for g in self.sync.drain():
             self._process_group(g)
+            c = self.read_collector
+            if self._own_collector and c is not None and len(c) >= c.E:
+                c.flush()
         if not self.async_read:
             # sync mode: no pending can exist; slice == per-call returns
             assert not self._pending
         return self.outputs[n0:]
 
     def finish(self) -> List[FrameOutput]:
-        """Resolve all deferred frames (async_read mode) at end of
-        stream; returns the late outputs (empty in sync mode)."""
+        """Resolve all deferred frames (async_read / block-read modes)
+        at end of stream; returns the late outputs (empty in sync
+        mode)."""
         n0 = len(self.outputs)
+        if self._own_collector and self.read_collector is not None:
+            self.read_collector.drain()
         self._resolve_pending()
         if self.vio is not None:
             self.vio.resolve_pending()
         return self.outputs[n0:]
+
+    def enable_block_read(self, block: int) -> None:
+        """LIVE block-packed readback (`serve.py --block-read E`): pack
+        every `block` measurement EVENTS' stats rows (a lidar frame and
+        a camera frame are one event each) into ONE deferred device
+        read, flushed at event granularity from `spin()`.
+
+        The per-frame deferred-read path (`async_read`) pays a relay
+        read service interval per event; the collector's packed rows
+        divide that bound by `block`, and even at block=1 its
+        no-read-on-dispatch structure measured the full-LIVO pair at
+        84.5 ms vs 146 ms for per-frame deferred reads — identical to
+        E=8 block replay (scripts/bench_livo_modes.py, same session).
+        Outputs are bit-identical, materialized up to ~2*block events
+        late (BlockReadCollector.flush emits the previous block after
+        dispatching the current one) — at 10+10 Hz and block=2 that is
+        ~100-200 ms of output latency for ~1.7x pair throughput.
+
+        Per-frame host consumers (trace logging, PCD save, on_frame
+        hook, materialize_dense, collect_cov, debug) need per-frame
+        reads and are rejected, mirroring LivoBlockReplayer's
+        fallback condition."""
+        from .replay import BlockReadCollector
+
+        if (self.logger is not None or self.cfg.pcd_save_en
+                or self.on_frame is not None or self.materialize_dense
+                or self.collect_cov or self.cfg.debug):
+            raise ValueError(
+                "enable_block_read: per-frame consumers (logging, PCD, "
+                "on_frame, materialize_dense, collect_cov, debug) need "
+                "per-frame reads; use async_read instead"
+            )
+        c = BlockReadCollector(self, int(block))
+        self.read_collector = c
+        self._own_collector = True
+        if self.vio is not None:
+            self.vio.read_collector = c
 
     def _ensure_reader(self):
         if self._reader is None:

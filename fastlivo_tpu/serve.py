@@ -240,6 +240,12 @@ def main(argv=None):
                     help="deferred per-frame readback: the blocking "
                          "stats read overlaps the next frame's work; "
                          "odometry publishes one frame late")
+    ap.add_argument("--block-read", type=int, default=0, metavar="E",
+                    help="block-packed readback: pack E measurement "
+                         "events' stats rows into one deferred device "
+                         "read (full-LIVO pair 146 -> ~85 ms measured); "
+                         "odometry publishes up to ~2E events late. "
+                         "Incompatible with --log-dir.")
     ap.add_argument("--mesh", type=int, default=0,
                     help="run the fused frame steps SPMD over the first "
                          "N devices (jax.sharding.Mesh; 0 = single)")
@@ -265,6 +271,8 @@ def main(argv=None):
     srv = Server(cfg, addr, log_dir=args.log_dir, mesh=mesh)
     if args.async_read:
         srv.pipe.async_read = True
+    if args.block_read:
+        srv.pipe.enable_block_read(args.block_read)
     print(f"listening on {srv.address}", flush=True)
     srv.serve_forever()
     return 0

@@ -122,3 +122,39 @@ def test_livo_async_read_outputs_identical(livo_run):
     assert int(pipe.vio.vmap.n_pts) == int(ref_pipe.vio.vmap.n_pts)
     assert pipe.vio.last_stats == ref_pipe.vio.last_stats
     np.testing.assert_array_equal(pipe.vio.last_rcw, ref_pipe.vio.last_rcw)
+
+
+def test_live_block_read_matches_sync(livo_run):
+    """Pipeline.enable_block_read (serve --block-read): live
+    block-packed readback produces the same trajectory as sync mode,
+    materialized late. Same executables per frame; the only divergence
+    channel is map-maintenance triggers consuming posteriors up to
+    ~2*block events old (the documented slider-lag class, mm against a
+    hundreds-of-meters margin) — pinned within replay's block
+    tolerance on the shared 6 s stream."""
+    ds, pipe_sync, outs_sync = livo_run
+    pipe = Pipeline(livo_config())
+    pipe.enable_block_read(2)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    for t, img in ds.images():
+        pipe.push_img(t, img)
+    outs = pipe.spin()
+    outs += pipe.finish()
+    assert len(outs) == len(outs_sync)
+    err = np.array([
+        np.linalg.norm(np.asarray(a.pos) - np.asarray(b.pos))
+        for a, b in zip(outs, outs_sync)
+    ])
+    assert err.max() < 5e-3, err.max()
+    for a, b in zip(outs, outs_sync):
+        assert a.t == b.t
+
+
+def test_block_read_rejects_per_frame_consumers(tmp_path):
+    pipe = Pipeline(livo_config())
+    pipe.on_frame = lambda o: None
+    with pytest.raises(ValueError):
+        pipe.enable_block_read(2)

@@ -257,3 +257,57 @@ def test_subscriber_receives_broadcast(tmp_path):
     pub.close()
     sub.close()
     srv.wait(10)
+
+
+def test_socket_stream_livo_block_read(tmp_path):
+    """--block-read serving mode: block-packed readback over the wire.
+    Frames still publish (late by up to ~2E events, drained by FLUSH)
+    and track the same stream as the per-frame mode."""
+    from test_pipeline_livo import RCL, W, H, F, livo_config
+
+    ds = SyntheticDataset(duration=2.5, points_per_scan=2048,
+                          lidar_noise=0.004, seed=7,
+                          cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL)
+    srv = serve.Server(livo_config(), str(tmp_path / "sock"))
+    srv.pipe.enable_block_read(2)
+    srv.start_background()
+    cli = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    cli.connect(srv.address)
+    cli.settimeout(180)
+
+    events = []
+    for t, acc, gyr in ds.imu_stream():
+        events.append((t, serve.encode_imu(t, acc, gyr)))
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        events.append((beg, serve.encode_lidar(
+            beg, pts[:, :3], t_rel.astype(np.float32))))
+    for t, img in ds.images():
+        events.append((t, serve.encode_image(t, np.asarray(img, np.uint8))))
+    events.sort(key=lambda e: e[0])
+    for _, msg in events:
+        cli.sendall(msg)
+    cli.sendall(serve.encode_flush())
+
+    buf = b""
+    frames = []
+    while True:
+        chunk = cli.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+        done = False
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            d = json.loads(line)
+            if d.get("flushed"):
+                done = True
+                break
+            frames.append(d)
+        if done:
+            break
+    cli.close()
+    srv.wait(10)
+    # every scan-end frame published despite block-packed reads
+    assert len(frames) > 5
+    assert all(np.isfinite(f["pos"]).all() for f in frames)
+    assert np.linalg.norm(frames[0]["pos"]) < 0.02
