@@ -525,18 +525,70 @@ def bench_interactive(duration=3.0, tail=10, async_read=True):
     }
 
 
+# Sections of main() deposit their results here as they complete, so a
+# mid-run relay stall (the 2026-08-20 outage mode: dispatches fine,
+# D2H reads wedge) loses only the sections that never finished.
+PARTIAL = {}
+
+
 def _watchdog_fallback():
-    """The axon relay's first-device-op stall grew from ~160 s to >1300 s
-    over 2026-08-17 (see BASELINE.md session-drift note). If the live
-    run cannot finish, emit the last COMPLETED same-day measurement,
-    explicitly flagged stale, instead of timing out with no record."""
+    """The axon relay can stall mid-run (first-op stalls measured
+    >1300 s on 2026-08-17; read-path wedges on 2026-08-20 — see
+    BASELINE.md / PERF_ANALYSIS.md). If the live run cannot finish,
+    emit every section that DID complete live, filled out with the
+    last COMPLETED run's values, explicitly flagged stale — instead of
+    timing out with no record."""
     import os
 
     out = dict(LAST_KNOWN)
+    live = []
+    base = PARTIAL.get("base", {})
+    base_pps = base.get("points_per_sec", out["baseline_points_per_sec"])
+    base_vps = base.get("vio_pixels_per_sec",
+                        out["vio_baseline_pixels_per_sec"])
+    if base:
+        out["baseline_points_per_sec"] = round(base_pps, 1)
+        out["vio_baseline_pixels_per_sec"] = round(base_vps, 1)
+        live.append("baseline")
+    lid = PARTIAL.get("lid")
+    if lid:
+        out["value"] = round(lid["points_per_sec_streamed"], 1)
+        out["vs_baseline"] = round(
+            lid["points_per_sec_streamed"] / base_pps, 2)
+        out["points_per_sec_sync"] = round(lid["points_per_sec_sync"], 1)
+        out["vs_baseline_sync"] = round(
+            lid["points_per_sec_sync"] / base_pps, 2)
+        out.pop("points_per_sec_net", None)
+        out.pop("vs_baseline_net", None)
+        live.append("lidar")
+    vio = PARTIAL.get("vio")
+    if vio:
+        out["vio_pixels_per_sec_streamed"] = round(
+            vio["vio_pixels_per_sec_streamed"], 1)
+        out["vio_pixels_per_sec_sync"] = round(
+            vio["vio_pixels_per_sec_sync"], 1)
+        out["vio_vs_baseline"] = round(
+            vio["vio_pixels_per_sec_streamed"] / base_vps, 2)
+        out["vio_vs_baseline_sync"] = round(
+            vio["vio_pixels_per_sec_sync"] / base_vps, 2)
+        live.append("vio")
+    if "overhead_ms" in PARTIAL:
+        out["dispatch_overhead_ms"] = round(PARTIAL["overhead_ms"], 3)
+        live.append("overhead")
+    inter = PARTIAL.get("inter")
+    if inter:
+        out["interactive_ms_per_frame"] = round(
+            inter["interactive_ms_per_frame"], 1)
+        live.append("interactive")
+    livo = PARTIAL.get("livo")
+    if livo:
+        out["livo_pair_ms_block"] = round(livo["ms_per_pair"], 1)
+        live.append("livo")
     out["stale"] = True
     out["note"] = (
-        "relay session stalled before the live measurement completed; "
-        "values are this day's most recent completed run (see BASELINE.md)"
+        "relay session stalled mid-run; live sections this run: "
+        f"{live or 'none'}; remaining values are the most recent "
+        "completed run's (see BASELINE.md)"
     )
     print(json.dumps(out), flush=True)
     os._exit(0)
@@ -552,6 +604,7 @@ def main():
 
     _progress("lidar (tiled) start")
     lid = bench_lidar("tiled")  # the shipped default backend
+    PARTIAL["lid"] = lid
     _progress("lidar done")
     lid_dense = None
     if os.environ.get("FASTLIVO_BENCH_DENSE"):
@@ -591,14 +644,18 @@ def main():
     # ordering the session should still be untainted here, so this
     # measures the floor the timed sections actually ran under
     overhead_ms = measured_dispatch_overhead()
+    PARTIAL["overhead_ms"] = overhead_ms
     vio = None
     if vio_finish is not None:
         try:
             vio = vio_finish()  # materializes deferred device scalars
         except Exception:
             vio = None
+    if vio is not None:
+        PARTIAL["vio"] = vio
     _progress("overhead done; baseline start")
     base = measured_cpp_baseline()
+    PARTIAL["base"] = base
     _progress("baseline done")
     inter = None
     if not os.environ.get("FASTLIVO_BENCH_NO_INTERACTIVE"):
@@ -621,6 +678,7 @@ def main():
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             )
             inter = json.loads(r.stdout.strip().splitlines()[-1])
+            PARTIAL["inter"] = inter
             _progress("interactive done")
         except Exception:
             inter = None
@@ -642,6 +700,7 @@ def main():
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             )
             livo = json.loads(r.stdout.strip().splitlines()[-1])
+            PARTIAL["livo"] = livo
             _progress("livo pair done")
         except Exception as e:
             # surface WHY the metric is missing instead of silently
