@@ -25,7 +25,8 @@ Documented deviations from the reference:
   - new-point candidates come from the 0.2 m-downsampled cloud (the
     reference scans the full cloud; per-cell Shi-Tomasi maxima are
     nearly identical and the candidate batch stays bounded);
-  - reference images live in a bounded ring (visual_map.py).
+  - reference images live in a refcounted pool with shared_ptr
+    retention semantics (visual_map.py).
 """
 from __future__ import annotations
 
@@ -769,7 +770,7 @@ def vio_frame_step(
     axis_name: str | None = None,
 ):
     """The ENTIRE image frame in one dispatch — `detect`
-    (lidar_selection.cpp:1027-1075) fused: image ring push, device voxel
+    (lidar_selection.cpp:1027-1075) fused: image pool push, device voxel
     filter of the scan cloud, visible-voxel set, tracked-point selection
     + patch warp, new-point selection, 3-level coarse-to-fine iterated
     photometric EKF, covariance contraction, observation maintenance and

@@ -10,7 +10,7 @@ fixed-capacity arrays with int32 indices (SURVEY.md §7):
     of up to KO=20 entries (cap semantics of lidar_selection.cpp:944-951);
   - observations store everything a `Feature` carries: pixel, bearing,
     world->camera pose at capture, camera center, pyramid level, plus an
-    int32 slot into the reference-image ring;
+    int32 slot into the reference-image pool;
   - the reference keeps an observing image alive exactly as long as
     some Feature references it (shared_ptr, feature.h:40). Here images
     live in a fixed pool of R slots managed with the SAME semantics:
@@ -18,9 +18,10 @@ fixed-capacity arrays with int32 indices (SURVEY.md §7):
     (refcounts recomputed from the obs rings on device), so a reference
     image survives arbitrarily long loiter/revisit gaps while its
     observation is alive. Only when ALL R slots are live-referenced does
-    the pool fall back to evicting the oldest image (bounded-memory
-    deviation, reachable only at saturation); an observation whose slot
-    was reclaimed is masked out of `close_view_obs`;
+    the pool fall back to evicting the LEAST-REFERENCED image, oldest
+    on ties (bounded-memory deviation, reachable only at saturation);
+    an observation whose slot was reclaimed is masked out of
+    `close_view_obs`;
   - `feat_map` becomes an open-addressing voxel hash whose slots hold up
     to VC point indices (0.5 m voxels, AddPoint lidar_selection.cpp:
     204-230); a full voxel drops further inserts (the reference grows
@@ -59,7 +60,7 @@ class VisualMap(NamedTuple):
     obs_px: jnp.ndarray  # (NP, KO, 2) f32
     obs_rcw: jnp.ndarray  # (NP, KO, 3, 3) f32 world->cam rotation
     obs_pcw: jnp.ndarray  # (NP, KO, 3) f32 world->cam translation
-    obs_slot: jnp.ndarray  # (NP, KO) i32 image ring slot
+    obs_slot: jnp.ndarray  # (NP, KO) i32 image pool slot
     obs_fid: jnp.ndarray  # (NP, KO) i32 frame id (-1 empty)
     obs_level: jnp.ndarray  # (NP, KO) i32 feature level
     # voxel hash (slot/check scheme, see ops/voxel_map.py)
