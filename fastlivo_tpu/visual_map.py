@@ -163,12 +163,24 @@ def push_image(m: VisualMap, img: jnp.ndarray, fid: jnp.ndarray) -> VisualMap:
     one-observation frames). Re-pushing a fid already in the pool
     reuses its slot (idempotent)."""
     refs = _live_slot_refs(m)
-    # argmin key: re-push (-2) < empty (-1) < dead (img_fid, oldest
-    # first) < live ((1+min(refs,200))<<22 + img_fid: fewest refs, then
-    # oldest). Assumes fid < 2^22 (~116 h of 10 Hz frames) so dead keys
-    # stay below every live key and the live key fits int32.
-    live_key = ((jnp.minimum(refs, 200) + 1) << 22) + m.img_fid
-    key = jnp.where(refs > 0, live_key, m.img_fid)
+    R = m.img_fid.shape[0]
+    # Age RANK of each slot's fid within the pool (ties — the -1
+    # empties — broken by slot index, matching argmin's lowest-index
+    # pick). The ordering only needs to be correct AMONG the R slots,
+    # so ranking replaces raw fids in the key and the scheme is
+    # independent of fid magnitude — no int32 overflow at any uptime
+    # (the previous fid-based key assumed fid < 2^22; ADVICE r4).
+    sl = jnp.arange(R, dtype=jnp.int32)
+    older = (m.img_fid[None, :] < m.img_fid[:, None]) | (
+        (m.img_fid[None, :] == m.img_fid[:, None])
+        & (sl[None, :] < sl[:, None])
+    )
+    rank = jnp.sum(older, axis=1, dtype=jnp.int32)  # unique 0..R-1
+    # argmin key: re-push (-2) < empty/dead (rank: empties rank lowest,
+    # then dead oldest-first) < live ((1+min(refs,200))*R + rank:
+    # fewest refs, then oldest). Max key 202*R — never overflows.
+    live_key = (jnp.minimum(refs, 200) + 1) * R + rank
+    key = jnp.where(refs > 0, live_key, rank)
     key = jnp.where(m.img_fid == fid, jnp.int32(-2), key)
     slot = jnp.argmin(key).astype(jnp.int32)
     if jnp.issubdtype(m.imgs.dtype, jnp.integer):

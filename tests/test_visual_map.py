@@ -173,6 +173,27 @@ def test_push_image_idempotent_slot():
     assert int(jnp.sum(m.img_fid >= 0)) == 1
 
 
+def test_pool_allocation_survives_huge_fids():
+    """The eviction key is RANK-based, so allocation stays correct for
+    arbitrarily large frame ids (the old fid-packed key assumed
+    fid < 2^22 ~ 116 h of 10 Hz frames; ADVICE r4)."""
+    big = 1 << 30  # far beyond the old packing's safe range
+    m = small_map()  # pool of 4
+    rcw, pcw = id_pose()
+    m = vmap.push_image(m, jnp.full((32, 40), 7.0), jnp.int32(big))
+    m = vmap.add_points(
+        m, jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32), jnp.zeros((1, 2)),
+        rcw, pcw, jnp.asarray([1.0]), jnp.int32(big), jnp.ones(1, bool),
+    )
+    # churn 12 unreferenced huge-fid images: the live slot must survive
+    for k in range(1, 13):
+        m = vmap.push_image(m, jnp.zeros((32, 40)), jnp.int32(big + k))
+    ref = vmap.close_view_obs(m, jnp.asarray([0], jnp.int32),
+                              jnp.asarray([0.0, 0.0, 0.0], jnp.float32))
+    assert bool(ref["ok"][0])
+    assert float(m.imgs[int(ref["slot"][0]), 0, 0]) == 7.0
+
+
 def test_compact_reclaims_capacity_and_keeps_queries():
     """visual_map.compact drops far points, keeps near ones, and the
     rebuilt voxel index answers gather_voxel_points identically for the

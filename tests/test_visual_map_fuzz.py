@@ -9,8 +9,11 @@ independent step-by-step numpy model, asserting exact equality of the
 observable state after every op:
 
   - n_pts, the full (NP, KO) obs_fid / obs_slot / obs_level matrices,
-  - the image pool's img_fid array (slot-exact: the model replicates
-    push_image's argmin key with lowest-index tie-break),
+  - the image pool's img_fid array (slot-exact: the model derives the
+    slot from the documented policy — re-push, then empty, then oldest
+    dead, then fewest-refs/oldest live, slot index on ties — so the
+    implementation's argmin key is checked against the spec, not
+    against itself),
   - _live_slot_refs vs a brute-force recount.
 
 Reference semantics being pinned: addObservation cap-20 +
@@ -54,11 +57,25 @@ class Model:
         return int(hits[0]) if len(hits) else 0
 
     def push_image(self, fid):
+        # Slot choice derived from the DOCUMENTED policy, not the
+        # implementation's key formula (ADVICE r4): re-push reuses the
+        # slot; else prefer empty, then oldest dead, then
+        # fewest-refs/oldest live; slot index breaks ties.
+        hits = np.flatnonzero(self.img_fid == fid)
+        if len(hits):
+            self.img_fid[int(hits[0])] = fid
+            return
         refs = self.refs()
-        live_key = ((np.minimum(refs, 200) + 1) << 22) + self.img_fid
-        key = np.where(refs > 0, live_key, self.img_fid)
-        key = np.where(self.img_fid == fid, -2, key)
-        slot = int(np.argmin(key))
+        cand = []
+        for s in range(R):
+            f = int(self.img_fid[s])
+            if f == -1:
+                cand.append((0, 0, 0, s))  # empty
+            elif refs[s] == 0:
+                cand.append((1, f, 0, s))  # dead: oldest first
+            else:
+                cand.append((2, int(refs[s]), f, s))  # live: refs, age
+        slot = min(cand)[3]
         self.img_fid[slot] = fid
 
     def add_points(self, pts, rcw, pcw, fid, mask):
