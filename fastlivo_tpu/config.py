@@ -116,6 +116,14 @@ class CapacityConfig:
     frame_ring_u8: bool = True
     max_tracked: int = 512  # padded sub_sparse_map size (grid cells)
     max_cands: int = 8192  # padded visual candidate gather size
+    # --- block-sharded geometric map (--mesh N --sharded-map) ---------
+    # Per-DEVICE contribution to the per-scan halo snapshot, in tiles;
+    # the gathered snapshot holds halo_tiles * n_devices tiles and must
+    # cover every tile intersecting the scan's padded AABB (parallel/
+    # sharded_map.extract_blocks drops the excess, which would cost
+    # kNN parity — size generously; 256 tiles = 1024 m^2 of surface
+    # at the default 4 m tiles).
+    halo_tiles: int = 256
 
 
 @dataclasses.dataclass

@@ -65,10 +65,26 @@ class MeshRunner:
     mesh size does not divide (the shipped capacities are powers of
     two, so any power-of-two mesh divides them)."""
 
-    def __init__(self, mesh: Mesh, axis: str = "dp"):
+    def __init__(self, mesh: Mesh, axis: str = "dp",
+                 sharded_map: bool = False, halo_tiles: int = 256,
+                 snap_dims: tuple = (128, 128, 64)):
+        """`sharded_map`: the lidar step consumes/returns a BLOCK-SHARDED
+        map (a TiledMap with a leading device axis, one ownership-striped
+        shard per device — parallel/sharded_backend.ShardedTiledBackend)
+        instead of a replicated map: per-device map HBM scales ~1/N.
+        kNN runs against a per-scan halo SNAPSHOT all-gathered from the
+        owners (sharded_map.exchange_snapshot, `halo_tiles` contributed
+        per device), so EKF semantics are unchanged — trajectory
+        equality vs the replicated mesh path is pinned by
+        tests/test_mesh_product.py."""
         self.mesh = mesh
         self.axis = axis
         self.n = mesh.shape[axis]
+        self.sharded_map = sharded_map
+        self.halo_tiles = halo_tiles
+        # snapshot directory dims: the map's own dims (full span) so a
+        # wide scan AABB cannot wrap-alias inside the snapshot
+        self.snap_dims = tuple(snap_dims)
         self._lidar_cache = {}
         self._vio_cache = {}
 
@@ -93,7 +109,9 @@ class MeshRunner:
                pts_raw.shape[0])
         fn = self._lidar_cache.get(key)
         if fn is None:
-            fn = self._build_lidar(
+            build = (self._build_lidar_sharded_map if self.sharded_map
+                     else self._build_lidar)
+            fn = build(
                 max_points=max_points, max_iter=max_iter,
                 knn_radius=knn_radius, max_probe=max_probe,
                 dense_out=dense_out, cache_knn=cache_knn,
@@ -182,6 +200,126 @@ class MeshRunner:
             mesh=self.mesh,
             in_specs=(rep, rep, rep, rep, shd, shd, shd, rep, rep),
             out_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
+    def _build_lidar_sharded_map(self, *, max_points, max_iter, knn_radius,
+                                 max_probe, dense_out, cache_knn,
+                                 mixed_gain, plane_fit):
+        """The `sharded_map=True` lidar step: identical call protocol and
+        returns as `_build_lidar`, but `m` is the block-sharded map (one
+        ownership-striped TiledMap shard per device, leading device
+        axis). Flow per frame (SURVEY §2.3 halo-exchange north star):
+
+          undistort (sharded rows) -> all-gather scan -> replicated
+          voxel downsample -> scan-AABB HALO EXCHANGE into a replicated
+          per-scan snapshot (sharded_map.exchange_snapshot; each owner
+          contributes its tiles inside the padded AABB) -> iterated EKF
+          against the snapshot (sharded rows, psum'd HᵀH/Hᵀz — exactly
+          the replicated path's math) -> ownership-masked insert into
+          each device's own shard (ikd_Tree.cpp:382-457 semantics per
+          owner).
+
+        kNN parity vs the full map holds because queries reach at most
+        (knn_radius+1) voxels beyond the scan AABB (pad includes a
+        0.5 m margin for per-iteration state motion); the snapshot
+        carries every owned tile intersecting that padded box, up to
+        halo_tiles per device."""
+        from . import sharded_map as sm
+
+        axis, n = self.axis, self.n
+        halo = self.halo_tiles
+        snap_dims = self.snap_dims
+        if max_points % n:
+            raise ValueError(
+                f"max_points={max_points} not divisible by mesh size {n}"
+            )
+        mp_l = max_points // n
+
+        def local(state, shard, pose, calib, raw_l, trel_l, rmask_l, fss,
+                  laser_point_cov):
+            local_map = jax.tree.map(lambda x: x[0], shard)
+            my_idx = jax.lax.axis_index(axis)
+            und_l = imu_mod.undistort(state, pose, raw_l, trel_l,
+                                      rmask_l, calib)
+            und = jax.lax.all_gather(und_l, axis, tiled=True)
+            rmask = jax.lax.all_gather(rmask_l, axis, tiled=True)
+            down, dmask = vf.voxel_downsample_device(
+                und, rmask, fss, max_points
+            )
+            down_l = jax.lax.dynamic_slice_in_dim(down, my_idx * mp_l, mp_l)
+            dmask_l = jax.lax.dynamic_slice_in_dim(
+                dmask, my_idx * mp_l, mp_l)
+            # scan AABB at the PRIOR pose (replicated — no pmin needed:
+            # down is identical on every device), padded by the kNN
+            # neighborhood reach plus a margin for the cm-scale state
+            # motion across EKF iterations
+            rot32 = state.rot.astype(down.dtype)
+            pos32 = state.pos.astype(down.dtype)
+            w_prior = (down @ calib.lid_rot.T + calib.lid_off
+                       ) @ rot32.T + pos32
+            big = jnp.asarray(3.0e37, down.dtype)
+            lo = jnp.min(jnp.where(dmask[:, None], w_prior, big), axis=0)
+            hi = jnp.max(jnp.where(dmask[:, None], w_prior, -big), axis=0)
+            vs = local_map.voxel_size
+            pad = (knn_radius + 1) * vs + jnp.asarray(0.5, down.dtype)
+            snap = sm.exchange_snapshot(
+                local_map, lo - pad, hi + pad, halo, axis,
+                dir_dims=snap_dims,
+            )
+            res = lio_mod.lio_update(
+                state, snap, down_l, dmask_l, calib.lid_rot, calib.lid_off,
+                laser_point_cov=laser_point_cov, max_iter=max_iter,
+                knn_radius=knn_radius, max_probe=max_probe,
+                axis_name=axis, cache_knn=cache_knn,
+                mixed_gain=mixed_gain, plane_fit=plane_fit,
+            )
+            # ownership-masked insert at the replicated posterior: each
+            # device applies exactly the inserts the replicated map
+            # would apply to its owned tiles (map_incremental,
+            # laserMapping.cpp:692)
+            rot32p = res.state.rot.astype(down.dtype)
+            pos32p = res.state.pos.astype(down.dtype)
+            p_imu = down @ calib.lid_rot.T + calib.lid_off
+            world = p_imu @ rot32p.T + pos32p
+            local2 = sm.shard_insert(local_map, world, dmask, my_idx, n)
+            if dense_out:
+                dense_world = (
+                    und @ calib.lid_rot.T + calib.lid_off
+                ) @ rot32p.T + pos32p
+                dense_world = jnp.where(rmask[:, None], dense_world, 0.0)
+            else:
+                dense_world = jnp.zeros((1, 3), down.dtype)
+            active = jax.lax.all_gather(res.active, axis, tiled=True)
+            resid = jax.lax.all_gather(res.res, axis, tiled=True)
+            head = jnp.stack([
+                jnp.sum(dmask).astype(jnp.float64),
+                res.n_active.astype(jnp.float64),
+                res.iters.astype(jnp.float64),
+            ])
+            n_act_safe = jnp.maximum(res.n_active.astype(jnp.float64), 1.0)
+            res_rms = jnp.sqrt(
+                jnp.sum(jnp.where(active, resid.astype(jnp.float64), 0.0)
+                        ** 2) / n_act_safe
+            )
+            # occupancy = the FULLEST shard's allocation (the binding
+            # pool constraint for the load-factor compaction trigger)
+            occ = jax.lax.pmax(local2.n_alloc, axis)
+            stats = jnp.concatenate([head, pack24(res.state),
+                                     res_rms[None],
+                                     occ.astype(jnp.float64)[None]])
+            shard2 = jax.tree.map(lambda x: x[None], local2)
+            return (res.state, shard2, down, dmask, res.n_active,
+                    res.iters, dense_world, active, stats)
+
+        shd = P(axis)
+        rep = P()
+        smapped = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(rep, shd, rep, rep, shd, shd, shd, rep, rep),
+            out_specs=(rep, shd, rep, rep, rep, rep, rep, rep, rep),
             check_vma=False,
         )
         return jax.jit(smapped)

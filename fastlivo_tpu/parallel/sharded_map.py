@@ -115,7 +115,8 @@ def build_snapshot(keys, cells_check, cells_pts, valid, voxel_size,
     """Assemble a replicated TiledMap from gathered blocks. Owned tiles
     are globally unique, so directory writes cannot conflict (directory
     wrap aliasing would need two tiles dir_dims*8*voxel apart inside one
-    scan footprint — 256 m span at the defaults)."""
+    scan footprint — 256 m span at the defaults; the product path passes
+    the map's own dims, giving the snapshot the full 512 m span)."""
     K = keys.shape[0]
     import numpy as np
 
@@ -143,7 +144,7 @@ def build_snapshot(keys, cells_check, cells_pts, valid, voxel_size,
 
 
 def exchange_snapshot(local: tm.TiledMap, lo, hi, k_exch: int,
-                      axis: str) -> tm.TiledMap:
+                      axis: str, dir_dims=(64, 64, 32)) -> tm.TiledMap:
     """The halo exchange: every device contributes its owned blocks in
     the scan AABB; the mesh all-gathers them into a replicated snapshot."""
     keys, cc, pp, valid, _ = extract_blocks(local, lo, hi, k_exch)
@@ -151,7 +152,8 @@ def exchange_snapshot(local: tm.TiledMap, lo, hi, k_exch: int,
     cc_g = jax.lax.all_gather(cc, axis, tiled=True)
     pp_g = jax.lax.all_gather(pp, axis, tiled=True)
     valid_g = jax.lax.all_gather(valid, axis, tiled=True)
-    return build_snapshot(keys_g, cc_g, pp_g, valid_g, local.voxel_size)
+    return build_snapshot(keys_g, cc_g, pp_g, valid_g, local.voxel_size,
+                          dir_dims=dir_dims)
 
 
 def sharded_blockmap_scan_step(

@@ -70,12 +70,21 @@ class FrameOutput:
 
 
 class Pipeline:
-    def __init__(self, cfg: Config, vio=None, log_dir=None, mesh=None):
+    def __init__(self, cfg: Config, vio=None, log_dir=None, mesh=None,
+                 sharded_map: bool = False):
         """`mesh`: optional `jax.sharding.Mesh` — runs the fused lidar
         and camera frame steps SPMD over its devices (parallel/product
         .py MeshRunner; `--mesh N` on the CLIs). Same call protocol,
         same outputs; trajectories match single-device to f32-reduction
-        epsilon (tests/test_mesh_product.py)."""
+        epsilon (tests/test_mesh_product.py).
+
+        `sharded_map` (requires `mesh` + the tiled backend): BLOCK-SHARD
+        the geometric map across the mesh — each device's pool holds
+        only its ownership slab (~tiled_pool/N tiles), and the EKF's kNN
+        runs against a per-scan halo snapshot all-gathered from the
+        owners (parallel/sharded_backend + sharded_map; `--sharded-map`
+        on the CLIs). Per-device map HBM scales ~1/N; trajectories match
+        the replicated-map mesh path (tests/test_mesh_product.py)."""
         self.cfg = cfg
         self.logger = None
         if log_dir is not None:
@@ -94,7 +103,21 @@ class Pipeline:
         self.init_done = False
         self.calib: Optional[imu_mod.ImuCalib] = None
         self.state: NavState = identity_state()
-        if cap.map_backend == "dense":
+        if sharded_map:
+            if mesh is None:
+                raise ValueError("sharded_map requires a mesh")
+            if cap.map_backend != "tiled":
+                raise ValueError(
+                    "sharded_map requires the tiled map backend "
+                    f"(map_backend={cap.map_backend!r})"
+                )
+            from .parallel.sharded_backend import ShardedTiledBackend
+
+            self._map_mod = ShardedTiledBackend(mesh)
+            self.map = self._map_mod.empty(
+                cap.tiled_dir_dims, cap.tiled_pool, cfg.filter_size_map
+            )
+        elif cap.map_backend == "dense":
             from .ops import dense_map as dm
 
             self.map = dm.empty_dense_map(cap.dense_dims, cfg.filter_size_map)
@@ -131,7 +154,10 @@ class Pipeline:
         if mesh is not None:
             from .parallel.product import MeshRunner
 
-            self.mesh_runner = MeshRunner(mesh)
+            self.mesh_runner = MeshRunner(
+                mesh, sharded_map=sharded_map, halo_tiles=cap.halo_tiles,
+                snap_dims=cap.tiled_dir_dims,
+            )
             self.mesh_runner.check_capacity(cap)
         if vio is None and cfg.img_enable:
             from .vio import Vio
@@ -845,6 +871,10 @@ class Pipeline:
         every `profile_every` frames the four stages are ALSO dispatched
         separately (results discarded) and their wall times recorded in
         `last_stage_profile` (milliseconds)."""
+        if getattr(self._map_mod, "is_sharded", False):
+            # the staged single-device re-dispatch has no meaning for a
+            # block-sharded map (the stages are collective ops)
+            return None
         import jax
 
         times = {}
@@ -910,7 +940,16 @@ class Pipeline:
         # 0.85 load-factor threshold); fall back to a blocking device
         # read only before the first fused frame has resolved
         occ = self._map_occ_host
-        if self._map_mod is tmod:
+        if getattr(self._map_mod, "is_sharded", False):
+            # sharded map: stats[28] carries the FULLEST shard's
+            # allocation (pmax over the mesh); compare against the
+            # per-shard pool — the binding constraint
+            if occ is None:
+                occ = self._map_mod.max_occupancy(self.map)
+            if occ > 0.85 * self._map_mod.pool_per_shard(self.map):
+                self.map = self._map_mod.compact(self.map)
+                self._map_occ_host = None
+        elif self._map_mod is tmod:
             if occ is None:
                 occ = float(self.map.n_alloc)
             if occ > 0.85 * self.map.slot_key.shape[0]:

@@ -299,6 +299,14 @@ def main(argv=None):
         "reduce over ICI; trajectories match single-device to "
         "f32-reduction epsilon",
     )
+    ap.add_argument(
+        "--sharded-map", action="store_true",
+        help="with --mesh N: BLOCK-SHARD the geometric map across the "
+        "mesh (ownership-striped tile slabs; per-device map HBM ~1/N). "
+        "kNN runs against a per-scan halo snapshot all-gathered from "
+        "the owners (parallel/sharded_map.py); trajectories match the "
+        "replicated-map mesh path",
+    )
     args = ap.parse_args(argv)
 
     if args.launch:
@@ -324,7 +332,14 @@ def main(argv=None):
         from .parallel.sharded import make_mesh
 
         mesh = make_mesh(args.mesh)
-    pipe = Pipeline(cfg, log_dir=args.log_dir, mesh=mesh)
+    elif args.sharded_map:
+        ap.error("--sharded-map requires --mesh N")
+    if args.sharded_map and args.load_ckpt:
+        ap.error("--sharded-map cannot restore a single-device map "
+                 "checkpoint (re-run without --sharded-map, or rebuild "
+                 "the map from the stream)")
+    pipe = Pipeline(cfg, log_dir=args.log_dir, mesh=mesh,
+                    sharded_map=args.sharded_map)
     pipe.profile_every = args.profile_every
     if not args.sync_read and not args.block and not cfg.debug:
         # offline default: deferred readback (the round trip of frame
@@ -417,8 +432,22 @@ def main(argv=None):
     if args.save_ckpt:
         from .io import checkpoint as ckpt_mod
 
+        ckpt_map = pipe.map
+        if getattr(pipe._map_mod, "is_sharded", False):
+            # checkpoints are single-device artifacts: merge the shards'
+            # live points into one TiledMap (ownership is disjoint, so
+            # build_host reproduces the exact content; the restored map
+            # re-shards on the next --sharded-map run via the stream)
+            from .ops import tiled_map as tmod
+
+            pts_all, _ = pipe._map_mod.extract_points(pipe.map)
+            cap = pipe.cfg.capacity
+            ckpt_map = tmod.build_host(
+                pts_all, cap.tiled_dir_dims, cap.tiled_pool,
+                float(pipe.cfg.filter_size_map),
+            )
         ckpt_mod.save(
-            args.save_ckpt, pipe.state, pipe.map,
+            args.save_ckpt, pipe.state, ckpt_map,
             pipe.vio.vmap if pipe.vio is not None else None,
         )
         print(f"checkpoint: {args.save_ckpt}")

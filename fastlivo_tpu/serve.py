@@ -83,8 +83,10 @@ class Server:
     serialized by a lock, so the pipeline sees the reference's
     single-threaded spinOnce cadence (:1260-1267)."""
 
-    def __init__(self, cfg: Config, address, log_dir=None, mesh=None):
-        self.pipe = Pipeline(cfg, log_dir=log_dir, mesh=mesh)
+    def __init__(self, cfg: Config, address, log_dir=None, mesh=None,
+                 sharded_map: bool = False):
+        self.pipe = Pipeline(cfg, log_dir=log_dir, mesh=mesh,
+                             sharded_map=sharded_map)
         if isinstance(address, tuple):
             self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -249,6 +251,10 @@ def main(argv=None):
     ap.add_argument("--mesh", type=int, default=0,
                     help="run the fused frame steps SPMD over the first "
                          "N devices (jax.sharding.Mesh; 0 = single)")
+    ap.add_argument("--sharded-map", action="store_true",
+                    help="with --mesh N: block-shard the geometric map "
+                         "(per-device map HBM ~1/N; per-scan halo "
+                         "snapshot kNN — parallel/sharded_map.py)")
     args = ap.parse_args(argv)
     if args.launch:
         from .config import parse_launch
@@ -268,7 +274,10 @@ def main(argv=None):
         from .parallel.sharded import make_mesh
 
         mesh = make_mesh(args.mesh)
-    srv = Server(cfg, addr, log_dir=args.log_dir, mesh=mesh)
+    elif args.sharded_map:
+        ap.error("--sharded-map requires --mesh N")
+    srv = Server(cfg, addr, log_dir=args.log_dir, mesh=mesh,
+                 sharded_map=args.sharded_map)
     if args.async_read:
         srv.pipe.async_read = True
     if args.block_read:

@@ -198,3 +198,75 @@ def test_mesh_pipeline_livo_trajectory_matches_single():
     assert t1.shape == t8.shape and len(t1) >= 10
     np.testing.assert_allclose(t8[:, 1:4], t1[:, 1:4], atol=1e-4)
     np.testing.assert_allclose(t8[:, 4:], t1[:, 4:], atol=1e-5)
+
+
+# ---- block-sharded map product mode (--mesh N --sharded-map) ------------
+
+def test_sharded_backend_ops_match_single_device():
+    """ShardedTiledBackend insert/delete_boxes/compact/extract_points
+    reproduce the single-device tiled map's CONTENT exactly (ownership
+    partitions the tiles; the union must be the replicated map)."""
+    from fastlivo_tpu.ops import tiled_map as tm
+    from fastlivo_tpu.parallel.sharded_backend import ShardedTiledBackend
+
+    mesh = make_mesh(8)
+    be = ShardedTiledBackend(mesh)
+    # scene: a 60x60 m ground slab -> ~16x16x1 tiles across 4 ownership
+    # slabs; comfortably under BOTH the single pool (2048) and every
+    # per-shard pool (2048/8 = 256) so no side drops tiles
+    shards = be.empty((16, 16, 8), 2048, 0.5)
+    single = tm.empty_tiled_map((16, 16, 8), 2048, 0.5)
+
+    rng = np.random.default_rng(3)
+    for it in range(3):
+        pts = np.stack([
+            rng.uniform(-30, 30, 512),
+            rng.uniform(-30, 30, 512),
+            rng.uniform(0.0, 2.0, 512),
+        ], axis=1).astype(np.float32)
+        mask = rng.random(512) < 0.9
+        shards = be.insert(shards, jnp.asarray(pts), jnp.asarray(mask))
+        single = tm.insert(single, jnp.asarray(pts), jnp.asarray(mask))
+    p_sh, n_sh = be.extract_points(shards)
+    p_si, n_si = tm.extract_points(single)
+    assert n_sh == n_si > 100
+    np.testing.assert_array_equal(
+        np.sort(p_sh.round(4), axis=0), np.sort(np.asarray(p_si).round(4), axis=0)
+    )
+
+    lo = jnp.asarray([[-30.0, -30.0, -30.0]], jnp.float32)
+    hi = jnp.asarray([[0.0, 30.0, 30.0]], jnp.float32)
+    shards = be.delete_boxes(shards, lo, hi)
+    single = tm.delete_boxes(single, lo, hi)
+    shards = be.compact(shards)
+    single = tm.compact(single)
+    p_sh, n_sh = be.extract_points(shards)
+    p_si, n_si = tm.extract_points(single)
+    assert n_sh == n_si > 0
+    np.testing.assert_array_equal(
+        np.sort(p_sh.round(4), axis=0), np.sort(np.asarray(p_si).round(4), axis=0)
+    )
+    # memory axis: per-shard pool is 1/8 of the requested total
+    assert be.pool_per_shard(shards) == 256
+    assert be.max_occupancy(shards) <= 256
+
+
+@pytest.mark.slow
+def test_mesh_pipeline_sharded_map_trajectory_matches_replicated():
+    """`run.py --synthetic --mesh 8 --sharded-map` == the replicated-map
+    mesh path: the halo snapshot carries exactly the tiles the EKF's
+    kNN can reach, so the per-frame math is identical (measured
+    bit-equal on this scene)."""
+    cfg_kw = dict(with_cam=False)
+    mesh = make_mesh(8)
+    p_rep = Pipeline(_pipeline_cfg(False), mesh=mesh)
+    run_synthetic(p_rep, 3.0, False)
+    t_rep = p_rep.tum_trajectory()
+    p_sh = Pipeline(_pipeline_cfg(False), mesh=mesh, sharded_map=True)
+    run_synthetic(p_sh, 3.0, False)
+    t_sh = p_sh.tum_trajectory()
+    assert t_rep.shape == t_sh.shape and len(t_rep) >= 10
+    np.testing.assert_allclose(t_sh[:, 1:4], t_rep[:, 1:4], atol=1e-5)
+    np.testing.assert_allclose(t_sh[:, 4:], t_rep[:, 4:], atol=1e-6)
+    # the memory axis actually scales: every shard pool is 1/8 the total
+    assert p_sh.map.slot_key.shape[1] == p_rep.map.slot_key.shape[0] // 8
