@@ -191,6 +191,7 @@ def test_profile_every_works_under_async_read():
     assert all(v > 0.0 for v in prof.values())
 
 
+@pytest.mark.slow
 def test_varying_scan_sizes_grow_only_bucket():
     """Real sensors jitter around their nominal scan size; the fused
     step's pow2 shape bucket must grow monotonically (no flip-flopping

@@ -124,6 +124,7 @@ def test_livo_async_read_outputs_identical(livo_run):
     np.testing.assert_array_equal(pipe.vio.last_rcw, ref_pipe.vio.last_rcw)
 
 
+@pytest.mark.slow
 def test_live_block_read_matches_sync(livo_run):
     """Pipeline.enable_block_read (serve --block-read): live
     block-packed readback produces the same trajectory as sync mode,

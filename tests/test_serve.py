@@ -59,6 +59,7 @@ def test_socket_stream_lio(tmp_path):
     raise AssertionError("no flush ack received")
 
 
+@pytest.mark.slow
 def test_socket_stream_livo(tmp_path):
     """Full LIVO over the socket: images interleave with scans."""
     from test_pipeline_livo import RCL, W, H, F, livo_config

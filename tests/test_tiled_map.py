@@ -1,6 +1,7 @@
 """Tiled two-level map backend: parity with the hash backend, long-range
 coverage, pool allocation/compaction, and churn behavior."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fastlivo_tpu.ops import tiled_map as tm
@@ -205,6 +206,7 @@ def test_build_host_matches_device_inserts():
     assert int(mh.n_alloc) == int(md.n_alloc)
 
 
+@pytest.mark.slow
 def test_randomized_churn_differential_vs_hash():
     """Randomized insert/delete/query sequence: the tiled backend must
     agree with the hash backend (same downsample-to-voxel-center

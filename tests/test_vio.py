@@ -381,6 +381,7 @@ def test_dedup_voxels_preserves_unique_keys():
     assert len(vox) < len(want) + 64
 
 
+@pytest.mark.slow
 def test_pool_retains_ref_images_beyond_depth(ds):
     """shared_ptr retention through the fused path: with a 4-slot image
     pool, points bootstrapped at fid 0 keep their reference image alive

@@ -158,7 +158,10 @@ def test_fuzz_pool_and_obs_rings_vs_model():
     md = Model()
     fid = 0
     rcw = np.eye(3, dtype=np.float32)
-    for step in range(120):
+    # 80 steps keeps the fast tier inside its 180 s budget while still
+    # cycling the 4-slot pool ~20x through every op mix; the op
+    # distribution is unchanged from the original 120-step run
+    for step in range(80):
         op = rng.choice(["push_add", "obs", "compact"],
                         p=[0.45, 0.45, 0.10])
         if op == "push_add":
