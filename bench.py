@@ -743,31 +743,51 @@ def main():
             "ekf_iters": round(iters, 1),
             "htj_nnz_per_sec": round(n_active * 6.0 * iters / t_frame, 1),
         }
+        # HBM-side roofline from an ANALYTIC bytes model (XLA's
+        # cost_analysis "bytes accessed" sums every op's operands as if
+        # unfused — it reported 40 GB/frame here, 235x the physical
+        # ceiling, so it is recorded raw but NOT used for the roofline).
+        # Lidar model (per frame, docs/PERF_ANALYSIS.md "Round 5"):
+        #   3 kNN searches x 27-hood x (dir 4B + check 4B + pts 12B)
+        # + 6 EKF iterations x ~120 B/row (5-NN gather + plane/J algebra)
+        # + ~72 B/pt undistort/downsample/insert traffic
+        lid_bytes_model = N_SCAN * (3 * 27 * 20 + 6 * 120 + 72)
+        gb_model = lid_bytes_model / t_frame / 1e9
+        kernel.update({
+            "lidar_bytes_model": lid_bytes_model,
+            "lidar_achieved_gbps_model": round(gb_model, 2),
+            "lidar_hbm_roofline_frac": round(gb_model / HBM_GBPS, 4),
+        })
         if lid_cost:
             gf = lid_cost["flops"] / t_frame / 1e9
-            gb = lid_cost["bytes"] / t_frame / 1e9
             kernel.update({
-                "lidar_step_flops": lid_cost["flops"],
-                "lidar_step_bytes": lid_cost["bytes"],
+                "lidar_xla_flops": lid_cost["flops"],
+                "lidar_xla_bytes_unfused": lid_cost["bytes"],
                 "lidar_achieved_gflops": round(gf, 2),
-                "lidar_achieved_gbps": round(gb, 2),
-                "lidar_hbm_roofline_frac": round(gb / HBM_GBPS, 4),
                 "lidar_mfu_bf16_frac": round(
                     gf / (PEAK_BF16_TFLOPS * 1e3), 6),
             })
-        if vio_cost and vio is not None:
+        if vio is not None:
             tv = vio["vio_streamed_ms_median"] * 1e-3
-            gf = vio_cost["flops"] / tv / 1e9
-            gb = vio_cost["bytes"] / tv / 1e9
+            # VIO model: per iteration each tracked pixel gathers 4
+            # bilinear corners for value+du+dv (~48 B) from the image
+            iters_v = vio.get("vio_iters_per_frame", 12.0)
+            vio_bytes_model = VIO_PTS * VIO_PATCH * VIO_PATCH * 48 * iters_v
+            gbv = vio_bytes_model / tv / 1e9
             kernel.update({
-                "vio_cascade_flops": vio_cost["flops"],
-                "vio_cascade_bytes": vio_cost["bytes"],
-                "vio_achieved_gflops": round(gf, 2),
-                "vio_achieved_gbps": round(gb, 2),
-                "vio_hbm_roofline_frac": round(gb / HBM_GBPS, 4),
-                "vio_mfu_bf16_frac": round(
-                    gf / (PEAK_BF16_TFLOPS * 1e3), 6),
+                "vio_bytes_model": round(vio_bytes_model, 0),
+                "vio_achieved_gbps_model": round(gbv, 2),
+                "vio_hbm_roofline_frac": round(gbv / HBM_GBPS, 4),
             })
+            if vio_cost:
+                gf = vio_cost["flops"] / tv / 1e9
+                kernel.update({
+                    "vio_xla_flops": vio_cost["flops"],
+                    "vio_xla_bytes_unfused": vio_cost["bytes"],
+                    "vio_achieved_gflops": round(gf, 2),
+                    "vio_mfu_bf16_frac": round(
+                        gf / (PEAK_BF16_TFLOPS * 1e3), 6),
+                })
     except Exception:
         kernel = None
     if kernel is not None:
