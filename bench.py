@@ -521,28 +521,31 @@ def bench_block(K=8):
 
 WATCHDOG_S = 520
 # Most recent COMPLETED bench.py run, used ONLY by the stale-fallback
-# path below when the relay stalls the live run: full round-4 capture
-# 2026-08-20 (clean session, floor 0.061 ms, incl. the 256-slot u8
-# reference-image pool).
+# path below when the relay stalls the live run. The producing capture
+# is committed verbatim at docs/bench_captures/2026-08-20_r05_full.json
+# (all sections live, floor 0.07 ms; relay throughput varies ~25-80 M
+# pts/s between sessions — same-day faster sessions measured 79 M, see
+# PERF_ANALYSIS).
 LAST_KNOWN = {
     "schema": 2,
     "metric": "lidar_streamed_points_per_sec",
-    "value": 76181929.5,
+    "value": 62651853.3,
     "unit": "points/s",
-    "vs_baseline": 891.02,
-    "points_per_sec_sync": 22649073.5,
-    "vs_baseline_sync": 264.9,
+    "vs_baseline": 732.77,
+    "points_per_sec_sync": 18788344.5,
+    "vs_baseline_sync": 219.75,
     "baseline_points_per_sec": 85500.0,
-    "dispatch_overhead_ms": 0.061,
-    "points_per_sec_net": 24724725.5,
-    "vs_baseline_net": 289.18,
-    "vio_pixels_per_sec_streamed": 5667171276.0,
-    "vio_pixels_per_sec_sync": 3324288286.9,
+    "dispatch_overhead_ms": 0.07,
+    "points_per_sec_net": 20428265.4,
+    "vs_baseline_net": 238.93,
+    "vio_pixels_per_sec_streamed": 2389921021.1,
+    "vio_pixels_per_sec_sync": 1138963714.3,
     "vio_baseline_pixels_per_sec": 36800000.0,
-    "vio_vs_baseline": 154.0,
-    "vio_vs_baseline_sync": 90.33,
-    "interactive_ms_per_frame": 40.1,
-    "livo_pair_ms_block": 84.9,
+    "vio_vs_baseline": 64.94,
+    "vio_vs_baseline_sync": 30.95,
+    "interactive_ms_per_frame": 40.5,
+    "livo_pair_ms_block": 85.0,
+    "htj_nnz_per_sec": 357464309.2,
 }
 
 
