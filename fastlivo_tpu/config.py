@@ -81,6 +81,9 @@ class CapacityConfig:
     # esti_plane A·n=-1 parametrization, common_lib.h:449-493, solved in
     # f64). Measured end-to-end equivalent; see tests/test_reference_algebra.py
     plane_fit: str = "tls"
+    # opt-in Pallas fused top-5 + TLS plane fit on the LIO search leg
+    # (ops/pallas_lio.py; A/B'd in docs/PERF_ANALYSIS.md round 5)
+    pallas_knn: bool = False
     # sliding-local-map mode: "ref" (default) reproduces the reference's
     # lasermap_fov_segment exactly — including its runaway-slide quirk
     # with shipped cube_side_length values (lio.LocalMapTracker

@@ -49,7 +49,7 @@ def stage_scan(w: jnp.ndarray, R: int):
     jax.jit,
     static_argnames=(
         "max_points", "max_iter", "knn_radius", "max_probe", "dense_out",
-        "cache_knn", "mixed_gain", "plane_fit",
+        "cache_knn", "mixed_gain", "plane_fit", "pallas_knn",
     ),
 )
 def lidar_frame_step(
@@ -70,6 +70,7 @@ def lidar_frame_step(
     cache_knn: bool = False,
     mixed_gain: bool = False,
     plane_fit: str = "tls",
+    pallas_knn: bool = False,
 ):
     """Returns (posterior state, new map, down (max_points,3), dmask,
     n_active, iters, pts_world_dense (R,3) | zeros, active (max_points,),
@@ -94,6 +95,7 @@ def lidar_frame_step(
         laser_point_cov=laser_point_cov, max_iter=max_iter,
         knn_radius=knn_radius, max_probe=max_probe,
         cache_knn=cache_knn, mixed_gain=mixed_gain, plane_fit=plane_fit,
+        pallas_knn=pallas_knn,
     )
     # map insert at the posterior (map_incremental, laserMapping.cpp:692)
     rot32 = res.state.rot.astype(down.dtype)

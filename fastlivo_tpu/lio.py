@@ -100,7 +100,7 @@ def _boxminus_vec(prior: NavState, rot, pos, vel, bg, ba, grav):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "knn_radius", "max_probe", "axis_name",
-                     "cache_knn", "mixed_gain", "plane_fit"),
+                     "cache_knn", "mixed_gain", "plane_fit", "pallas_knn"),
 )
 def lio_update(
     state: NavState,  # propagated prior (its cov is the prior covariance)
@@ -117,6 +117,7 @@ def lio_update(
     cache_knn: bool = False,
     mixed_gain: bool = False,
     plane_fit: str = "tls",
+    pallas_knn: bool = False,
 ) -> LioResult:
     """One scan's iterated point-to-plane EKF update (laserMapping.cpp:1506-1732).
 
@@ -163,9 +164,30 @@ def lio_update(
     if plane_fit not in ("tls", "ref"):
         raise ValueError(f"plane_fit={plane_fit!r}")
     fit = plane_ops.fit_plane_ref if plane_fit == "ref" else plane_ops.fit_plane
+    if pallas_knn and plane_fit == "ref":
+        raise ValueError("pallas_knn implements the tls plane fit only")
 
     def do_search(rot, pos):
         pw = world_pts(rot, pos)
+        if pallas_knn:
+            # opt-in fused top-5 + plane fit (ops/pallas_lio.py): one
+            # VMEM pass instead of sort + gather + fit kernels; the
+            # candidate gather stays on XLA (its strength). Interpret
+            # mode off-TPU so the CPU test mesh can execute it.
+            from .ops import pallas_lio
+
+            if cache_knn:
+                cand, fnd = cand0, found0
+            else:
+                cand, fnd = map_mod.knn_candidates(
+                    m, pw, radius=knn_radius, max_probe=max_probe
+                )
+            pabcd, plane_ok, nd2_5 = pallas_lio.knn5_plane(
+                cand, fnd, pw, PLANE_THRESH,
+                interpret=jax.default_backend() != "tpu",
+            )
+            sel = (nd2_5 <= SQ_DIST_GATE) & pmask
+            return sel, pabcd, plane_ok
         if cache_knn:
             neigh, nd2, _ = vm.topk_from_candidates(cand0, found0, pw, 5)
         else:

@@ -102,11 +102,12 @@ class MeshRunner:
                          rmask, filter_size_surf, laser_point_cov, *,
                          max_points, max_iter, knn_radius, max_probe,
                          dense_out=True, cache_knn=False,
-                         mixed_gain=False, plane_fit="tls"):
+                         mixed_gain=False, plane_fit="tls",
+                         pallas_knn=False):
         """Drop-in for `frame_step.lidar_frame_step` (same returns)."""
         key = (max_points, max_iter, knn_radius, max_probe, dense_out,
-               cache_knn, mixed_gain, plane_fit, type(m).__name__,
-               pts_raw.shape[0])
+               cache_knn, mixed_gain, plane_fit, pallas_knn,
+               type(m).__name__, pts_raw.shape[0])
         fn = self._lidar_cache.get(key)
         if fn is None:
             build = (self._build_lidar_sharded_map if self.sharded_map
@@ -116,6 +117,7 @@ class MeshRunner:
                 knn_radius=knn_radius, max_probe=max_probe,
                 dense_out=dense_out, cache_knn=cache_knn,
                 mixed_gain=mixed_gain, plane_fit=plane_fit,
+                pallas_knn=pallas_knn,
             )
             self._lidar_cache[key] = fn
         return fn(state, m, pose, calib, pts_raw, t_rel, rmask,
@@ -123,7 +125,8 @@ class MeshRunner:
                   jnp.asarray(laser_point_cov, jnp.float32))
 
     def _build_lidar(self, *, max_points, max_iter, knn_radius, max_probe,
-                     dense_out, cache_knn, mixed_gain, plane_fit):
+                     dense_out, cache_knn, mixed_gain, plane_fit,
+                     pallas_knn=False):
         axis, n = self.axis, self.n
         if max_points % n:
             raise ValueError(
@@ -152,6 +155,7 @@ class MeshRunner:
                 knn_radius=knn_radius, max_probe=max_probe,
                 axis_name=axis, cache_knn=cache_knn,
                 mixed_gain=mixed_gain, plane_fit=plane_fit,
+                pallas_knn=pallas_knn,
             )
             # replicated insert at the replicated posterior: identical
             # scatters keep the map bit-identical on every device
@@ -206,7 +210,7 @@ class MeshRunner:
 
     def _build_lidar_sharded_map(self, *, max_points, max_iter, knn_radius,
                                  max_probe, dense_out, cache_knn,
-                                 mixed_gain, plane_fit):
+                                 mixed_gain, plane_fit, pallas_knn=False):
         """The `sharded_map=True` lidar step: identical call protocol and
         returns as `_build_lidar`, but `m` is the block-sharded map (one
         ownership-striped TiledMap shard per device, leading device
@@ -274,6 +278,7 @@ class MeshRunner:
                 knn_radius=knn_radius, max_probe=max_probe,
                 axis_name=axis, cache_knn=cache_knn,
                 mixed_gain=mixed_gain, plane_fit=plane_fit,
+                pallas_knn=pallas_knn,
             )
             # ownership-masked insert at the replicated posterior: each
             # device applies exactly the inserts the replicated map

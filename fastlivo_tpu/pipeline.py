@@ -595,6 +595,7 @@ class Pipeline:
                 cache_knn=cap.cache_knn,
                 mixed_gain=cap.mixed_gain,
                 plane_fit=cap.plane_fit,
+                pallas_knn=cap.pallas_knn,
             )
             if self.mesh_runner is not None:
                 step_fn = self.mesh_runner.lidar_frame_step
