@@ -241,3 +241,66 @@ def test_randomized_churn_differential_vs_hash():
         hp = np.sort(np.where(np.asarray(hv)[..., None],
                               np.asarray(hn), 0.0), axis=1)
         np.testing.assert_allclose(tp, hp, atol=1e-5)
+
+
+def test_long_excursion_bounded_without_delete_boxes():
+    """Map boundedness in the SHIPPED default mode (`slider: ref`),
+    where the reference-quirk slider's delete boxes are provably no-ops
+    at stock cube sizes (lio.LocalMapTracker docstring): the pool must
+    stay bounded by the tiled map's OWN mechanisms alone —
+
+      1. directory WRAP eviction: once the walk exceeds the directory
+         span, a new tile aliases the dir cell of the tile one span
+         behind and reuses its pool slot (insert's aliased branch;
+         the evicted tile's cells self-invalidate by hash mismatch);
+      2. load-factor COMPACTION (the pipeline trigger, _maybe_rebuild):
+         reclaims slots whose tiles lost every live cell.
+
+    Walk a wall-building sensor 5x the directory span (~1.6 km at a
+    256 m span) with the pipeline's 0.85 trigger; the pool must never
+    exhaust (no dropped inserts after the warm-up lap), and the map
+    must stay queryable around the current position the whole way.
+    """
+    dims = (64, 64, 16)  # 256 m span at 0.5 m voxels — scaled replica
+    pool = 3072          # of the shipped (128,128,64)/16384 ratios
+    span_m = dims[0] * 8 * 0.5
+    t = tm.empty_tiled_map(dims, pool, 0.5)
+    rng = np.random.default_rng(5)
+    step_m, n_steps = 8.0, int(5 * span_m / 8.0)  # 1.6 km
+    drops_after_warm = 0
+    rates = []
+    for k in range(n_steps):
+        x = k * step_m
+        # a wall slab around the sensor: ~60 m ahead/behind, 3 m tall
+        pts = np.stack([
+            x + rng.uniform(-30, 30, 2048),
+            rng.uniform(-10, 10, 2048),
+            rng.uniform(0, 3, 2048),
+        ], axis=1).astype(np.float32)
+        before = int(t.n_dropped)
+        t = tm.insert(t, jnp.asarray(pts), jnp.ones(len(pts), bool))
+        if k * step_m > span_m:  # past the first wrap
+            drops_after_warm += int(t.n_dropped) - before
+        if float(t.n_alloc) > 0.85 * pool:  # the pipeline trigger
+            t = tm.compact(t)
+        assert int(t.n_alloc) <= pool
+        # the CURRENT neighborhood must remain fully queryable
+        q = np.stack([
+            x + rng.uniform(-20, 20, 64),
+            rng.uniform(-8, 8, 64),
+            rng.uniform(0.5, 2.5, 64),
+        ], axis=1).astype(np.float32)
+        _, _, valid = tm.knn(t, jnp.asarray(q), k=5, radius=1)
+        rates.append(float(np.asarray(valid)[:, 0].mean()))
+        # the wall is sparse (~16% voxel fill at this density), so the
+        # absolute hit rate sits near 0.85; what boundedness must
+        # guarantee is that it NEVER COLLAPSES as the pool churns
+        assert rates[-1] > 0.7, f"step {k}: hit rate {rates[-1]}"
+    # ... and that steady-state queryability never degrades vs lap 1
+    lap = max(n_steps // 5, 1)
+    assert np.mean(rates[-lap:]) > np.mean(rates[:lap]) - 0.05, (
+        np.mean(rates[:lap]), np.mean(rates[-lap:]))
+    assert drops_after_warm == 0, (
+        f"{drops_after_warm} points dropped in steady state — pool not "
+        "bounded by wrap eviction + compaction alone"
+    )
