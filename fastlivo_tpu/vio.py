@@ -738,7 +738,7 @@ def _dedup_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
     jax.jit,
     static_argnames=(
         "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_iter",
-        "max_pg", "robust", "axis_name",
+        "max_pg", "robust", "axis_name", "push_inline",
     ),
 )
 def vio_frame_step(
@@ -768,6 +768,7 @@ def vio_frame_step(
     max_pg: int,
     robust: str = "none",
     axis_name: str | None = None,
+    push_inline: bool = True,
 ):
     """The ENTIRE image frame in one dispatch — `detect`
     (lidar_selection.cpp:1027-1075) fused: image pool push, device voxel
@@ -794,7 +795,12 @@ def vio_frame_step(
     f32 = gray.dtype
     fid = meta[1]
     cloud_mask = jnp.arange(cloud.shape[0]) < meta[0]
-    vm2 = vmap_mod.push_image(vm, gray, fid)
+    # `push_inline=False` (FASTLIVO_VIO_SPLIT_PUSH): the caller already
+    # pushed the frame into the pool as its own chained dispatch — a
+    # relay-pricing accommodation (docs/PERF_ANALYSIS round 5: the
+    # composite re-prices ~10 ms once it SCATTERS into a >64-slot pool;
+    # reads of the same pool are flat). Outputs are identical.
+    vm2 = vmap_mod.push_image(vm, gray, fid) if push_inline else vm
     pg, pg_mask = voxel_downsample_device(cloud, cloud_mask, 0.2, max_pg)
     # sub_feat_map voxel set (addFromSparseMap :361-380), deduplicated
     # sort-free (see _dedup_voxels; the lexicographic sorted-unique this
@@ -957,6 +963,13 @@ class Vio:
         cap = cfg.capacity
         self.cfg = cfg
         self.mesh_runner = mesh_runner
+        # FASTLIVO_VIO_SPLIT_PUSH=1: dispatch the image-pool push
+        # separately from the fused camera step (relay-pricing
+        # accommodation; identical outputs — see vio_frame_step)
+        import os as _os
+
+        self.split_push = bool(int(
+            _os.environ.get("FASTLIVO_VIO_SPLIT_PUSH", "0")))
         self.cam = cam_mod.from_config(cfg.camera)
         self.grid_size = cfg.grid_size
         self.patch_size = cfg.patch_size
@@ -1158,6 +1171,15 @@ class Vio:
         meta = jnp.asarray(np.array([n, self.fid], np.int32))
         step_fn = (self.mesh_runner.vio_frame_step
                    if self.mesh_runner is not None else vio_frame_step)
+        extra = {}
+        if self.split_push and self.mesh_runner is None:
+            # relay accommodation (FASTLIVO_VIO_SPLIT_PUSH): the pool
+            # scatter rides its own chained dispatch so the big
+            # composite never writes the (R,H,W) pool — see
+            # vio_frame_step's push_inline note
+            self.vmap = vmap_mod.push_image(self.vmap, gray,
+                                            jnp.int32(self.fid))
+            extra["push_inline"] = False
         (st, vm2, tidx, tvalid, opc, perr, err, n_tracked, n_added,
          _its, stats_j) = step_fn(
             self.vmap, self.cam, state, prior, gray, meta, cloud_j,
@@ -1167,6 +1189,7 @@ class Vio:
             gw=self.gw, gh=self.gh, ncc_en=cfg.ncc_en,
             max_iter=cfg.max_iteration,
             max_pg=self.max_pg, robust=cfg.capacity.vio_robust,
+            **extra,
         )
         self.vmap = vm2
         self.fid += 1
