@@ -96,6 +96,12 @@ class MeshRunner:
                     f"capacity.{name}={v} is not divisible by the mesh "
                     f"size {self.n}; pad it to a multiple"
                 )
+        if self.sharded_map and cap.frame_ring % self.n:
+            raise ValueError(
+                f"capacity.frame_ring={cap.frame_ring} is not divisible "
+                f"by the mesh size {self.n} (the image pool shards in "
+                "slot slabs under --sharded-map)"
+            )
 
     # -- lidar ----------------------------------------------------------
     def lidar_frame_step(self, state, m, pose, calib, pts_raw, t_rel,
@@ -355,16 +361,34 @@ class MeshRunner:
 
     def _build_vio(self, **statics):
         from .. import vio as vio_mod
+        from .. import visual_map as vmap_mod
 
-        local = functools.partial(
-            vio_mod.vio_frame_step, axis_name=self.axis, **statics
-        )
         rep = P()
+        if not self.sharded_map:
+            local = functools.partial(
+                vio_mod.vio_frame_step, axis_name=self.axis, **statics
+            )
+            in_specs = (rep,) * 14
+            out_specs = (rep,) * 11
+        else:
+            # --sharded-map: the reference-image pool rides sharded
+            # (slot-slab per device); everything else replicated. The
+            # step's pool_axis branch owner-gathers the warps and
+            # owner-writes the push (vio.select_tracked docstring).
+            local = functools.partial(
+                vio_mod.vio_frame_step, axis_name=self.axis,
+                pool_axis=self.axis, **statics
+            )
+            vm_spec = vmap_mod.VisualMap(
+                **{f: rep for f in vmap_mod.VisualMap._fields}
+            )._replace(imgs=P(self.axis))
+            in_specs = (vm_spec,) + (rep,) * 13
+            out_specs = (rep, vm_spec) + (rep,) * 9
         smapped = shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(rep,) * 14,
-            out_specs=(rep,) * 11,
+            in_specs=in_specs,
+            out_specs=out_specs,
             check_vma=False,
         )
         return jax.jit(smapped)

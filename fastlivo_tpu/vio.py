@@ -125,7 +125,7 @@ def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("grid_size", "patch_size", "gw", "gh", "ncc_en",
-                     "axis_name"),
+                     "axis_name", "pool_axis"),
 )
 def select_tracked(
     vm: vmap_mod.VisualMap,
@@ -145,6 +145,7 @@ def select_tracked(
     gh: int,
     ncc_en: bool = False,
     axis_name: str | None = None,
+    pool_axis: str | None = None,
 ) -> TrackedSet:
     """addFromSparseMap (lidar_selection.cpp:346-587) — see module doc.
 
@@ -159,7 +160,16 @@ def select_tracked(
     padded cell slice — feed them straight to
     `photometric_update_levels(axis_name=...)` and `all_gather` what
     the map-maintenance scatters need; `cell_value` stays full-(G,)
-    replicated. With axis_name=None the output is unchanged."""
+    replicated. With axis_name=None the output is unchanged.
+
+    `pool_axis` (requires axis_name; the --sharded-map product mode):
+    `vm.imgs` is this device's CONTIGUOUS SLAB of the reference-image
+    pool (global slot s lives on device s // (R/n)); the warp phase
+    gathers owner-locally, masks, and psum-combines the patch pyramids
+    (~150 KB over ICI), so the 84 MB pool no longer replicates.
+    Phases 3-5 then run at full G on every device (G is tiny) and the
+    returned tracked set is cell-sliced at the END — identical output
+    contract."""
     H, W = img.shape
     G = gw * gh
     P = patch_size
@@ -256,11 +266,15 @@ def select_tracked(
             return jax.lax.dynamic_slice_in_dim(jnp.pad(a, pw),
                                                 i_dev * Gl, Gl)
 
-        has_map = _cells(has_map)
-        widx = _cells(widx)
-        wpos = _cells(wpos)
-        wcam = _cells(wcam)
-        wpc = _cells(wpc)
+        if pool_axis is None:
+            has_map = _cells(has_map)
+            widx = _cells(widx)
+            wpos = _cells(wpos)
+            wcam = _cells(wcam)
+            wpc = _cells(wpc)
+        # with pool_axis, phases 3-5 stay at FULL G on every device
+        # (the warp must be owner-masked over the sharded pool and
+        # psum-combined); the tracked set is sliced at the end instead
 
     # --- phase 3: depth-continuity gate (:489-510) ------------------------
     offs = jnp.arange(-half, half + 1)
@@ -320,15 +334,37 @@ def select_tracked(
         * inv_det[:, None, None]
     )
 
-    patches = jnp.stack(
-        [
-            img_ops.affine_warp_patches(
-                vm.imgs, ref["slot"], A_inv, ref["px"], P, search_level, lvl
-            )
-            for lvl in range(3)
-        ],
-        axis=1,
-    )  # (G, 3, P, P)
+    if pool_axis is None:
+        patches = jnp.stack(
+            [
+                img_ops.affine_warp_patches(
+                    vm.imgs, ref["slot"], A_inv, ref["px"], P,
+                    search_level, lvl
+                )
+                for lvl in range(3)
+            ],
+            axis=1,
+        )  # (G, 3, P, P)
+    else:
+        # sharded pool: gather from the LOCAL slab, zero non-owned
+        # rows, combine across owners (slabs are disjoint, so the psum
+        # is an exact merge; ~G*3*P*P*4 B ~ 150 KB over ICI)
+        Rl = vm.imgs.shape[0]
+        ls = ref["slot"] - jax.lax.axis_index(pool_axis) * Rl
+        mine = (ls >= 0) & (ls < Rl)
+        ls_safe = jnp.clip(ls, 0, Rl - 1)
+        patches = jnp.stack(
+            [
+                img_ops.affine_warp_patches(
+                    vm.imgs, ls_safe, A_inv, ref["px"], P,
+                    search_level, lvl
+                )
+                for lvl in range(3)
+            ],
+            axis=1,
+        )
+        patches = jnp.where(mine[:, None, None, None], patches, 0.0)
+        patches = jax.lax.psum(patches, pool_axis)
 
     # --- phase 5: photometric outlier gate (:557-570) ---------------------
     cur_patch = img_ops.extract_patches(img, wpc, P, 1)
@@ -344,6 +380,13 @@ def select_tracked(
         )
         t_ok = t_ok & (ncc >= ncc_thre)
 
+    if axis_name is not None and pool_axis is not None:
+        widx = _cells(widx)
+        wpos = _cells(wpos)
+        patches = _cells(patches)
+        search_level = _cells(search_level)
+        t_ok = _cells(t_ok)
+        err0 = _cells(err0)
     return TrackedSet(
         idx=widx,
         pos=wpos,
@@ -738,7 +781,7 @@ def _dedup_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
     jax.jit,
     static_argnames=(
         "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_iter",
-        "max_pg", "robust", "axis_name", "push_inline",
+        "max_pg", "robust", "axis_name", "push_inline", "pool_axis",
     ),
 )
 def vio_frame_step(
@@ -769,6 +812,7 @@ def vio_frame_step(
     robust: str = "none",
     axis_name: str | None = None,
     push_inline: bool = True,
+    pool_axis: str | None = None,
 ):
     """The ENTIRE image frame in one dispatch — `detect`
     (lidar_selection.cpp:1027-1075) fused: image pool push, device voxel
@@ -797,10 +841,27 @@ def vio_frame_step(
     cloud_mask = jnp.arange(cloud.shape[0]) < meta[0]
     # `push_inline=False` (FASTLIVO_VIO_SPLIT_PUSH): the caller already
     # pushed the frame into the pool as its own chained dispatch — a
-    # relay-pricing accommodation (docs/PERF_ANALYSIS round 5: the
-    # composite re-prices ~10 ms once it SCATTERS into a >64-slot pool;
-    # reads of the same pool are flat). Outputs are identical.
-    vm2 = vmap_mod.push_image(vm, gray, fid) if push_inline else vm
+    # relay-pricing accommodation (docs/PERF_ANALYSIS round 5). With
+    # `pool_axis` (--sharded-map), the slot choice runs replicated from
+    # the replicated metadata and only the OWNER writes its local pool
+    # slab (img_fid updates replicated — it is the pool's directory).
+    if not push_inline:
+        vm2 = vm
+    elif pool_axis is None:
+        vm2 = vmap_mod.push_image(vm, gray, fid)
+    else:
+        slot = vmap_mod.push_slot(vm, fid)
+        Rl = vm.imgs.shape[0]
+        ls = slot - jax.lax.axis_index(pool_axis) * Rl
+        img_w = gray
+        if jnp.issubdtype(vm.imgs.dtype, jnp.integer):
+            img_w = jnp.round(jnp.clip(gray, 0.0, 255.0))
+        w_slot = jnp.where((ls >= 0) & (ls < Rl), ls, Rl)
+        vm2 = vm._replace(
+            imgs=vm.imgs.at[w_slot].set(
+                img_w.astype(vm.imgs.dtype), mode="drop"),
+            img_fid=vm.img_fid.at[slot].set(fid),
+        )
     pg, pg_mask = voxel_downsample_device(cloud, cloud_mask, 0.2, max_pg)
     # sub_feat_map voxel set (addFromSparseMap :361-380), deduplicated
     # sort-free (see _dedup_voxels; the lexicographic sorted-unique this
@@ -823,7 +884,7 @@ def vio_frame_step(
         vm2, cam, rcw, pcw, gray, pg, pg_mask, vox, vox_mask,
         outlier_threshold=outlier_threshold, ncc_thre=ncc_thre,
         grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
-        ncc_en=ncc_en, axis_name=axis_name,
+        ncc_en=ncc_en, axis_name=axis_name, pool_axis=pool_axis,
     )
     npos, npx, nscore, nadd = select_new_points(
         cam, rcw, pcw, gray, pg, pg_mask, tracked.cell_value,
@@ -1002,6 +1063,20 @@ class Vio:
             width=cfg.camera.width,
             img_dtype=jnp.uint8 if cap.frame_ring_u8 else None,
         )
+        self.pool_sharded = bool(
+            mesh_runner is not None
+            and getattr(mesh_runner, "sharded_map", False)
+        )
+        if self.pool_sharded:
+            # --sharded-map: the reference-image pool shards over the
+            # mesh (slot slabs; warps owner-gather + psum inside
+            # select_tracked) — per-device pool HBM ~1/N
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            self.vmap = self.vmap._replace(imgs=jax.device_put(
+                self.vmap.imgs,
+                NamedSharding(mesh_runner.mesh, _P(mesh_runner.axis)),
+            ))
         self.fid = 0
         self.last_cloud: Optional[np.ndarray] = None
         self._last_cloud_dev = None  # (device (cloud_cap,3), host n)

@@ -131,7 +131,10 @@ def _live_slot_refs(m: VisualMap) -> jnp.ndarray:
     the batched equivalent of the reference's shared_ptr refcount on
     Feature::img (feature.h:40)."""
     NP, KO = m.obs_fid.shape
-    R = m.imgs.shape[0]
+    # R from img_fid, NOT imgs: with a device-sharded pool (parallel
+    # product --sharded-map) imgs inside shard_map is the LOCAL block
+    # while slots stay global; img_fid is always the full (R,) array
+    R = m.img_fid.shape[0]
     alive = (jnp.arange(NP, dtype=jnp.int32) < m.n_pts)[:, None]
     slot = jnp.clip(m.obs_slot, 0, R - 1)
     ok = alive & (m.obs_fid >= 0) & (m.img_fid[slot] == m.obs_fid)
@@ -147,6 +150,25 @@ def _slot_of_fid(m: VisualMap, fid: jnp.ndarray) -> jnp.ndarray:
     the stored obs fail `close_view_obs`'s img_fid check, same as the
     pre-pool ring behavior)."""
     return jnp.argmax(m.img_fid == fid).astype(jnp.int32)
+
+
+def push_slot(m: VisualMap, fid: jnp.ndarray) -> jnp.ndarray:
+    """The pool slot `push_image` would write `fid` into (the argmin of
+    the documented eviction key) — exposed so the sharded-pool writer
+    (vio.vio_frame_step with pool_axis) can compute the slot from the
+    replicated metadata and apply the image write owner-locally."""
+    refs = _live_slot_refs(m)
+    R = m.img_fid.shape[0]
+    sl = jnp.arange(R, dtype=jnp.int32)
+    older = (m.img_fid[None, :] < m.img_fid[:, None]) | (
+        (m.img_fid[None, :] == m.img_fid[:, None])
+        & (sl[None, :] < sl[:, None])
+    )
+    rank = jnp.sum(older, axis=1, dtype=jnp.int32)  # unique 0..R-1
+    live_key = (jnp.minimum(refs, 200) + 1) * R + rank
+    key = jnp.where(refs > 0, live_key, rank)
+    key = jnp.where(m.img_fid == fid, jnp.int32(-2), key)
+    return jnp.argmin(key).astype(jnp.int32)
 
 
 @jax.jit
@@ -386,7 +408,7 @@ def close_view_obs(m: VisualMap, idx: jnp.ndarray, campos: jnp.ndarray):
     Returns dict of ref-obs fields + ok (K,) (False also when the obs
     image slot was recycled)."""
     K = idx.shape[0]
-    R = m.imgs.shape[0]
+    R = m.img_fid.shape[0]  # see _live_slot_refs: imgs may be a shard
     safe = jnp.clip(idx, 0, m.pos.shape[0] - 1)
     pos = m.pos[safe]  # (K, 3)
     obs_dir = campos[None, :] - pos

@@ -122,6 +122,54 @@ def test_select_tracked_sharded_bitexact(tracked_inputs):
         np.testing.assert_array_equal(r, g, err_msg=name)
 
 
+def test_select_tracked_pool_sharded_bitexact(tracked_inputs):
+    """`pool_axis` mode (--sharded-map): vm.imgs rides SHARDED in slot
+    slabs (here 1 slot per device) and the warps are owner-gathered and
+    psum-combined. Winners/gates/levels stay bit-identical; the patch
+    floats are 1-ULP equal (the masked-warp+psum program fuses with a
+    different fma contraction than the plain warp — measured 1 of 15k
+    elements off by 2e-7 relative)."""
+    t = tracked_inputs
+    vio, cfg = t["vio"], t["cfg"]
+    from fastlivo_tpu import visual_map as vmap_mod
+
+    statics = dict(
+        outlier_threshold=cfg.outlier_threshold, ncc_thre=cfg.ncc_thre,
+        grid_size=vio.grid_size, patch_size=vio.patch_size,
+        gw=vio.gw, gh=vio.gh, ncc_en=cfg.ncc_en,
+    )
+    ref = vio_mod.select_tracked(
+        vio.vmap, vio.cam, t["rcw"], t["pcw"], t["gray"], t["pg"],
+        t["pg_mask"], t["vox"], t["vox_mask"], **statics,
+    )
+    assert int(jnp.sum(ref.valid)) > 10
+    mesh = make_mesh(8)
+    vm_spec = vmap_mod.VisualMap(
+        **{f: P() for f in vmap_mod.VisualMap._fields}
+    )._replace(imgs=P("dp"))
+    shd = vio_mod.TrackedSet(
+        idx=P("dp"), pos=P("dp"), patch=P("dp"), search_level=P("dp"),
+        valid=P("dp"), cell_value=P(), errors=P("dp"),
+    )
+    fn = shard_map(
+        functools.partial(vio_mod.select_tracked, axis_name="dp",
+                          pool_axis="dp", **statics),
+        mesh=mesh, in_specs=(vm_spec,) + (P(),) * 8, out_specs=shd,
+        check_vma=False,
+    )
+    got = fn(vio.vmap, vio.cam, t["rcw"], t["pcw"], t["gray"], t["pg"],
+             t["pg_mask"], t["vox"], t["vox_mask"])
+    for name in ("idx", "search_level", "valid", "cell_value"):
+        r = np.asarray(getattr(ref, name))
+        g = np.asarray(getattr(got, name))[: r.shape[0]]
+        np.testing.assert_array_equal(r, g, err_msg=name)
+    for name in ("pos", "patch", "errors"):
+        r = np.asarray(getattr(ref, name))
+        g = np.asarray(getattr(got, name))[: r.shape[0]]
+        np.testing.assert_allclose(r, g, rtol=1e-6, atol=1e-4,
+                                   err_msg=name)
+
+
 def test_select_new_points_sharded_bitexact(tracked_inputs):
     t = tracked_inputs
     vio, cfg = t["vio"], t["cfg"]
@@ -162,12 +210,24 @@ def _pipeline_cfg(with_cam):
     cfg.dense_map_enable = True
     cfg.capacity.max_raw_points = 8192
     cfg.capacity.max_points = 4096
-    cfg.capacity.max_cands = 2048
+    # the 0.2 m downsample of the 8192-pt synthetic room yields ~6.5k
+    # voxels; an undersized candidate cap keeps a spatially-sorted
+    # PREFIX that can miss the camera frustum entirely (VIO inert)
+    cfg.capacity.max_cands = 8192
     cfg.capacity.vmap_points = 4096
+    cfg.capacity.frame_ring = 16
     if with_cam:
         cfg.camera.width, cfg.camera.height = 320, 256
-        cfg.camera.fx = cfg.camera.fy = 160.0
-        cfg.camera.cx, cfg.camera.cy = 160.0, 128.0
+        cfg.camera.fx = cfg.camera.fy = 200.0
+        cfg.camera.cx, cfg.camera.cy = 159.5, 127.5
+        # look HORIZONTALLY at the textured walls (the default identity
+        # Rcl aims the camera at the untextured ceiling and the VIO
+        # never populates — caught in round 5)
+        cfg.grid_size = 32
+        cfg.outlier_threshold = 300.0
+        cfg.img_point_cov = 100.0
+        cfg.Rcl = [0.0, -1.0, 0.0, 0.0, 0.0, -1.0, 1.0, 0.0, 0.0]
+        cfg.Pcl = [0.0, 0.0, 0.0]
     return cfg
 
 
@@ -192,12 +252,42 @@ def test_mesh_pipeline_lio_trajectory_matches_single():
 @pytest.mark.slow
 def test_mesh_pipeline_livo_trajectory_matches_single():
     """Full LIVO (camera frames through the sharded VIO step) under the
-    product mesh == single-device."""
-    t1 = _run(None, True, 3.0)
-    t8 = _run(make_mesh(8), True, 3.0)
+    product mesh == single-device, with an ACTIVE visual map."""
+    cfgA = _pipeline_cfg(True)
+    p1 = Pipeline(cfgA)
+    run_synthetic(p1, 4.0, True)
+    t1 = p1.tum_trajectory()
+    assert int(p1.vio.vmap.n_pts) > 20, "VIO inert — scene regression"
+    p8 = Pipeline(_pipeline_cfg(True), mesh=make_mesh(8))
+    run_synthetic(p8, 4.0, True)
+    t8 = p8.tum_trajectory()
+    assert int(p8.vio.vmap.n_pts) == int(p1.vio.vmap.n_pts)
     assert t1.shape == t8.shape and len(t1) >= 10
     np.testing.assert_allclose(t8[:, 1:4], t1[:, 1:4], atol=1e-4)
     np.testing.assert_allclose(t8[:, 4:], t1[:, 4:], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mesh_pipeline_livo_sharded_pool_matches_replicated():
+    """`--mesh 8 --sharded-map` full LIVO: the geometric map block-
+    shards AND the reference-image pool shards in slot slabs (warps
+    owner-gathered + psum'd); trajectories and visual-map population
+    must match the replicated mesh path."""
+    mesh = make_mesh(8)
+    p_rep = Pipeline(_pipeline_cfg(True), mesh=mesh)
+    run_synthetic(p_rep, 4.0, True)
+    t_rep = p_rep.tum_trajectory()
+    assert int(p_rep.vio.vmap.n_pts) > 20, "VIO inert — scene regression"
+    p_sh = Pipeline(_pipeline_cfg(True), mesh=mesh, sharded_map=True)
+    run_synthetic(p_sh, 4.0, True)
+    t_sh = p_sh.tum_trajectory()
+    assert int(p_sh.vio.vmap.n_pts) == int(p_rep.vio.vmap.n_pts)
+    np.testing.assert_allclose(t_sh[:, 1:4], t_rep[:, 1:4], atol=1e-4)
+    np.testing.assert_allclose(t_sh[:, 4:], t_rep[:, 4:], atol=1e-5)
+    # the pool is genuinely sharded: one (R/8, H, W) slab per device
+    from jax.sharding import NamedSharding
+    sh = p_sh.vio.vmap.imgs.sharding
+    assert isinstance(sh, NamedSharding) and sh.spec == P("dp")
 
 
 # ---- block-sharded map product mode (--mesh N --sharded-map) ------------
