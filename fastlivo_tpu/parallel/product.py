@@ -96,12 +96,15 @@ class MeshRunner:
                     f"capacity.{name}={v} is not divisible by the mesh "
                     f"size {self.n}; pad it to a multiple"
                 )
-        if self.sharded_map and cap.frame_ring % self.n:
-            raise ValueError(
-                f"capacity.frame_ring={cap.frame_ring} is not divisible "
-                f"by the mesh size {self.n} (the image pool shards in "
-                "slot slabs under --sharded-map)"
-            )
+        if self.sharded_map:
+            for name in ("frame_ring", "vmap_points"):
+                v = getattr(cap, name)
+                if v % self.n:
+                    raise ValueError(
+                        f"capacity.{name}={v} is not divisible by the "
+                        f"mesh size {self.n} (pool slots and obs-ring "
+                        "rows shard in slabs under --sharded-map)"
+                    )
 
     # -- lidar ----------------------------------------------------------
     def lidar_frame_step(self, state, m, pose, calib, pts_raw, t_rel,
@@ -377,11 +380,13 @@ class MeshRunner:
             # owner-writes the push (vio.select_tracked docstring).
             local = functools.partial(
                 vio_mod.vio_frame_step, axis_name=self.axis,
-                pool_axis=self.axis, **statics
+                vmap_axis=self.axis, **statics
             )
+            obs = P(self.axis)
             vm_spec = vmap_mod.VisualMap(
                 **{f: rep for f in vmap_mod.VisualMap._fields}
-            )._replace(imgs=P(self.axis))
+            )._replace(imgs=obs, obs_px=obs, obs_rcw=obs, obs_pcw=obs,
+                       obs_slot=obs, obs_fid=obs, obs_level=obs)
             in_specs = (vm_spec,) + (rep,) * 13
             out_specs = (rep, vm_spec) + (rep,) * 9
         smapped = shard_map(

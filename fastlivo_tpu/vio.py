@@ -125,7 +125,7 @@ def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("grid_size", "patch_size", "gw", "gh", "ncc_en",
-                     "axis_name", "pool_axis"),
+                     "axis_name", "vmap_axis"),
 )
 def select_tracked(
     vm: vmap_mod.VisualMap,
@@ -145,7 +145,7 @@ def select_tracked(
     gh: int,
     ncc_en: bool = False,
     axis_name: str | None = None,
-    pool_axis: str | None = None,
+    vmap_axis: str | None = None,
 ) -> TrackedSet:
     """addFromSparseMap (lidar_selection.cpp:346-587) — see module doc.
 
@@ -162,7 +162,7 @@ def select_tracked(
     the map-maintenance scatters need; `cell_value` stays full-(G,)
     replicated. With axis_name=None the output is unchanged.
 
-    `pool_axis` (requires axis_name; the --sharded-map product mode):
+    `vmap_axis` (requires axis_name; the --sharded-map product mode):
     `vm.imgs` is this device's CONTIGUOUS SLAB of the reference-image
     pool (global slot s lives on device s // (R/n)); the warp phase
     gathers owner-locally, masks, and psum-combines the patch pyramids
@@ -266,13 +266,13 @@ def select_tracked(
             return jax.lax.dynamic_slice_in_dim(jnp.pad(a, pw),
                                                 i_dev * Gl, Gl)
 
-        if pool_axis is None:
+        if vmap_axis is None:
             has_map = _cells(has_map)
             widx = _cells(widx)
             wpos = _cells(wpos)
             wcam = _cells(wcam)
             wpc = _cells(wpc)
-        # with pool_axis, phases 3-5 stay at FULL G on every device
+        # with vmap_axis, phases 3-5 stay at FULL G on every device
         # (the warp must be owner-masked over the sharded pool and
         # psum-combined); the tracked set is sliced at the end instead
 
@@ -290,7 +290,7 @@ def select_tracked(
     depth_ok = ~jnp.any(broke, axis=(1, 2))
 
     # --- phase 4: reference observation + warp (:518-555) ----------------
-    ref = vmap_mod.close_view_obs(vm, widx, campos)
+    ref = vmap_mod.close_view_obs(vm, widx, campos, obs_axis=vmap_axis)
     t_ok = has_map & depth_ok & ref["ok"]
 
     depth_ref = jnp.linalg.norm(ref["campos"] - wpos, axis=-1)
@@ -334,7 +334,7 @@ def select_tracked(
         * inv_det[:, None, None]
     )
 
-    if pool_axis is None:
+    if vmap_axis is None:
         patches = jnp.stack(
             [
                 img_ops.affine_warp_patches(
@@ -350,7 +350,7 @@ def select_tracked(
         # rows, combine across owners (slabs are disjoint, so the psum
         # is an exact merge; ~G*3*P*P*4 B ~ 150 KB over ICI)
         Rl = vm.imgs.shape[0]
-        ls = ref["slot"] - jax.lax.axis_index(pool_axis) * Rl
+        ls = ref["slot"] - jax.lax.axis_index(vmap_axis) * Rl
         mine = (ls >= 0) & (ls < Rl)
         ls_safe = jnp.clip(ls, 0, Rl - 1)
         patches = jnp.stack(
@@ -364,7 +364,7 @@ def select_tracked(
             axis=1,
         )
         patches = jnp.where(mine[:, None, None, None], patches, 0.0)
-        patches = jax.lax.psum(patches, pool_axis)
+        patches = jax.lax.psum(patches, vmap_axis)
 
     # --- phase 5: photometric outlier gate (:557-570) ---------------------
     cur_patch = img_ops.extract_patches(img, wpc, P, 1)
@@ -380,7 +380,7 @@ def select_tracked(
         )
         t_ok = t_ok & (ncc >= ncc_thre)
 
-    if axis_name is not None and pool_axis is not None:
+    if axis_name is not None and vmap_axis is not None:
         widx = _cells(widx)
         wpos = _cells(wpos)
         patches = _cells(patches)
@@ -781,7 +781,7 @@ def _dedup_voxels(pg: jnp.ndarray, pg_mask: jnp.ndarray, max_vox: int):
     jax.jit,
     static_argnames=(
         "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_iter",
-        "max_pg", "robust", "axis_name", "push_inline", "pool_axis",
+        "max_pg", "robust", "axis_name", "push_inline", "vmap_axis",
     ),
 )
 def vio_frame_step(
@@ -812,7 +812,7 @@ def vio_frame_step(
     robust: str = "none",
     axis_name: str | None = None,
     push_inline: bool = True,
-    pool_axis: str | None = None,
+    vmap_axis: str | None = None,
 ):
     """The ENTIRE image frame in one dispatch — `detect`
     (lidar_selection.cpp:1027-1075) fused: image pool push, device voxel
@@ -842,17 +842,17 @@ def vio_frame_step(
     # `push_inline=False` (FASTLIVO_VIO_SPLIT_PUSH): the caller already
     # pushed the frame into the pool as its own chained dispatch — a
     # relay-pricing accommodation (docs/PERF_ANALYSIS round 5). With
-    # `pool_axis` (--sharded-map), the slot choice runs replicated from
+    # `vmap_axis` (--sharded-map), the slot choice runs replicated from
     # the replicated metadata and only the OWNER writes its local pool
     # slab (img_fid updates replicated — it is the pool's directory).
     if not push_inline:
         vm2 = vm
-    elif pool_axis is None:
+    elif vmap_axis is None:
         vm2 = vmap_mod.push_image(vm, gray, fid)
     else:
-        slot = vmap_mod.push_slot(vm, fid)
+        slot = vmap_mod.push_slot(vm, fid, obs_axis=vmap_axis)
         Rl = vm.imgs.shape[0]
-        ls = slot - jax.lax.axis_index(pool_axis) * Rl
+        ls = slot - jax.lax.axis_index(vmap_axis) * Rl
         img_w = gray
         if jnp.issubdtype(vm.imgs.dtype, jnp.integer):
             img_w = jnp.round(jnp.clip(gray, 0.0, 255.0))
@@ -884,7 +884,7 @@ def vio_frame_step(
         vm2, cam, rcw, pcw, gray, pg, pg_mask, vox, vox_mask,
         outlier_threshold=outlier_threshold, ncc_thre=ncc_thre,
         grid_size=grid_size, patch_size=patch_size, gw=gw, gh=gh,
-        ncc_en=ncc_en, axis_name=axis_name, pool_axis=pool_axis,
+        ncc_en=ncc_en, axis_name=axis_name, vmap_axis=vmap_axis,
     )
     npos, npx, nscore, nadd = select_new_points(
         cam, rcw, pcw, gray, pg, pg_mask, tracked.cell_value,
@@ -921,13 +921,14 @@ def vio_frame_step(
     rcw2 = Rci @ st.rot.astype(f32).T
     pcw2 = -rcw2 @ st.pos.astype(f32) + Pci
     opc, oscore, oadd = prep_observations(
-        vm2, cam, rcw2, pcw2, gray, t_idx, t_valid
+        vm2, cam, rcw2, pcw2, gray, t_idx, t_valid, obs_axis=vmap_axis
     )
     vm2 = vmap_mod.add_observations(
         vm2, t_idx, opc, rcw2, pcw2, oscore, fid,
-        t_slevel, oadd,
+        t_slevel, oadd, obs_axis=vmap_axis,
     )
-    vm2 = vmap_mod.add_points(vm2, npos, npx, rcw, pcw, nscore, fid, nadd)
+    vm2 = vmap_mod.add_points(vm2, npos, npx, rcw, pcw, nscore, fid, nadd,
+                              obs_axis=vmap_axis)
     n_tracked = jnp.sum(t_valid, dtype=jnp.int32)
     n_added = jnp.sum(nadd, dtype=jnp.int32)
     f64 = jnp.float64
@@ -945,7 +946,7 @@ def vio_frame_step(
             n_tracked, n_added, its, stats)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("obs_axis",))
 def prep_observations(
     vm: vmap_mod.VisualMap,
     cam: cam_mod.Camera,
@@ -954,24 +955,28 @@ def prep_observations(
     img: jnp.ndarray,
     idx: jnp.ndarray,  # (G,) tracked point indices
     valid: jnp.ndarray,  # (G,)
+    obs_axis: str | None = None,
 ):
     """addObservation conditions vs the most recent observation
     (lidar_selection.cpp:928-950): add when Δp > 0.5 m, Δθ > 10 (rad —
     the reference compares radians against 10, kept as-is), or pixel
-    distance > 40. Returns (px, f, score, add_mask)."""
+    distance > 40. Returns (px, f, score, add_mask). `obs_axis`:
+    row-sharded rings — fields owner-gathered (visual_map._gather_obs)."""
     NP = vm.pos.shape[0]
     safe = jnp.clip(idx, 0, NP - 1)
     pos = vm.pos[safe]
     pf = pos @ rcw.T + pcw
     pc = cam_mod.world2cam(cam, pf)
-    fid = vm.obs_fid[safe]  # (G, KO)
+    o_px, o_rcw, o_pcw, _, o_fid, _ = vmap_mod._gather_obs(
+        vm, safe, obs_axis)
+    fid = o_fid  # (G, KO)
     last = jnp.argmax(fid, axis=-1)  # most recent obs
     take = lambda a: jnp.take_along_axis(
         a, last.reshape(-1, *([1] * (a.ndim - 1))), axis=1
     )[:, 0]
-    ref_rcw = take(vm.obs_rcw[safe])
-    ref_pcw = take(vm.obs_pcw[safe])
-    ref_px = take(vm.obs_px[safe])
+    ref_rcw = take(o_rcw)
+    ref_pcw = take(o_pcw)
+    ref_px = take(o_px)
     # delta_pose = T_ref_w * T_w_cur
     Rd = jnp.einsum("kij,mj->kim", ref_rcw, rcw.T)  # ref_rcw @ rcw^T
     td = ref_pcw - jnp.einsum("kim,m->ki", Rd, pcw)
@@ -1068,15 +1073,23 @@ class Vio:
             and getattr(mesh_runner, "sharded_map", False)
         )
         if self.pool_sharded:
-            # --sharded-map: the reference-image pool shards over the
-            # mesh (slot slabs; warps owner-gather + psum inside
-            # select_tracked) — per-device pool HBM ~1/N
+            # --sharded-map: the reference-image pool AND the obs rings
+            # shard over the mesh (slot/row slabs; reads owner-gather +
+            # psum, writes owner-local — see visual_map._gather_obs and
+            # select_tracked's vmap_axis) — per-device visual-map HBM
+            # drops from ~170 MB to ~25 MB at n=8, shipped capacities
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
-            self.vmap = self.vmap._replace(imgs=jax.device_put(
-                self.vmap.imgs,
-                NamedSharding(mesh_runner.mesh, _P(mesh_runner.axis)),
-            ))
+            shp = NamedSharding(mesh_runner.mesh, _P(mesh_runner.axis))
+            self.vmap = self.vmap._replace(
+                imgs=jax.device_put(self.vmap.imgs, shp),
+                obs_px=jax.device_put(self.vmap.obs_px, shp),
+                obs_rcw=jax.device_put(self.vmap.obs_rcw, shp),
+                obs_pcw=jax.device_put(self.vmap.obs_pcw, shp),
+                obs_slot=jax.device_put(self.vmap.obs_slot, shp),
+                obs_fid=jax.device_put(self.vmap.obs_fid, shp),
+                obs_level=jax.device_put(self.vmap.obs_level, shp),
+            )
         self.fid = 0
         self.last_cloud: Optional[np.ndarray] = None
         self._last_cloud_dev = None  # (device (cloud_cap,3), host n)

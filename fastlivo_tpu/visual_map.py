@@ -123,26 +123,62 @@ def _slot_check(keys: jnp.ndarray, mask: int):
     return sc(keys, mask)
 
 
-def _live_slot_refs(m: VisualMap) -> jnp.ndarray:
+def _live_slot_refs(m: VisualMap, obs_axis: str | None = None) -> jnp.ndarray:
     """(R,) count of live observations referencing each image slot.
 
     An observation holds its image alive iff its point is allocated,
     the obs exists (fid >= 0), and the slot still stores that fid —
     the batched equivalent of the reference's shared_ptr refcount on
-    Feature::img (feature.h:40)."""
-    NP, KO = m.obs_fid.shape
+    Feature::img (feature.h:40).
+
+    `obs_axis` (--sharded-map inside shard_map): the obs rings are this
+    device's ROW SLAB of the global (NP, KO) rings; counts are computed
+    over the local rows (alive gate on GLOBAL row ids) and
+    psum-combined — exact (disjoint rows, integer sum)."""
+    NPl, KO = m.obs_fid.shape
     # R from img_fid, NOT imgs: with a device-sharded pool (parallel
     # product --sharded-map) imgs inside shard_map is the LOCAL block
     # while slots stay global; img_fid is always the full (R,) array
     R = m.img_fid.shape[0]
-    alive = (jnp.arange(NP, dtype=jnp.int32) < m.n_pts)[:, None]
+    row0 = (0 if obs_axis is None
+            else jax.lax.axis_index(obs_axis) * NPl)
+    alive = (row0 + jnp.arange(NPl, dtype=jnp.int32) < m.n_pts)[:, None]
     slot = jnp.clip(m.obs_slot, 0, R - 1)
     ok = alive & (m.obs_fid >= 0) & (m.img_fid[slot] == m.obs_fid)
-    return (
+    refs = (
         jnp.zeros(R, jnp.int32)
         .at[jnp.where(ok, slot, R)]
         .add(1, mode="drop")
     )
+    if obs_axis is not None:
+        refs = jax.lax.psum(refs, obs_axis)
+    return refs
+
+
+def _gather_obs(m: VisualMap, safe: jnp.ndarray,
+                obs_axis: str | None = None):
+    """Replicated (K, KO, ...) obs fields for GLOBAL point rows `safe`.
+
+    Plain gathers when the rings are replicated; with `obs_axis` each
+    device gathers its OWNED rows from its local slab, zeroes the rest,
+    and the psum reconstructs every row exactly (disjoint ownership:
+    one owner's value plus zeros). Returns (px, rcw, pcw, slot, fid,
+    level)."""
+    if obs_axis is None:
+        return (m.obs_px[safe], m.obs_rcw[safe], m.obs_pcw[safe],
+                m.obs_slot[safe], m.obs_fid[safe], m.obs_level[safe])
+    NPl = m.obs_fid.shape[0]
+    ls = safe - jax.lax.axis_index(obs_axis) * NPl
+    mine = (ls >= 0) & (ls < NPl)
+    lsafe = jnp.clip(ls, 0, NPl - 1)
+
+    def g(a):
+        v = a[lsafe]
+        mm = mine.reshape((mine.shape[0],) + (1,) * (v.ndim - 1))
+        return jax.lax.psum(jnp.where(mm, v, 0), obs_axis)
+
+    return (g(m.obs_px), g(m.obs_rcw), g(m.obs_pcw),
+            g(m.obs_slot), g(m.obs_fid), g(m.obs_level))
 
 
 def _slot_of_fid(m: VisualMap, fid: jnp.ndarray) -> jnp.ndarray:
@@ -152,12 +188,13 @@ def _slot_of_fid(m: VisualMap, fid: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(m.img_fid == fid).astype(jnp.int32)
 
 
-def push_slot(m: VisualMap, fid: jnp.ndarray) -> jnp.ndarray:
+def push_slot(m: VisualMap, fid: jnp.ndarray,
+              obs_axis: str | None = None) -> jnp.ndarray:
     """The pool slot `push_image` would write `fid` into (the argmin of
     the documented eviction key) — exposed so the sharded-pool writer
-    (vio.vio_frame_step with pool_axis) can compute the slot from the
+    (vio.vio_frame_step with vmap_axis) can compute the slot from the
     replicated metadata and apply the image write owner-locally."""
-    refs = _live_slot_refs(m)
+    refs = _live_slot_refs(m, obs_axis)
     R = m.img_fid.shape[0]
     sl = jnp.arange(R, dtype=jnp.int32)
     older = (m.img_fid[None, :] < m.img_fid[:, None]) | (
@@ -213,7 +250,7 @@ def push_image(m: VisualMap, img: jnp.ndarray, fid: jnp.ndarray) -> VisualMap:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_probe",))
+@functools.partial(jax.jit, static_argnames=("max_probe", "obs_axis"))
 def add_points(
     m: VisualMap,
     pts: jnp.ndarray,  # (B, 3) world positions
@@ -224,9 +261,15 @@ def add_points(
     fid: jnp.ndarray,  # () frame id
     mask: jnp.ndarray,  # (B,) bool
     max_probe: int = 12,
+    obs_axis: str | None = None,
 ) -> VisualMap:
     """Batched AddPoint (lidar_selection.cpp:204-230) + addFrameRef with
-    the creation Feature (addSparseMap :178-190, level=0)."""
+    the creation Feature (addSparseMap :178-190, level=0).
+
+    `obs_axis`: row-sharded obs rings — the pos/value/index/counter
+    updates stay replicated (identical on every device) while each obs
+    scatter lands only on the row's owner (local index, out-of-slab
+    rows dropped)."""
     # cast to the map dtype here so f64 callers don't rely on implicit
     # scatter downcasting (a hard error in future JAX releases)
     dt = m.pos.dtype
@@ -244,17 +287,26 @@ def add_points(
     idx = jnp.where(mask, m.n_pts + order_idx, NP)  # NP = dropped
     n_new = jnp.sum(mask, dtype=jnp.int32)
 
+    if obs_axis is None:
+        oidx = idx
+    else:
+        # owner-local obs row: out-of-slab rows map past the local
+        # capacity and drop (NP here is the GLOBAL capacity; the local
+        # slab is m.obs_fid.shape[0] rows)
+        NPl = m.obs_fid.shape[0]
+        ol = idx - jax.lax.axis_index(obs_axis) * NPl
+        oidx = jnp.where((ol >= 0) & (ol < NPl) & (idx < NP), ol, NPl)
     mm = m._replace(
         pos=m.pos.at[idx].set(pts, mode="drop"),
         value=m.value.at[idx].set(value, mode="drop"),
         n_obs=m.n_obs.at[idx].set(1, mode="drop"),
         n_pts=m.n_pts + n_new,
-        obs_px=m.obs_px.at[idx, 0].set(px, mode="drop"),
-        obs_rcw=m.obs_rcw.at[idx, 0].set(rcw, mode="drop"),
-        obs_pcw=m.obs_pcw.at[idx, 0].set(pcw, mode="drop"),
-        obs_slot=m.obs_slot.at[idx, 0].set(_slot_of_fid(m, fid), mode="drop"),
-        obs_fid=m.obs_fid.at[idx, 0].set(fid, mode="drop"),
-        obs_level=m.obs_level.at[idx, 0].set(0, mode="drop"),
+        obs_px=m.obs_px.at[oidx, 0].set(px, mode="drop"),
+        obs_rcw=m.obs_rcw.at[oidx, 0].set(rcw, mode="drop"),
+        obs_pcw=m.obs_pcw.at[oidx, 0].set(pcw, mode="drop"),
+        obs_slot=m.obs_slot.at[oidx, 0].set(_slot_of_fid(m, fid), mode="drop"),
+        obs_fid=m.obs_fid.at[oidx, 0].set(fid, mode="drop"),
+        obs_level=m.obs_level.at[oidx, 0].set(0, mode="drop"),
     )
 
     vk, vc, vi = _voxel_index_insert(
@@ -399,33 +451,35 @@ def gather_voxel_points(
     return idx, valid
 
 
-@jax.jit
-def close_view_obs(m: VisualMap, idx: jnp.ndarray, campos: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("obs_axis",))
+def close_view_obs(m: VisualMap, idx: jnp.ndarray, campos: jnp.ndarray,
+                   obs_axis: str | None = None):
     """Point::getCloseViewObs (point.cpp:141-178) batched over point
     indices (K,): pick the observation whose viewing ray has max cosine
     to the current one; reject below cos 60 deg.
 
     Returns dict of ref-obs fields + ok (K,) (False also when the obs
-    image slot was recycled)."""
+    image slot was recycled). `obs_axis`: row-sharded obs rings — the
+    K rows' fields are owner-gathered (psum of disjoint contributions,
+    see _gather_obs) and the selection math runs replicated."""
     K = idx.shape[0]
     R = m.img_fid.shape[0]  # see _live_slot_refs: imgs may be a shard
     safe = jnp.clip(idx, 0, m.pos.shape[0] - 1)
+    o_px, o_rcw, o_pcw, o_slot, o_fid, o_level = _gather_obs(
+        m, safe, obs_axis)
     pos = m.pos[safe]  # (K, 3)
     obs_dir = campos[None, :] - pos
     obs_dir = obs_dir / (jnp.linalg.norm(obs_dir, axis=-1, keepdims=True) + 1e-12)
     # camera centers derived from the stored pose (campos = -pcw @ rcw,
     # the exact expression add_* evaluated when it was stored)
-    camposes = -jnp.einsum(
-        "koj,koji->koi", m.obs_pcw[safe], m.obs_rcw[safe]
-    )  # (K, KO, 3)
+    camposes = -jnp.einsum("koj,koji->koi", o_pcw, o_rcw)  # (K, KO, 3)
     dirs = camposes - pos[:, None, :]  # (K, KO, 3)
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
     cos = jnp.einsum("kj,koj->ko", obs_dir, dirs)
-    fid = m.obs_fid[safe]  # (K, KO)
+    fid = o_fid  # (K, KO)
     valid = fid >= 0
     # image still in ring?
-    slot = m.obs_slot[safe]
-    img_ok = m.img_fid[jnp.clip(slot, 0, R - 1)] == fid
+    img_ok = m.img_fid[jnp.clip(o_slot, 0, R - 1)] == fid
     usable = valid & img_ok
     cos = jnp.where(usable, cos, -2.0)
     best = jnp.argmax(cos, axis=-1)  # (K,)
@@ -438,19 +492,19 @@ def close_view_obs(m: VisualMap, idx: jnp.ndarray, campos: jnp.ndarray):
         )[:, 0]
 
     return {
-        "px": take(m.obs_px[safe]),
-        "rcw": take(m.obs_rcw[safe]),
-        "pcw": take(m.obs_pcw[safe]),
+        "px": take(o_px),
+        "rcw": take(o_rcw),
+        "pcw": take(o_pcw),
         "campos": take(camposes),
-        "slot": take(m.obs_slot[safe]),
+        "slot": take(o_slot),
         "fid": take(fid),
-        "level": take(m.obs_level[safe]),
+        "level": take(o_level),
         "cos": best_cos,
         "ok": ok,
     }
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("obs_axis",))
 def add_observations(
     m: VisualMap,
     idx: jnp.ndarray,  # (K,) point indices (unique)
@@ -461,10 +515,15 @@ def add_observations(
     fid: jnp.ndarray,  # ()
     level: jnp.ndarray,  # (K,) search levels
     mask: jnp.ndarray,  # (K,) bool add_flag
+    obs_axis: str | None = None,
 ) -> VisualMap:
     """Batched addObservation append (lidar_selection.cpp:913-965): when
     the ring is full, overwrite the furthest-view observation
-    (getFurthestViewObs eviction, point.cpp:219-247)."""
+    (getFurthestViewObs eviction, point.cpp:219-247).
+
+    `obs_axis`: row-sharded rings — eviction targets are computed from
+    OWNER-GATHERED fields (replicated result) and the scatters land
+    owner-locally, so every device derives the identical write plan."""
     dt = m.pos.dtype
     px, value = px.astype(dt), value.astype(dt)
     rcw, pcw = rcw.astype(dt), pcw.astype(dt)
@@ -474,24 +533,29 @@ def add_observations(
     campos = -pcw @ rcw
     n = m.n_obs[safe]
     full = n >= KO
-    camposes = -jnp.einsum(
-        "koj,koji->koi", m.obs_pcw[safe], m.obs_rcw[safe]
-    )
+    _, o_rcw, o_pcw, _, o_fid, _ = _gather_obs(m, safe, obs_axis)
+    camposes = -jnp.einsum("koj,koji->koi", o_pcw, o_rcw)
     dist = jnp.linalg.norm(
         camposes - campos[None, None, :], axis=-1
     )  # (K, KO)
-    dist = jnp.where(m.obs_fid[safe] >= 0, dist, -1.0)
+    dist = jnp.where(o_fid >= 0, dist, -1.0)
     evict = jnp.argmax(dist, axis=-1)
     w = jnp.where(full, evict, jnp.minimum(n, KO - 1))  # (K,)
     widx = jnp.where(mask, safe, NP)
+    if obs_axis is None:
+        owidx = widx
+    else:
+        NPl = m.obs_fid.shape[0]
+        ol = widx - jax.lax.axis_index(obs_axis) * NPl
+        owidx = jnp.where((ol >= 0) & (ol < NPl) & (widx < NP), ol, NPl)
     slot = _slot_of_fid(m, fid)
     return m._replace(
         value=m.value.at[widx].set(value, mode="drop"),
         n_obs=m.n_obs.at[widx].set(jnp.minimum(n + 1, KO), mode="drop"),
-        obs_px=m.obs_px.at[widx, w].set(px, mode="drop"),
-        obs_rcw=m.obs_rcw.at[widx, w].set(rcw, mode="drop"),
-        obs_pcw=m.obs_pcw.at[widx, w].set(pcw, mode="drop"),
-        obs_slot=m.obs_slot.at[widx, w].set(slot, mode="drop"),
-        obs_fid=m.obs_fid.at[widx, w].set(fid, mode="drop"),
-        obs_level=m.obs_level.at[widx, w].set(level, mode="drop"),
+        obs_px=m.obs_px.at[owidx, w].set(px, mode="drop"),
+        obs_rcw=m.obs_rcw.at[owidx, w].set(rcw, mode="drop"),
+        obs_pcw=m.obs_pcw.at[owidx, w].set(pcw, mode="drop"),
+        obs_slot=m.obs_slot.at[owidx, w].set(slot, mode="drop"),
+        obs_fid=m.obs_fid.at[owidx, w].set(fid, mode="drop"),
+        obs_level=m.obs_level.at[owidx, w].set(level, mode="drop"),
     )

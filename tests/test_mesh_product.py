@@ -123,12 +123,11 @@ def test_select_tracked_sharded_bitexact(tracked_inputs):
 
 
 def test_select_tracked_pool_sharded_bitexact(tracked_inputs):
-    """`pool_axis` mode (--sharded-map): vm.imgs rides SHARDED in slot
-    slabs (here 1 slot per device) and the warps are owner-gathered and
-    psum-combined. Winners/gates/levels stay bit-identical; the patch
-    floats are 1-ULP equal (the masked-warp+psum program fuses with a
-    different fma contraction than the plain warp — measured 1 of 15k
-    elements off by 2e-7 relative)."""
+    """`vmap_axis` mode (--sharded-map): vm.imgs AND the obs rings ride
+    SHARDED (slot/row slabs; here 1 pool slot and NP/8 obs rows per
+    device); warps and obs reads owner-gather + psum. Winners/gates/
+    levels stay bit-identical; the patch floats are 1-ULP equal (fma
+    contraction of the masked+psum program)."""
     t = tracked_inputs
     vio, cfg = t["vio"], t["cfg"]
     from fastlivo_tpu import visual_map as vmap_mod
@@ -144,16 +143,18 @@ def test_select_tracked_pool_sharded_bitexact(tracked_inputs):
     )
     assert int(jnp.sum(ref.valid)) > 10
     mesh = make_mesh(8)
+    obs = P("dp")
     vm_spec = vmap_mod.VisualMap(
         **{f: P() for f in vmap_mod.VisualMap._fields}
-    )._replace(imgs=P("dp"))
+    )._replace(imgs=obs, obs_px=obs, obs_rcw=obs, obs_pcw=obs,
+               obs_slot=obs, obs_fid=obs, obs_level=obs)
     shd = vio_mod.TrackedSet(
         idx=P("dp"), pos=P("dp"), patch=P("dp"), search_level=P("dp"),
         valid=P("dp"), cell_value=P(), errors=P("dp"),
     )
     fn = shard_map(
         functools.partial(vio_mod.select_tracked, axis_name="dp",
-                          pool_axis="dp", **statics),
+                          vmap_axis="dp", **statics),
         mesh=mesh, in_specs=(vm_spec,) + (P(),) * 8, out_specs=shd,
         check_vma=False,
     )
