@@ -361,3 +361,31 @@ def test_mesh_pipeline_sharded_map_trajectory_matches_replicated():
     np.testing.assert_allclose(t_sh[:, 4:], t_rep[:, 4:], atol=1e-6)
     # the memory axis actually scales: every shard pool is 1/8 the total
     assert p_sh.map.slot_key.shape[1] == p_rep.map.slot_key.shape[0] // 8
+
+
+def test_visual_compact_on_sharded_arrays(tracked_inputs):
+    """Pipeline maintenance (`visual_map.compact`) runs OUTSIDE
+    shard_map as a plain jit; with the pool/obs leaves device-sharded
+    (--sharded-map) XLA auto-SPMD must insert the redistribution and
+    produce the same content as the replicated call."""
+    from fastlivo_tpu import visual_map as vmap_mod
+    from jax.sharding import NamedSharding
+
+    t = tracked_inputs
+    vm = t["vio"].vmap
+    assert int(vm.n_pts) > 20
+    mesh = make_mesh(8)
+    shp = NamedSharding(mesh, P("dp"))
+    vm_sh = vm._replace(**{
+        f: jax.device_put(getattr(vm, f), shp)
+        for f in ("imgs", "obs_px", "obs_rcw", "obs_pcw", "obs_slot",
+                  "obs_fid", "obs_level")
+    })
+    center = jnp.asarray(np.zeros(3, np.float32))
+    radius = jnp.float32(4.0)
+    ref = vmap_mod.compact(vm, center, radius)
+    got = vmap_mod.compact(vm_sh, center, radius)
+    assert int(ref.n_pts) == int(got.n_pts)
+    for f in ("pos", "obs_fid", "obs_slot", "obs_level", "n_obs"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)), f)
