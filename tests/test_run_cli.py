@@ -272,3 +272,34 @@ def test_bag_rate_pacing(tmp_path):
     # 3 s of data at 4x -> >= ~0.7 s of pacing sleep
     assert wall >= 0.6, wall
     np.testing.assert_array_equal(fast, paced)
+
+
+def test_mesh_sharded_map_cli_end_to_end(tmp_path):
+    """`run.py --mesh 8 --sharded-map` (the block-sharded map product
+    mode) through the real CLI on the 8-virtual-device mesh."""
+    from fastlivo_tpu import run as run_mod
+
+    out = tmp_path / "traj.txt"
+    run_mod.main([
+        "--config", "/root/reference/config/avia.yaml",
+        "--synthetic", "--duration", "2.0", "--no-img",
+        "--mesh", "8", "--sharded-map", "--out", str(out),
+    ])
+    import numpy as np
+
+    traj = np.loadtxt(out)
+    assert traj.shape[1] == 8 and len(traj) >= 3
+    assert np.all(np.isfinite(traj))
+
+
+def test_sharded_map_requires_mesh():
+    import pytest
+
+    from fastlivo_tpu import run as run_mod
+
+    with pytest.raises(SystemExit):
+        run_mod.main([
+            "--config", "/root/reference/config/avia.yaml",
+            "--synthetic", "--duration", "1", "--no-img",
+            "--sharded-map", "--out", "/tmp/x.txt",
+        ])
