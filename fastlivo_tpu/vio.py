@@ -170,6 +170,9 @@ def select_tracked(
     Phases 3-5 then run at full G on every device (G is tiny) and the
     returned tracked set is cell-sliced at the END — identical output
     contract."""
+    if vmap_axis is not None and axis_name is None:
+        raise ValueError("vmap_axis (sharded visual map) requires "
+                         "axis_name — it only runs inside shard_map")
     H, W = img.shape
     G = gw * gh
     P = patch_size
@@ -836,6 +839,9 @@ def vio_frame_step(
     the posterior world->camera pose in ONE device->host transfer;
     reading the pieces separately cost ~5 blocking relay round trips
     (~30-65 ms each) per interactive camera frame."""
+    if vmap_axis is not None and axis_name is None:
+        raise ValueError("vmap_axis (sharded visual map) requires "
+                         "axis_name — it only runs inside shard_map")
     f32 = gray.dtype
     fid = meta[1]
     cloud_mask = jnp.arange(cloud.shape[0]) < meta[0]
