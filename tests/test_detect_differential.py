@@ -716,3 +716,28 @@ def test_photometric_rollback_matches_model(scene):
     np.testing.assert_allclose(ipos, mx[0:3], atol=2e-3)
     np.testing.assert_allclose(irot, mrot, atol=2e-4)
     assert abs(iit - mit) <= 1, (iit, mit)
+
+
+def test_outlier_and_ncc_gates_reject_corrupted_cells(scene):
+    """Gate-REJECTION coverage: corrupt a rectangular band of the
+    current image (bright blob) so tracked cells over it fail the
+    photometric outlier / NCC gates (:557-570, :298-315) in BOTH the
+    impl and the model — the converging-scene test only exercises the
+    accept branch."""
+    rcw, pcw = POSE2
+    img_bad = IMG2.copy()
+    img_bad[100:180, 120:240] = 250.0  # saturate a 120x80 px region
+    ts = _impl_tracked(scene, rcw, pcw, img_bad)
+    model = NumpyDetect(scene["pts"], scene["scores"], scene["model_obs"])
+    mout, _, _ = model.select_tracked(rcw, pcw, img_bad, scene["pg"],
+                                      scene["vox"])
+    valid = np.asarray(ts.valid)
+    n_rej = 0
+    for cell, rec in mout.items():
+        assert bool(valid[cell]) == rec["ok"], f"cell {cell} gate"
+        if not rec["ok"] and rec["err0"] > OUTLIER * PS * PS:
+            n_rej += 1
+    # the corruption must actually have tripped the gates somewhere
+    assert n_rej >= 2, f"corruption rejected only {n_rej} cells — retune"
+    # and clean cells far from the blob must still track
+    assert valid.sum() >= 5
