@@ -23,6 +23,7 @@ device pipeline never sees compressed bytes.
 """
 from __future__ import annotations
 
+import ctypes
 import struct
 
 FRAME_MAGIC = 0x184D2204
@@ -37,12 +38,44 @@ _P1, _P2, _P3, _P4, _P5 = (
 _M32 = 0xFFFFFFFF
 
 
+_nat = None
+_nat_tried = False
+
+
+def _native():
+    """The C++ twins of decompress_block/xxh32 (native/ingest.cpp) —
+    ~100x the pure-Python inner loop on MB-scale bag chunks; the Python
+    implementations below remain the readable spec and the fallback
+    (equality pinned in tests/test_lz4.py)."""
+    global _nat, _nat_tried
+    if _nat_tried:
+        return _nat
+    _nat_tried = True
+    try:
+        from .. import native as native_mod
+
+        lib = native_mod.load()
+        if lib is not None:
+            lib.lz4_decompress_block  # symbol present (not a stale .so)
+            _nat = lib
+    except (AttributeError, OSError):
+        _nat = None
+    return _nat
+
+
 def _rotl(x: int, r: int) -> int:
     return ((x << r) | (x >> (32 - r))) & _M32
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:
     """xxHash32 (the checksum the LZ4 frame format uses)."""
+    lib = _native()
+    if lib is not None:
+        return int(lib.xxh32_native(bytes(data), len(data), seed))
+    return _xxh32_py(data, seed)
+
+
+def _xxh32_py(data: bytes, seed: int = 0) -> int:
     n = len(data)
     i = 0
     if n >= 16:
@@ -79,6 +112,39 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 def decompress_block(src: bytes, out: bytearray) -> None:
     """Decode one LZ4 block, appending to `out`. Match offsets may
     reach into bytes already in `out` (the linked-block window)."""
+    lib = _native()
+    if lib is not None:
+        _decompress_block_native(lib, src, out)
+        return
+    _decompress_block_py(src, out)
+
+
+def _decompress_block_native(lib, src: bytes, out: bytearray) -> None:
+    pos = len(out)
+    # capacity guess: rosbag frames cap decompressed blocks at 4 MiB
+    # (legacy: 8 MiB), and a block never shrinks below ~its compressed
+    # size; over-guessing costs a multi-MB zero-fill per call, so start
+    # tight and grow 4x on the rare -2
+    extra = max(4 << 20, 2 * len(src))
+    while True:
+        cap = pos + extra
+        out.extend(b"\0" * (cap - len(out)))
+        buf = (ctypes.c_char * cap).from_buffer(out)
+        new_len = lib.lz4_decompress_block(bytes(src), len(src), buf,
+                                           pos, cap)
+        del buf  # release the exported buffer before resizing
+        if new_len == -2:  # output capacity exceeded: grow and retry
+            del out[pos:]
+            extra *= 4
+            continue
+        if new_len < 0:
+            del out[pos:]
+            raise ValueError("lz4: malformed block (native decoder)")
+        del out[new_len:]
+        return
+
+
+def _decompress_block_py(src: bytes, out: bytearray) -> None:
     i = 0
     n = len(src)
     while i < n:

@@ -27,13 +27,17 @@ def load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR), "libfastlivo_native.so"],
-                capture_output=True, timeout=120, check=True,
-            )
-        except Exception:
+    # always invoke make: it is an incremental no-op when the .so is
+    # fresh (~30 ms) and rebuilds a STALE library after source updates
+    # (load used to skip the build whenever the file merely existed)
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR), "libfastlivo_native.so"],
+            capture_output=True, timeout=120,
+            check=not _LIB_PATH.exists(),
+        )
+    except Exception:
+        if not _LIB_PATH.exists():
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -43,6 +47,15 @@ def load() -> Optional[ctypes.CDLL]:
     lib.decode_avia.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.lz4_decompress_block.restype = ctypes.c_longlong
+    lib.lz4_decompress_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_void_p,
+        ctypes.c_longlong, ctypes.c_longlong,
+    ]
+    lib.xxh32_native.restype = ctypes.c_uint32
+    lib.xxh32_native.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_uint32,
     ]
     lib.voxel_downsample_f32.restype = ctypes.c_int
     lib.voxel_downsample_f32.argtypes = [

@@ -422,4 +422,111 @@ int give_feature_ring(const double *pl, const double *curv, const double *rng,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// LZ4 block decode + xxHash32: the rosbag chunk-decompression hot path
+// (io/lz4.py holds the pure-Python spec; these are drop-in equivalents
+// dispatched by io.lz4 when the library is present). The reference
+// reads lz4 bag chunks through roslz4 (C); a pure-Python inner loop is
+// ~100x slower on MB-scale chunks.
+
+// Decode one LZ4 block appending at out+out_len (match offsets may
+// reach the already-present prefix: linked-block window semantics).
+// Returns the new out length, -1 on malformed input, -2 if out_cap
+// would be exceeded (caller grows and retries).
+long long lz4_decompress_block(const uint8_t *src, long long n,
+                               uint8_t *out, long long out_len,
+                               long long out_cap) {
+  long long i = 0, o = out_len;
+  while (i < n) {
+    unsigned token = src[i++];
+    long long lit = token >> 4;
+    if (lit == 15) {
+      unsigned b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (lit) {
+      if (i + lit > n) return -1;
+      if (o + lit > out_cap) return -2;
+      memcpy(out + o, src + i, (size_t)lit);
+      o += lit;
+      i += lit;
+    }
+    if (i >= n) break;  // last sequence: literals only
+    if (i + 2 > n) return -1;
+    long long offset = src[i] | ((long long)src[i + 1] << 8);
+    i += 2;
+    if (offset == 0 || offset > o) return -1;
+    long long mlen = token & 15;
+    if (mlen == 15) {
+      unsigned b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (o + mlen > out_cap) return -2;
+    const uint8_t *m = out + o - offset;
+    if (offset >= mlen) {
+      memcpy(out + o, m, (size_t)mlen);
+      o += mlen;
+    } else {
+      for (long long k = 0; k < mlen; k++) out[o + k] = m[k];  // overlap
+      o += mlen;
+    }
+  }
+  return o;
+}
+
+// xxHash32 (the LZ4 frame checksum), byte-exact with io/lz4.xxh32.
+uint32_t xxh32_native(const uint8_t *p, long long n, uint32_t seed) {
+  const uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                 P4 = 668265263u, P5 = 374761393u;
+  auto rotl = [](uint32_t x, int r) {
+    return (x << r) | (x >> (32 - r));
+  };
+  const uint8_t *end = p + n;
+  uint32_t h;
+  if (n >= 16) {
+    uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed,
+             v4 = seed - P1;
+    const uint8_t *lim = end - 16;
+    do {
+      uint32_t a, b, c, d;
+      memcpy(&a, p, 4); memcpy(&b, p + 4, 4);
+      memcpy(&c, p + 8, 4); memcpy(&d, p + 12, 4);
+      v1 = rotl(v1 + a * P2, 13) * P1;
+      v2 = rotl(v2 + b * P2, 13) * P1;
+      v3 = rotl(v3 + c * P2, 13) * P1;
+      v4 = rotl(v4 + d * P2, 13) * P1;
+      p += 16;
+    } while (p <= lim);
+    h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+  } else {
+    h = seed + P5;
+  }
+  h += (uint32_t)n;
+  while (p + 4 <= end) {
+    uint32_t a;
+    memcpy(&a, p, 4);
+    h = rotl(h + a * P3, 17) * P4;
+    p += 4;
+  }
+  while (p < end) {
+    h = rotl(h + (*p) * P5, 11) * P1;
+    p++;
+  }
+  h ^= h >> 15;
+  h *= P2;
+  h ^= h >> 13;
+  h *= P3;
+  h ^= h >> 16;
+  return h;
+}
+
 }  // extern "C"
