@@ -624,13 +624,17 @@ def _watchdog_fallback():
         if base:
             # recompute ratios only when BOTH sides ran live this run —
             # dividing a live rate by the stale run's denominator would
-            # mix sessions in one ratio (ADVICE r4); without a live
-            # baseline the stored ratio is kept (self-consistent, just
-            # stale, and the note says so)
+            # mix sessions in one ratio (ADVICE r4)
             out["vs_baseline"] = round(
                 lid["points_per_sec_streamed"] / base_pps, 2)
             out["vs_baseline_sync"] = round(
                 lid["points_per_sec_sync"] / base_pps, 2)
+        else:
+            # the stored ratios' numerator was just replaced by the
+            # live value — drop them rather than emit an internally
+            # inconsistent (value, vs_baseline) pair
+            out.pop("vs_baseline", None)
+            out.pop("vs_baseline_sync", None)
         out.pop("points_per_sec_net", None)
         out.pop("vs_baseline_net", None)
         live.append("lidar")
@@ -645,6 +649,9 @@ def _watchdog_fallback():
                 vio["vio_pixels_per_sec_streamed"] / base_vps, 2)
             out["vio_vs_baseline_sync"] = round(
                 vio["vio_pixels_per_sec_sync"] / base_vps, 2)
+        else:
+            out.pop("vio_vs_baseline", None)
+            out.pop("vio_vs_baseline_sync", None)
         live.append("vio")
     if PARTIAL.get("kernel"):
         out["htj_nnz_per_sec"] = PARTIAL["kernel"]["htj_nnz_per_sec"]

@@ -255,13 +255,19 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
                     # fail at LOAD time, not minutes later mid-jit-trace
                     raise ValueError(
                         f"capacity.{k}={kw[k]!r}: must be one of {allowed}")
-            elif k in ("cache_knn", "mixed_gain", "frame_ring_u8"):
+            elif k in ("cache_knn", "mixed_gain", "frame_ring_u8",
+                       "pallas_knn"):
                 kw[k] = bool(v)
             elif k in ("dense_dims", "tiled_dir_dims"):
                 kw[k] = tuple(int(x) for x in v)
             else:
                 kw[k] = int(v)
         cfg.capacity = CapacityConfig(**kw)
+        if cfg.capacity.pallas_knn and cfg.capacity.plane_fit == "ref":
+            # fail at LOAD time, not minutes later mid-jit-trace
+            raise ValueError(
+                "capacity.pallas_knn implements the tls plane fit only "
+                "— unset it or use plane_fit: tls")
 
     if camera_yaml is not None:
         with open(camera_yaml) as f:

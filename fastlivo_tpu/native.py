@@ -48,15 +48,21 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    lib.lz4_decompress_block.restype = ctypes.c_longlong
-    lib.lz4_decompress_block.argtypes = [
-        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_void_p,
-        ctypes.c_longlong, ctypes.c_longlong,
-    ]
-    lib.xxh32_native.restype = ctypes.c_uint32
-    lib.xxh32_native.argtypes = [
-        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_uint32,
-    ]
+    try:
+        # round-5 symbols: a stale prebuilt .so on a box where make
+        # failed may lack them — the older entry points must keep
+        # working (graceful-degradation contract of this loader)
+        lib.lz4_decompress_block.restype = ctypes.c_longlong
+        lib.lz4_decompress_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_longlong,
+        ]
+        lib.xxh32_native.restype = ctypes.c_uint32
+        lib.xxh32_native.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_uint32,
+        ]
+    except AttributeError:
+        pass  # io/lz4._native probes the symbol and falls back
     lib.voxel_downsample_f32.restype = ctypes.c_int
     lib.voxel_downsample_f32.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,

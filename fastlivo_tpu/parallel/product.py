@@ -277,7 +277,7 @@ class MeshRunner:
             hi = jnp.max(jnp.where(dmask[:, None], w_prior, -big), axis=0)
             vs = local_map.voxel_size
             pad = (knn_radius + 1) * vs + jnp.asarray(0.5, down.dtype)
-            snap = sm.exchange_snapshot(
+            snap, halo_dropped = sm.exchange_snapshot(
                 local_map, lo - pad, hi + pad, halo, axis,
                 dir_dims=snap_dims,
             )
@@ -298,6 +298,13 @@ class MeshRunner:
             p_imu = down @ calib.lid_rot.T + calib.lid_off
             world = p_imu @ rot32p.T + pos32p
             local2 = sm.shard_insert(local_map, world, dmask, my_idx, n)
+            # halo overflow is DATA LOSS for this scan's kNN (missing
+            # tiles -> missed neighbors): fold the psum'd count into the
+            # shard's monotone n_dropped counter so it is observable
+            # (tests + `extract_points`-style audits); size
+            # capacity.halo_tiles so this stays zero
+            local2 = local2._replace(
+                n_dropped=local2.n_dropped + halo_dropped)
             if dense_out:
                 dense_world = (
                     und @ calib.lid_rot.T + calib.lid_off

@@ -144,16 +144,23 @@ def build_snapshot(keys, cells_check, cells_pts, valid, voxel_size,
 
 
 def exchange_snapshot(local: tm.TiledMap, lo, hi, k_exch: int,
-                      axis: str, dir_dims=(64, 64, 32)) -> tm.TiledMap:
+                      axis: str, dir_dims=(64, 64, 32)):
     """The halo exchange: every device contributes its owned blocks in
-    the scan AABB; the mesh all-gathers them into a replicated snapshot."""
-    keys, cc, pp, valid, _ = extract_blocks(local, lo, hi, k_exch)
+    the scan AABB; the mesh all-gathers them into a replicated snapshot.
+
+    Returns (snapshot, dropped): `dropped` is the psum'd count of owned
+    tiles inside the AABB that did NOT fit the k_exch budget — a
+    nonzero value means the snapshot is missing real map content and
+    kNN parity is degraded (size `capacity.halo_tiles` up). The product
+    path folds it into the shard's n_dropped data-loss counter."""
+    keys, cc, pp, valid, dropped = extract_blocks(local, lo, hi, k_exch)
     keys_g = jax.lax.all_gather(keys, axis, tiled=True)
     cc_g = jax.lax.all_gather(cc, axis, tiled=True)
     pp_g = jax.lax.all_gather(pp, axis, tiled=True)
     valid_g = jax.lax.all_gather(valid, axis, tiled=True)
-    return build_snapshot(keys_g, cc_g, pp_g, valid_g, local.voxel_size,
+    snap = build_snapshot(keys_g, cc_g, pp_g, valid_g, local.voxel_size,
                           dir_dims=dir_dims)
+    return snap, jax.lax.psum(dropped, axis)
 
 
 def sharded_blockmap_scan_step(
@@ -196,7 +203,8 @@ def sharded_blockmap_scan_step(
         w_lo = jax.lax.pmin(w_lo, axis) - 2.0 * local.voxel_size
         w_hi = jax.lax.pmax(w_hi, axis) + 2.0 * local.voxel_size
 
-        snap = exchange_snapshot(local, w_lo, w_hi, k_exch, axis)
+        snap, _halo_dropped = exchange_snapshot(local, w_lo, w_hi,
+                                                k_exch, axis)
         res = lio_mod.lio_update(
             st, snap, und, pmask, calib.lid_rot, calib.lid_off,
             laser_point_cov=laser_point_cov, max_iter=max_iter,

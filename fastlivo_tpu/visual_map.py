@@ -196,6 +196,10 @@ def push_slot(m: VisualMap, fid: jnp.ndarray,
     replicated metadata and apply the image write owner-locally."""
     refs = _live_slot_refs(m, obs_axis)
     R = m.img_fid.shape[0]
+    # age RANK of each slot's fid within the pool (ties — the -1
+    # empties — broken by slot index, matching argmin's lowest-index
+    # pick); ranking replaces raw fids in the key so the scheme is
+    # independent of fid magnitude
     sl = jnp.arange(R, dtype=jnp.int32)
     older = (m.img_fid[None, :] < m.img_fid[:, None]) | (
         (m.img_fid[None, :] == m.img_fid[:, None])
@@ -220,28 +224,14 @@ def push_image(m: VisualMap, img: jnp.ndarray, fid: jnp.ndarray) -> VisualMap:
     retention, and least-refs maximizes the observations that survive
     it (a heavily-referenced loiter keyframe outlives recent
     one-observation frames). Re-pushing a fid already in the pool
-    reuses its slot (idempotent)."""
-    refs = _live_slot_refs(m)
-    R = m.img_fid.shape[0]
-    # Age RANK of each slot's fid within the pool (ties — the -1
-    # empties — broken by slot index, matching argmin's lowest-index
-    # pick). The ordering only needs to be correct AMONG the R slots,
-    # so ranking replaces raw fids in the key and the scheme is
-    # independent of fid magnitude — no int32 overflow at any uptime
-    # (the previous fid-based key assumed fid < 2^22; ADVICE r4).
-    sl = jnp.arange(R, dtype=jnp.int32)
-    older = (m.img_fid[None, :] < m.img_fid[:, None]) | (
-        (m.img_fid[None, :] == m.img_fid[:, None])
-        & (sl[None, :] < sl[:, None])
-    )
-    rank = jnp.sum(older, axis=1, dtype=jnp.int32)  # unique 0..R-1
-    # argmin key: re-push (-2) < empty/dead (rank: empties rank lowest,
-    # then dead oldest-first) < live ((1+min(refs,200))*R + rank:
-    # fewest refs, then oldest). Max key 202*R — never overflows.
-    live_key = (jnp.minimum(refs, 200) + 1) * R + rank
-    key = jnp.where(refs > 0, live_key, rank)
-    key = jnp.where(m.img_fid == fid, jnp.int32(-2), key)
-    slot = jnp.argmin(key).astype(jnp.int32)
+    reuses its slot (idempotent).
+
+    The key scheme (in push_slot): re-push (-2) < empty/dead (age rank:
+    empties rank lowest, then dead oldest-first) < live
+    ((1+min(refs,200))*R + rank: fewest refs, then oldest). Ranks are
+    computed WITHIN the pool, so the key never depends on fid magnitude
+    (no overflow at any uptime; ADVICE r4) and maxes at 202*R."""
+    slot = push_slot(m, fid)
     if jnp.issubdtype(m.imgs.dtype, jnp.integer):
         img = jnp.round(jnp.clip(img, 0.0, 255.0))
     return m._replace(

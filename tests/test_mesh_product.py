@@ -389,3 +389,55 @@ def test_visual_compact_on_sharded_arrays(tracked_inputs):
     for f in ("pos", "obs_fid", "obs_slot", "obs_level", "n_obs"):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)), f)
+
+
+def test_halo_overflow_is_counted():
+    """An undersized `halo_tiles` silently losing snapshot tiles was
+    invisible (review r5): the psum'd overflow now lands in the shards'
+    monotone n_dropped data-loss counter."""
+    from fastlivo_tpu.ops import tiled_map as tmod
+    from fastlivo_tpu.parallel.sharded_backend import ShardedTiledBackend
+    from fastlivo_tpu import imu as imu_mod
+    from fastlivo_tpu.state import identity_state
+
+    mesh = make_mesh(8)
+    be = ShardedTiledBackend(mesh)
+    shards = be.empty((32, 32, 8), 2048, 0.5)
+    rng = np.random.default_rng(0)
+    world = np.stack([rng.uniform(-30, 30, 8000),
+                      rng.uniform(-30, 30, 8000),
+                      rng.uniform(0, 2, 8000)], 1).astype(np.float32)
+    shards = be.insert(shards, jnp.asarray(world), jnp.ones(8000, bool))
+    assert int(np.asarray(shards.n_dropped).sum()) == 0
+
+    runner = MeshRunner(mesh, sharded_map=True, halo_tiles=4,  # starved
+                        snap_dims=(32, 32, 8))
+    s = identity_state()._replace(pos=jnp.asarray([0.0, 0.0, 1.0]))
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0), cov_acc=jnp.full(3, 0.01, jnp.float32),
+        cov_gyr=jnp.full(3, 0.001, jnp.float32),
+        cov_bias_acc=jnp.full(3, 1e-5, jnp.float32),
+        cov_bias_gyr=jnp.full(3, 1e-5, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
+    )
+    Pn = 8
+    pose = imu_mod.PoseTable(
+        offs=jnp.asarray(np.linspace(0, 0.1, Pn, dtype=np.float32)),
+        rot=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (Pn, 1, 1)),
+        pos=jnp.zeros((Pn, 3), jnp.float32),
+        vel=jnp.zeros((Pn, 3), jnp.float32),
+        acc=jnp.zeros((Pn, 3), jnp.float32),
+        gyr=jnp.zeros((Pn, 3), jnp.float32),
+    )
+    scan = (world[rng.choice(8000, 2048, replace=False)]
+            - np.array([0.0, 0.0, 1.0])).astype(np.float32)
+    out = runner.lidar_frame_step(
+        s, shards, pose, calib, jnp.asarray(scan),
+        jnp.zeros(2048, jnp.float32), jnp.ones(2048, bool),
+        jnp.float32(0.5), laser_point_cov=0.001,
+        max_points=2048, max_iter=2, knn_radius=1, max_probe=8,
+        dense_out=False)
+    shards2 = out[1]
+    assert int(np.asarray(shards2.n_dropped).sum()) > 0, (
+        "starved halo budget left no trace in n_dropped")

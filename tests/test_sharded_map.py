@@ -127,7 +127,7 @@ def test_snapshot_knn_matches_full_map(built):
 
     def snap_knn(shard, qq):
         local = jax.tree.map(lambda x: x[0], shard)
-        snap = sm.exchange_snapshot(local, lo, hi, 512, "dp")
+        snap, _ = sm.exchange_snapshot(local, lo, hi, 512, "dp")
         n, d2, v = tm.knn(snap, qq, 5, 1)
         return n, d2, v
 
@@ -197,7 +197,7 @@ def test_blockmap_scan_step_matches_single_device(built):
 
     def snap_knn(shard, qq):
         local = jax.tree.map(lambda x: x[0], shard)
-        snap = sm.exchange_snapshot(local, lo, hi, 512, "dp")
+        snap, _ = sm.exchange_snapshot(local, lo, hi, 512, "dp")
         return tm.knn(snap, qq, 5, 1)
 
     q = jnp.asarray(world[100:356] + 0.02)
