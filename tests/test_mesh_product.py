@@ -441,3 +441,41 @@ def test_halo_overflow_is_counted():
     shards2 = out[1]
     assert int(np.asarray(shards2.n_dropped).sum()) > 0, (
         "starved halo budget left no trace in n_dropped")
+
+
+@pytest.mark.slow
+def test_shipped_scale_vio_step_on_mesh():
+    """One sharded camera-frame step at the SHIPPED capacities (640x512
+    image, 65536-point visual map, 20-obs rings, 256-slot u8 pool) on
+    the 8-device mesh with the visual map sharded — the camera-side
+    half of the shipped-scale viability check (the lidar half runs in
+    dryrun_multichip; this one is a slow test to keep the driver's
+    dryrun budget small)."""
+    cfg = Config()
+    cfg.img_enable = True
+    cfg.grid_size = 40
+    cfg.outlier_threshold = 300.0
+    mesh = make_mesh(8)
+    from fastlivo_tpu.parallel.product import MeshRunner as MR
+
+    runner = MR(mesh, sharded_map=True,
+                halo_tiles=cfg.capacity.halo_tiles,
+                snap_dims=cfg.capacity.tiled_dir_dims)
+    runner.check_capacity(cfg.capacity)
+    vio = Vio(cfg, mesh_runner=runner)
+    assert vio.pool_sharded
+    rng = np.random.default_rng(0)
+    W_, H_ = cfg.camera.width, cfg.camera.height
+    assert (W_, H_) == (640, 512)
+    img = (120 + 50 * rng.random((H_, W_, 3))).astype(np.uint8)
+    cloud = np.stack([
+        rng.uniform(-4, 4, 20000), rng.uniform(-3, 3, 20000),
+        np.full(20000, 6.0),
+    ], axis=1).astype(np.float32)
+    vio.set_last_cloud(cloud)
+    s0 = identity_state()
+    st = vio.update(s0, s0, img)  # full fused step at shipped shapes
+    assert np.all(np.isfinite(np.asarray(st.pos)))
+    st = vio.update(st, st, img)  # second frame: obs/pool append paths
+    assert np.all(np.isfinite(np.asarray(st.pos)))
+    assert int(vio.vmap.n_pts) >= 0  # finite, readable
