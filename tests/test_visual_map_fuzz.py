@@ -23,6 +23,7 @@ shared_ptr image retention (feature.h:40), AddPoint creation feature
 """
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from fastlivo_tpu import visual_map as vmap
 
@@ -202,3 +203,61 @@ def test_fuzz_pool_and_obs_rings_vs_model():
             m = vmap.compact(m, jnp.asarray(center), jnp.asarray(radius))
             md.compact(center, radius)
         check(m, md, f"step {step} op {op}")
+
+
+@pytest.mark.slow
+def test_fuzz_soak_400_ops_with_huge_fids():
+    """Slow-tier soak: 400 ops with frame ids offset past 2^30 (the old
+    packed key's failure regime) and a different seed — ~100 pool
+    cycles through every op mix, exact equality throughout."""
+    rng = np.random.default_rng(23)
+    m = vmap.empty_visual_map(
+        n_points=NP_, n_obs=KO, table_size=1 << 8, voxel_cap=4, ring=R,
+        height=H, width=W,
+    )
+    md = Model()
+    fid = 1 << 30
+    rcw = np.eye(3, dtype=np.float32)
+    for step in range(400):
+        op = rng.choice(["push_add", "obs", "compact"],
+                        p=[0.45, 0.45, 0.10])
+        if op == "push_add":
+            m = vmap.push_image(m, jnp.zeros((H, W)), jnp.int32(fid))
+            md.push_image(fid)
+            B = int(rng.integers(1, 5))
+            pts = rng.uniform(-20, 20, (B, 3)).astype(np.float32)
+            mask = rng.random(B) < 0.8
+            pcw = rng.uniform(-5, 5, 3).astype(np.float32)
+            m = vmap.add_points(
+                m, jnp.asarray(pts), jnp.zeros((B, 2), jnp.float32),
+                jnp.asarray(rcw), jnp.asarray(pcw),
+                jnp.zeros(B, jnp.float32), jnp.int32(fid),
+                jnp.asarray(mask),
+            )
+            md.add_points(pts, rcw, pcw, fid, mask)
+            fid += 1
+        elif op == "obs" and md.n_pts > 0:
+            m = vmap.push_image(m, jnp.zeros((H, W)), jnp.int32(fid))
+            md.push_image(fid)
+            K = int(rng.integers(1, min(4, md.n_pts) + 1))
+            idx = rng.choice(md.n_pts, size=K, replace=False)
+            mask = rng.random(K) < 0.85
+            level = rng.integers(0, 3, K)
+            pcw = rng.uniform(-5, 5, 3).astype(np.float32)
+            m = vmap.add_observations(
+                m, jnp.asarray(idx, jnp.int32),
+                jnp.zeros((K, 2), jnp.float32), jnp.asarray(rcw),
+                jnp.asarray(pcw), jnp.zeros(K, jnp.float32),
+                jnp.int32(fid), jnp.asarray(level, jnp.int32),
+                jnp.asarray(mask),
+            )
+            md.add_observations(idx, rcw, pcw, fid, level, mask)
+            fid += 1
+        elif op == "compact":
+            center = np.zeros(3, np.float32)
+            radius = np.float32(rng.uniform(5, 25))
+            m = vmap.compact(m, jnp.asarray(center), jnp.asarray(radius))
+            md.compact(center, radius)
+        if step % 10 == 9:  # check every 10th op (device sync cost)
+            check(m, md, f"soak step {step}")
+    check(m, md, "soak final")
