@@ -84,6 +84,16 @@ class CapacityConfig:
     # opt-in Pallas fused top-5 + TLS plane fit on the LIO search leg
     # (ops/pallas_lio.py; A/B'd in docs/PERF_ANALYSIS.md round 5)
     pallas_knn: bool = False
+    # donate the map buffers to the fused frame steps so scatters
+    # update in place instead of copying the whole map each frame
+    # (~143 MB geometric + ~170 MB visual at shipped capacities;
+    # measured 1.70x on the CPU backend at the shipped pool, bit-
+    # identical outputs). Default off: the round-2 relay measurement
+    # recorded a permanent session slow path after one donated dispatch
+    # (ops/voxel_map.insert note); re-measured 2026-08-20 the slow path
+    # did NOT reproduce (floor 0.067 ms after donated fused steps), so
+    # this is ready to flip on attached hardware — see PERF_ANALYSIS
+    donate_maps: bool = False
     # sliding-local-map mode: "ref" (default) reproduces the reference's
     # lasermap_fov_segment exactly — including its runaway-slide quirk
     # with shipped cube_side_length values (lio.LocalMapTracker
@@ -256,7 +266,7 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
                     raise ValueError(
                         f"capacity.{k}={kw[k]!r}: must be one of {allowed}")
             elif k in ("cache_knn", "mixed_gain", "frame_ring_u8",
-                       "pallas_knn"):
+                       "pallas_knn", "donate_maps"):
                 kw[k] = bool(v)
             elif k in ("dense_dims", "tiled_dir_dims"):
                 kw[k] = tuple(int(x) for x in v)

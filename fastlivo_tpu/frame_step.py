@@ -137,3 +137,22 @@ def lidar_frame_step(
                              occ.astype(jnp.float64)[None]])
     return (res.state, m2, down, dmask, res.n_active, res.iters,
             dense_world, res.active, stats)
+
+
+# Donating variant (capacity.donate_maps): the map argument's buffers
+# are DONATED so the insert scatters update in place instead of copying
+# the whole map every frame (~134 MB/frame at the shipped 16384-tile
+# pool — comparable to the entire step's HBM traffic). ATTACHED
+# HARDWARE ONLY: one donated dispatch permanently drops the axon relay
+# session into a 1.5-27 ms slow path (ops/voxel_map.insert note), so
+# the default stays copy-based. Callers must not touch the donated map
+# value afterwards (Pipeline replaces self.map with the output
+# immediately).
+lidar_frame_step_donated = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_points", "max_iter", "knn_radius", "max_probe", "dense_out",
+        "cache_knn", "mixed_gain", "plane_fit", "pallas_knn",
+    ),
+    donate_argnums=(1,),
+)(lidar_frame_step.__wrapped__)

@@ -599,6 +599,12 @@ class Pipeline:
             )
             if self.mesh_runner is not None:
                 step_fn = self.mesh_runner.lidar_frame_step
+            elif cap.donate_maps:
+                # in-place map update (attached hardware; see
+                # frame_step.lidar_frame_step_donated) — self.map is
+                # replaced by the output right below, so the donated
+                # buffers are never reused
+                from .frame_step import lidar_frame_step_donated as step_fn
             else:
                 from .frame_step import lidar_frame_step as step_fn
 

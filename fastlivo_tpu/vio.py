@@ -952,6 +952,22 @@ def vio_frame_step(
             n_tracked, n_added, its, stats)
 
 
+# Donating variant of the fused camera step (capacity.donate_maps):
+# the VisualMap argument is donated, so the obs-ring/pool scatters
+# update in place instead of copying ~170 MB of visual-map arrays per
+# camera frame at the shipped capacities. ATTACHED HARDWARE ONLY (see
+# frame_step.lidar_frame_step_donated); Vio.update replaces self.vmap
+# with the output immediately, so the donated value is never reused.
+vio_frame_step_donated = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid_size", "patch_size", "gw", "gh", "ncc_en", "max_iter",
+        "max_pg", "robust", "axis_name", "push_inline", "vmap_axis",
+    ),
+    donate_argnums=(0,),
+)(vio_frame_step.__wrapped__)
+
+
 @functools.partial(jax.jit, static_argnames=("obs_axis",))
 def prep_observations(
     vm: vmap_mod.VisualMap,
@@ -1263,8 +1279,12 @@ class Vio:
             cloud_j = jnp.asarray(cloud)
 
         meta = jnp.asarray(np.array([n, self.fid], np.int32))
-        step_fn = (self.mesh_runner.vio_frame_step
-                   if self.mesh_runner is not None else vio_frame_step)
+        if self.mesh_runner is not None:
+            step_fn = self.mesh_runner.vio_frame_step
+        elif cfg.capacity.donate_maps:
+            step_fn = vio_frame_step_donated  # in-place visual map
+        else:
+            step_fn = vio_frame_step
         extra = {}
         if self.split_push and self.mesh_runner is None:
             # relay accommodation (FASTLIVO_VIO_SPLIT_PUSH): the pool

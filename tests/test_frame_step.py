@@ -169,3 +169,54 @@ def test_stats_carries_map_occupancy():
     occ = m2.n_alloc if hasattr(m2, "n_alloc") else m2.count
     assert stats[28] == float(occ)
     assert stats[28] > 0
+
+
+def test_donated_step_matches_copy_based():
+    """capacity.donate_maps: the donating lidar step variant must be
+    bit-identical to the copy-based default (only the buffer aliasing
+    differs)."""
+    import numpy as np
+    from fastlivo_tpu import imu as imu_mod
+    from fastlivo_tpu.frame_step import (lidar_frame_step,
+                                         lidar_frame_step_donated)
+    from fastlivo_tpu.ops import tiled_map as tmod
+    from fastlivo_tpu.state import identity_state
+
+    rng = np.random.default_rng(0)
+    world = np.stack([rng.uniform(-10, 10, 6000),
+                      rng.uniform(-10, 10, 6000),
+                      rng.uniform(0, 0.1, 6000)], 1).astype(np.float32)
+    scan = world[rng.choice(6000, 2048, replace=False)] + rng.normal(
+        0, 0.004, (2048, 3)).astype(np.float32)
+    s = identity_state()._replace(pos=jnp.asarray([0.01, -0.01, 0.0]))
+    calib = imu_mod.ImuCalib(
+        acc_scale=jnp.float32(1.0), cov_acc=jnp.full(3, 0.01, jnp.float32),
+        cov_gyr=jnp.full(3, 0.001, jnp.float32),
+        cov_bias_acc=jnp.full(3, 1e-5, jnp.float32),
+        cov_bias_gyr=jnp.full(3, 1e-5, jnp.float32),
+        lid_rot=jnp.eye(3, dtype=jnp.float32),
+        lid_off=jnp.zeros(3, jnp.float32),
+    )
+    P = 8
+    pose = imu_mod.PoseTable(
+        offs=jnp.asarray(np.linspace(0, 0.1, P, dtype=np.float32)),
+        rot=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (P, 1, 1)),
+        pos=jnp.zeros((P, 3), jnp.float32),
+        vel=jnp.zeros((P, 3), jnp.float32),
+        acc=jnp.zeros((P, 3), jnp.float32),
+        gyr=jnp.zeros((P, 3), jnp.float32),
+    )
+    args = (jnp.asarray(scan), jnp.zeros(2048, jnp.float32),
+            jnp.ones(2048, bool), jnp.float32(0.5))
+    kw = dict(laser_point_cov=0.001, max_points=2048, max_iter=3,
+              knn_radius=1, max_probe=8, dense_out=False)
+    m1 = tmod.build_host(world, (32, 32, 8), 512, 0.5)
+    r_copy = lidar_frame_step(s, m1, pose, calib, *args, **kw)
+    m2 = tmod.build_host(world, (32, 32, 8), 512, 0.5)
+    r_don = lidar_frame_step_donated(s, m2, pose, calib, *args, **kw)
+    np.testing.assert_array_equal(np.asarray(r_copy[0].pos),
+                                  np.asarray(r_don[0].pos))
+    np.testing.assert_array_equal(np.asarray(r_copy[8]),
+                                  np.asarray(r_don[8]))
+    np.testing.assert_array_equal(np.asarray(r_copy[1].pts),
+                                  np.asarray(r_don[1].pts))
