@@ -67,7 +67,8 @@ class MeshRunner:
 
     def __init__(self, mesh: Mesh, axis: str = "dp",
                  sharded_map: bool = False, halo_tiles: int = 256,
-                 snap_dims: tuple = (128, 128, 64)):
+                 snap_dims: tuple = (128, 128, 64),
+                 donate_maps: bool = False):
         """`sharded_map`: the lidar step consumes/returns a BLOCK-SHARDED
         map (a TiledMap with a leading device axis, one ownership-striped
         shard per device — parallel/sharded_backend.ShardedTiledBackend)
@@ -82,6 +83,10 @@ class MeshRunner:
         self.n = mesh.shape[axis]
         self.sharded_map = sharded_map
         self.halo_tiles = halo_tiles
+        # donate the map/visual-map argument buffers (in-place scatters
+        # instead of a whole-map copy per frame; capacity.donate_maps —
+        # see frame_step.lidar_frame_step_donated)
+        self.donate_maps = donate_maps
         # snapshot directory dims: the map's own dims (full span) so a
         # wide scan AABB cannot wrap-alias inside the snapshot
         self.snap_dims = tuple(snap_dims)
@@ -215,7 +220,8 @@ class MeshRunner:
             out_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep),
             check_vma=False,
         )
-        return jax.jit(smapped)
+        donate = (1,) if self.donate_maps else ()
+        return jax.jit(smapped, donate_argnums=donate)
 
     def _build_lidar_sharded_map(self, *, max_points, max_iter, knn_radius,
                                  max_probe, dense_out, cache_knn,
@@ -343,7 +349,8 @@ class MeshRunner:
             out_specs=(rep, shd, rep, rep, rep, rep, rep, rep, rep),
             check_vma=False,
         )
-        return jax.jit(smapped)
+        donate = (1,) if self.donate_maps else ()
+        return jax.jit(smapped, donate_argnums=donate)
 
     # -- camera ---------------------------------------------------------
     def vio_frame_step(self, vm, cam, state, prior, gray, meta, cloud,
@@ -403,4 +410,5 @@ class MeshRunner:
             out_specs=out_specs,
             check_vma=False,
         )
-        return jax.jit(smapped)
+        donate = (0,) if self.donate_maps else ()  # the VisualMap
+        return jax.jit(smapped, donate_argnums=donate)

@@ -157,6 +157,7 @@ class Pipeline:
             self.mesh_runner = MeshRunner(
                 mesh, sharded_map=sharded_map, halo_tiles=cap.halo_tiles,
                 snap_dims=cap.tiled_dir_dims,
+                donate_maps=cap.donate_maps,
             )
             self.mesh_runner.check_capacity(cap)
         if vio is None and cfg.img_enable:
