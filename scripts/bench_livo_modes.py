@@ -44,6 +44,10 @@ def main():
         cfg.capacity.frame_ring_u8 = bool(
             int(os.environ["FASTLIVO_FRAME_RING_U8"])
         )
+    if os.environ.get("FASTLIVO_DONATE_MAPS"):
+        cfg.capacity.donate_maps = bool(
+            int(os.environ["FASTLIVO_DONATE_MAPS"])
+        )
     pipe = Pipeline(cfg)
     cam = cfg.camera
     ds = SyntheticDataset(
