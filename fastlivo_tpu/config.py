@@ -84,16 +84,18 @@ class CapacityConfig:
     # opt-in Pallas fused top-5 + TLS plane fit on the LIO search leg
     # (ops/pallas_lio.py; A/B'd in docs/PERF_ANALYSIS.md round 5)
     pallas_knn: bool = False
-    # donate the map buffers to the fused frame steps so scatters
+    # Donate the map buffers to the fused frame steps so scatters
     # update in place instead of copying the whole map each frame
-    # (~143 MB geometric + ~170 MB visual at shipped capacities;
-    # measured 1.70x on the CPU backend at the shipped pool, bit-
-    # identical outputs). Default off: the round-2 relay measurement
-    # recorded a permanent session slow path after one donated dispatch
-    # (ops/voxel_map.insert note); re-measured 2026-08-20 the slow path
-    # did NOT reproduce (floor 0.067 ms after donated fused steps), so
-    # this is ready to flip on attached hardware — see PERF_ANALYSIS
-    donate_maps: bool = False
+    # (~143 MB geometric + ~170 MB visual at shipped capacities).
+    # Bit-identical outputs (unit + end-to-end + mesh equality tests);
+    # measured 1.70x on CPU at the shipped pool and full-LIVO pair
+    # 85.1 -> 76.5 ms on the relay chip. DEFAULT ON. The round-2 relay
+    # measurement recorded a permanent session slow path after one
+    # donated dispatch (ops/voxel_map.insert note) — NOT reproducible
+    # 2026-08-20 (floor 0.067 ms after donated fused steps); set
+    # donate_maps: false if a relay session exhibits the legacy
+    # behavior. See docs/PERF_ANALYSIS.md "in-place map updates".
+    donate_maps: bool = True
     # sliding-local-map mode: "ref" (default) reproduces the reference's
     # lasermap_fov_segment exactly — including its runaway-slide quirk
     # with shipped cube_side_length values (lio.LocalMapTracker

@@ -172,7 +172,12 @@ def test_fused_vs_staged_equivalence(ds):
 
     import jax.numpy as jnp
 
-    vio = Vio(make_cfg())
+    cfg = make_cfg()
+    # this test FORKS the Vio (copy.copy) and replays the same frame
+    # through both paths from the shared arrays — incompatible with
+    # donate_maps (the fused step would delete the fork's buffers)
+    cfg.capacity.donate_maps = False
+    vio = Vio(cfg)
     s = state_at(ds, 2.0)
     vio.set_last_cloud(world_cloud(ds))
     vio.update(s, s, ds.render_image(2.0))  # bootstrap
