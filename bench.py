@@ -522,30 +522,30 @@ def bench_block(K=8):
 WATCHDOG_S = 520
 # Most recent COMPLETED bench.py run, used ONLY by the stale-fallback
 # path below when the relay stalls the live run. The producing capture
-# is committed verbatim at docs/bench_captures/2026-08-20_r05_full.json
-# (all sections live, floor 0.07 ms; relay throughput varies ~25-80 M
-# pts/s between sessions — same-day faster sessions measured 79 M, see
-# PERF_ANALYSIS).
+# is committed verbatim at
+# docs/bench_captures/2026-08-20_r05_donate_full.json (all sections
+# live with the shipped donate_maps default, floor 0.088 ms; relay
+# throughput varies ~25-80 M pts/s between sessions).
 LAST_KNOWN = {
     "schema": 2,
     "metric": "lidar_streamed_points_per_sec",
-    "value": 62651853.3,
+    "value": 64240856.2,
     "unit": "points/s",
-    "vs_baseline": 732.77,
-    "points_per_sec_sync": 18788344.5,
-    "vs_baseline_sync": 219.75,
+    "vs_baseline": 751.36,
+    "points_per_sec_sync": 20679061.8,
+    "vs_baseline_sync": 241.86,
     "baseline_points_per_sec": 85500.0,
-    "dispatch_overhead_ms": 0.07,
-    "points_per_sec_net": 20428265.4,
-    "vs_baseline_net": 238.93,
-    "vio_pixels_per_sec_streamed": 2389921021.1,
-    "vio_pixels_per_sec_sync": 1138963714.3,
+    "dispatch_overhead_ms": 0.088,
+    "points_per_sec_net": 23278596.5,
+    "vs_baseline_net": 272.26,
+    "vio_pixels_per_sec_streamed": 4145235023.0,
+    "vio_pixels_per_sec_sync": 2229351625.8,
     "vio_baseline_pixels_per_sec": 36800000.0,
-    "vio_vs_baseline": 64.94,
-    "vio_vs_baseline_sync": 30.95,
-    "interactive_ms_per_frame": 40.5,
-    "livo_pair_ms_block": 85.0,
-    "htj_nnz_per_sec": 357464309.2,
+    "vio_vs_baseline": 112.64,
+    "vio_vs_baseline_sync": 60.58,
+    "interactive_ms_per_frame": 30.5,
+    "livo_pair_ms_block": 76.6,
+    "htj_nnz_per_sec": 366530471.1,
 }
 
 
