@@ -98,10 +98,11 @@ def lidar_frame_step(
         pallas_knn=pallas_knn,
     )
     # map insert at the posterior (map_incremental, laserMapping.cpp:692)
+    # — res.pts_world IS the downsampled batch at the posterior pose
+    # (lio_update's final world_pts), so no re-transform here
     rot32 = res.state.rot.astype(down.dtype)
     pos32 = res.state.pos.astype(down.dtype)
-    p_imu = down @ calib.lid_rot.T + calib.lid_off
-    world = p_imu @ rot32.T + pos32
+    world = res.pts_world
     mod = lio_mod.map_module(m)
     if mod is vm:
         m2 = vm.insert(m, world, dmask, max_probe=max_probe)

@@ -181,11 +181,19 @@ class ImuInitializer:
 
     def push(self, acc: np.ndarray, gyr: np.ndarray) -> None:
         if self.n == 0:
+            # b_first_frame_ branch (:144-152): seed the means with the
+            # first sample; its for-loop pass is then a no-op (cur ==
+            # mean with N = 1)
             self.mean_acc = np.asarray(acc, dtype=np.float64).copy()
             self.mean_gyr = np.asarray(gyr, dtype=np.float64).copy()
             self.n = 1
             return
-        n = self.n
+        # the reference processes the i-th sample with divisor N = i
+        # (N increments AFTER each sample, :172); self.n counts samples
+        # already consumed, so sample i = self.n + 1 uses N = self.n + 1.
+        # (A previous off-by-one used N = self.n, which made the second
+        # sample fully overwrite the mean and zero the covariance.)
+        n = self.n + 1
         da = acc - self.mean_acc
         dg = gyr - self.mean_gyr
         self.mean_acc += da / n
@@ -200,7 +208,10 @@ class ImuInitializer:
 
     @property
     def done(self) -> bool:
-        return self.n > MAX_INI_COUNT
+        # reference: init completes when init_iter_num (= samples + 1)
+        # exceeds MAX_INI_COUNT (laserMapping gate), i.e. after
+        # MAX_INI_COUNT samples
+        return self.n + 1 > MAX_INI_COUNT
 
     def gravity(self) -> np.ndarray:
         return -self.mean_acc / np.linalg.norm(self.mean_acc) * G_M_S2
@@ -354,6 +365,14 @@ def undistort(
     k = jnp.clip(k, 0, offs.shape[0] - 1)
     dt = (t_rel - offs[k])[:, None]  # (N, 1)
 
+    # HEAD-row convention, verified against the reference 2026-08-20:
+    # the backward pass extrapolates interval k with the HEAD row's
+    # acc/gyr (`acc_imu << VEC_FROM_ARRAY(head->acc)` etc.,
+    # IMU_Processing.cpp:779-784) — which row k stores as the PREVIOUS
+    # pair's averages. That makes the extrapolated pose at offs[k+1]
+    # differ slightly from the stored row k+1 pose; it is the
+    # reference's own behavior (FAST-LIO2 later switched to tail->acc),
+    # reproduced here deliberately. Do not "fix" to pose.gyr[k+1].
     R_head = pose.rot[k].astype(dtype)  # (N, 3, 3)
     w = pose.gyr[k].astype(dtype)
     R_i = R_head @ so3.exp(w * dt)

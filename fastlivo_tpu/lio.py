@@ -71,32 +71,6 @@ class LioResult(NamedTuple):
     iters: jnp.ndarray  # () int32 iterations executed
 
 
-def _apply_sol(rot, pos, vel, bg, ba, grav, sol):
-    """StatesGroup::operator+= (common_lib.h:343-352)."""
-    return (
-        rot @ so3.exp(sol[0:3]),
-        pos + sol[3:6],
-        vel + sol[6:9],
-        bg + sol[9:12],
-        ba + sol[12:15],
-        grav + sol[15:18],
-    )
-
-
-def _boxminus_vec(prior: NavState, rot, pos, vel, bg, ba, grav):
-    """prior ⊟ current -> (18,) (common_lib.h:354-365)."""
-    return jnp.concatenate(
-        [
-            so3.log(rot.T @ prior.rot),
-            prior.pos - pos,
-            prior.vel - vel,
-            prior.bg - bg,
-            prior.ba - ba,
-            prior.grav - grav,
-        ]
-    )
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "knn_radius", "max_probe", "axis_name",

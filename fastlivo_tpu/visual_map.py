@@ -266,10 +266,6 @@ def add_points(
     pts, px, value = (x.astype(dt) for x in (pts, px, value))
     rcw, pcw = rcw.astype(dt), pcw.astype(dt)
     NP = m.pos.shape[0]
-    B = pts.shape[0]
-    T = m.vox_keys.shape[0]
-    VC = m.vox_idx.shape[1]
-    tmask = T - 1
 
     # --- allocate point indices -----------------------------------------
     mask = mask & (m.n_pts + jnp.cumsum(mask.astype(jnp.int32)) <= NP)
