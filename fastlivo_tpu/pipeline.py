@@ -279,9 +279,11 @@ class Pipeline:
             c = self.read_collector
             if self._own_collector and c is not None and len(c) >= c.E:
                 c.flush()
-        if not self.async_read:
-            # sync mode: no pending can exist; slice == per-call returns
-            assert not self._pending
+        if not self.async_read and self._pending:
+            # async_read was toggled off mid-stream with frames still in
+            # flight: resolve them now (asserting here crashed the
+            # toggle path; review r5)
+            self._resolve_pending()
         return self.outputs[n0:]
 
     def finish(self) -> List[FrameOutput]:
@@ -517,11 +519,18 @@ class Pipeline:
         state_propagat = self.state
 
         if not g.is_lidar_end:
-            # VIO update at the image timestamp (laserMapping.cpp:1319-1390)
+            # VIO update at the image timestamp (laserMapping.cpp:
+            # 1319-1390). The reference runs detect on EVERY image group
+            # once the IMU is initialized — it has no EKF-inited gate
+            # here (a previous INIT_TIME gate suppressed the first 0.5 s
+            # of images; removed for parity). Its only guard is
+            # `first_lidar_time < 10` (:1323) — an EPOCH-seconds check
+            # that is inert on real bags (epoch >> 10) and would disable
+            # VIO entirely on zero-based synthetic clocks, so that quirk
+            # is deliberately not reproduced.
             if self.vio is not None and self.ready and self.first_lidar_time is not None:
-                if scan.beg_time - self.first_lidar_time >= INIT_TIME:
-                    self.state = self.vio.update(self.state, state_propagat, g.img)
-                    self._prop_pack_dev = None  # posterior != propagated
+                self.state = self.vio.update(self.state, state_propagat, g.img)
+                self._prop_pack_dev = None  # posterior != propagated
             return None
 
         # ---- lidar-end frame: undistort whole scan ----------------------

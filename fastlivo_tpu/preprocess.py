@@ -50,8 +50,16 @@ def decode_avia(
     ok = (np.asarray(line) < cfg.n_scans) & ((t30 == 0x10) | (t30 == 0x00))
     ok[0] = False  # loop starts at i=1 (:139)
     keep = _stride_mask(ok, cfg.point_filter_num)
-    # near-duplicate + blind gates (:151-155)
-    prev = np.roll(xyz, 1, axis=0)
+    # near-duplicate + blind gates (:151-155). The reference compares
+    # against pl_full[i-1], which is the ZERO vector unless point i-1
+    # was itself tag-valid AND stride-kept (pl_full is only written
+    # inside the stride branch, :145-150) — so with point_filter_num>=2
+    # the dedup almost always compares against (0,0,0) and passes; a
+    # raw-previous comparison (the old behavior here) wrongly dropped
+    # dual-return repeats the reference keeps.
+    prev_written = np.roll(keep, 1)
+    prev_written[0] = False
+    prev = np.where(prev_written[:, None], np.roll(xyz, 1, axis=0), 0.0)
     dedup = np.any(np.abs(xyz - prev) > 1e-7, axis=1)
     r2 = np.sum(xyz * xyz, axis=1)
     keep &= dedup & (r2 > cfg.blind * cfg.blind)
@@ -84,15 +92,25 @@ def decode_velodyne(
             yf = yaw[m[0]]
             off = np.where(yaw[m] <= yf, (yf - yaw[m]) / omega,
                            (yf - yaw[m] + 360.0) / omega)
-            # monotonicity fix (:345): each decrease is one yaw wrap, and
-            # the running `time_last` comparison makes wraps cumulative
-            wraps = np.concatenate([[0.0], np.cumsum(np.diff(off) < 0)])
-            off = off + wraps * (360.0 / omega)
+            # monotonicity fix (:344): the reference adds AT MOST ONE
+            # 360/omega correction per point, against the running
+            # CORRECTED time_last — once a wrap occurs every subsequent
+            # candidate (bounded by one period) is below the corrected
+            # last, so the +period sticks for the rest of the ring but
+            # never compounds (a cumsum of raw decreases double-counted
+            # jitter wraps)
+            dec = np.diff(off) < 0
+            wrapped = np.concatenate(
+                [[False], np.maximum.accumulate(dec)]) if len(off) else off
+            off = off + wrapped * (360.0 / omega)
             off[0] = 0.0
             t[m] = off * 1e-3  # ms -> s
             consumed[m[0]] = True
+    # the stride runs on the RAW point index (i % point_filter_num ==
+    # 0, :421), independent of ring validity / first-point skips —
+    # unlike the AVIA handler's valid-stream count
     ok = (ring < cfg.n_scans) & ~consumed
-    keep = _stride_mask(ok, cfg.point_filter_num)
+    keep = ok & (np.arange(N) % cfg.point_filter_num == 0)
     r2 = np.sum(xyz * xyz, axis=1)
     keep &= r2 > cfg.blind * cfg.blind
     pts = np.concatenate(
@@ -110,8 +128,8 @@ def decode_ouster(
 ):
     xyz = np.asarray(xyz, np.float64)
     r2 = np.sum(xyz * xyz, axis=1)
-    ok = np.ones(len(xyz), bool)
-    keep = _stride_mask(ok, cfg.point_filter_num)
+    # raw-index stride (i % point_filter_num == 0, :235)
+    keep = np.arange(len(xyz)) % cfg.point_filter_num == 0
     keep &= r2 > cfg.blind * cfg.blind
     pts = np.concatenate(
         [xyz[keep], np.asarray(intensity, np.float64)[keep, None]], axis=1
@@ -129,7 +147,8 @@ def decode_xt32(
     ts = np.asarray(timestamp_s, np.float64)
     t_rel = ts - (ts[0] if len(ts) else 0.0)
     r2 = np.sum(xyz * xyz, axis=1)
-    keep = _stride_mask(np.ones(len(xyz), bool), cfg.point_filter_num)
+    # raw-index stride (i % point_filter_num == 0, :456)
+    keep = np.arange(len(xyz)) % cfg.point_filter_num == 0
     keep &= r2 > cfg.blind  # un-squared blind, reference quirk (:459)
     pts = np.concatenate(
         [xyz[keep], np.asarray(intensity, np.float64)[keep, None]], axis=1
@@ -180,7 +199,9 @@ def decode_features(fields: dict, cfg: PreprocessConfig):
         # feature path accepts ONLY (tag & 0x30) == 0x10 (:101) and
         # applies the dedup + squared-radius blind gate (:96-100)
         prev = np.roll(xyz, 1, axis=0)
-        dedup = np.any(np.abs(xyz - prev) >= 1e-8, axis=1)
+        # the reference SKIPS when ANY coordinate delta < 1e-8 (:96-98),
+        # i.e. keeping requires ALL three deltas >= 1e-8
+        dedup = np.all(np.abs(xyz - prev) >= 1e-8, axis=1)
         dedup[0] = False
         r2 = xyz[:, 0] ** 2 + xyz[:, 1] ** 2
         ok = ((tag & 0x30) == 0x10) & (line <= cfg.n_scans) & dedup & (r2 >= cfg.blind)

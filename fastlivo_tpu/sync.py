@@ -144,16 +144,19 @@ class Synchronizer:
         if not self.lidar_buf and not self.img_buf:
             return None
         if self._open_scan is None:
-            if not self.lidar_buf:
-                return None
-            scan = self.lidar_buf[0]
-            if len(scan.pts) <= 1:
+            # consume degenerate (<=1 point) scans and KEEP GOING: the
+            # reference's sync_packages returns false for such a scan
+            # but its main loop retries immediately (laserMapping.cpp:
+            # 1260) — returning None here would stall drain() until the
+            # next external push, delaying ready groups behind it
+            while self.lidar_buf and len(self.lidar_buf[0].pts) <= 1:
                 self.lidar_buf.popleft()
                 if self.img_buf:
                     self.img_buf.popleft()
                     self.img_time_buf.popleft()
+            if not self.lidar_buf:
                 return None
-            self._open_scan = scan
+            self._open_scan = self.lidar_buf[0]
 
         scan = self._open_scan
         end_time = scan.end_time

@@ -38,21 +38,26 @@ int decode_avia(const uint8_t *raw, int n, int n_scans, double blind,
   int m = 0;
   int valid_num = 0;
   const double blind2 = blind * blind;
+  // the reference's dedup compares against pl_full[i-1], which is the
+  // ZERO vector unless point i-1 was itself tag-valid AND stride-kept
+  // (pl_full only written inside the stride branch, preprocess.cpp:
+  // 145-150) — track the previous point's written-ness, not raw coords
   float px = 0.f, py = 0.f, pz = 0.f;
-  if (n > 0) {
-    px = p[0].x;
-    py = p[0].y;
-    pz = p[0].z;
-  }
+  bool prev_written = false;
   for (int i = 1; i < n; i++) {
     uint8_t t30 = p[i].tag & 0x30;
     bool tag_ok = (p[i].line < n_scans) && (t30 == 0x10 || t30 == 0x00);
     float x = p[i].x, y = p[i].y, z = p[i].z;
+    bool written = false;
     if (tag_ok) {
       valid_num++;
       if (valid_num % filter_num == 0) {
-        bool dedup = std::fabs(x - px) > 1e-7f || std::fabs(y - py) > 1e-7f ||
-                     std::fabs(z - pz) > 1e-7f;
+        written = true;
+        float qx = prev_written ? px : 0.f;
+        float qy = prev_written ? py : 0.f;
+        float qz = prev_written ? pz : 0.f;
+        bool dedup = std::fabs(x - qx) > 1e-7f || std::fabs(y - qy) > 1e-7f ||
+                     std::fabs(z - qz) > 1e-7f;
         double r2 = (double)x * x + (double)y * y + (double)z * z;
         if (dedup && r2 > blind2) {
           out_xyzi[m * 4 + 0] = x;
@@ -64,6 +69,7 @@ int decode_avia(const uint8_t *raw, int n, int n_scans, double blind,
         }
       }
     }
+    prev_written = written;
     px = x;
     py = y;
     pz = z;

@@ -7,9 +7,17 @@ from fastlivo_tpu import preprocess as pp
 
 
 def ring_on_wall(n=200, y0=-2.0, y1=2.0, x=5.0):
-    """A lidar ring sweeping across a flat wall at x=const."""
+    """A lidar ring sweeping across a flat wall at x=const.
+
+    Tiny per-point jitter on every axis: the reference's AVIA feature
+    gate SKIPS a point when ANY coordinate is within 1e-8 of its
+    predecessor (preprocess.cpp:96-98), so mathematically-exact
+    constant-x/z synthetic rings would be discarded wholesale (real
+    returns always jitter)."""
     y = np.linspace(y0, y1, n)
-    return np.stack([np.full(n, x), y, np.zeros(n)], 1)
+    r = np.random.default_rng(42 + n)
+    jit = r.uniform(1e-6, 1e-5, (n, 3))
+    return np.stack([np.full(n, x), y, np.zeros(n)], 1) + jit
 
 
 def rng_dista(pl, avia=True):

@@ -277,8 +277,8 @@ def test_decode_ouster():
     xyz = np.tile([[2.0, 0, 0]], (N, 1))
     t_ns = np.arange(N) * 1e6
     pts, t = pp.decode_ouster(xyz, np.zeros(N), t_ns, np.zeros(N), cfg)
-    assert len(pts) == 3  # stride 3
-    np.testing.assert_allclose(t, [0.002, 0.005, 0.008])
+    assert len(pts) == 3  # stride 3 on the RAW index (i % 3 == 0, :235)
+    np.testing.assert_allclose(t, [0.000, 0.003, 0.006])
 
 
 def test_decode_compressed_image_png():

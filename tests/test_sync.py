@@ -88,3 +88,20 @@ def test_plot_traces_smoke(tmp_path):
     lg.close()
     out = plot_traces(tmp_path)
     assert out.exists()
+
+
+def test_degenerate_scan_does_not_stall_drain():
+    """A <=1-point dropout scan must be consumed AND the ready scans
+    behind it emitted in the SAME drain (the reference main loop
+    retries sync_packages immediately; returning None used to stall
+    until the next external push — review r5)."""
+    s = Synchronizer(img_enable=False)
+    # degenerate scan, then a complete one, with IMU cover past its end
+    s.push_lidar(0.0, np.zeros((1, 4), np.float32), np.zeros(1))
+    pts = np.random.default_rng(0).uniform(-1, 1, (100, 4)).astype(np.float32)
+    s.push_lidar(0.1, pts, np.linspace(0, 0.09, 100))
+    for k in range(50):  # cover past scan end (0.19) + margin
+        s.push_imu(0.005 * k, np.zeros(3), np.zeros(3))
+    groups = list(s.drain())
+    assert len(groups) == 1 and groups[0].is_lidar_end
+    assert groups[0].scan.beg_time == 0.1
