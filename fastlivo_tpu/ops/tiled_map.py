@@ -145,11 +145,7 @@ def insert(m: TiledMap, pts: jnp.ndarray, valid: jnp.ndarray,
     cell_head = jnp.concatenate(
         [jnp.ones(1, bool), scell[1:] != scell[:-1]]
     ) & (sdir < D)
-    packed = jnp.zeros(B, jnp.int32).at[order].set(
-        tile_head.astype(jnp.int32) | (cell_head.astype(jnp.int32) << 1)
-    )
-    is_winner = (packed & 1) != 0
-    cell_winner = (packed & 2) != 0
+    is_winner = jnp.zeros(B, bool).at[order].set(tile_head)
 
     # aliased tiles reuse the evicted occupant's slot (old cells
     # self-invalidate by hash mismatch); fresh tiles allocate. Heads of
@@ -177,6 +173,21 @@ def insert(m: TiledMap, pts: jnp.ndarray, valid: jnp.ndarray,
     slot = dir_slot2[dir_idx]
     ok = valid & (got_chk == chk)
     pool_idx = jnp.clip(slot, 0, T - 1) * TC + cofs
+
+    # cell winner = the FIRST OK row of each (dir_idx, cofs) group in
+    # d2c order — NOT the group head: the head can be a row of a
+    # directory-ALIASING losing tile (same dir_idx, different chk) or a
+    # dropped row, which silently suppressed the true winner's write
+    # (review r5, repro'd: one of two valid points lost). ok rows of a
+    # group all share the winning tile, so first-ok == nearest-to-
+    # center among the survivors. Segmented first-ok via cumsums (the
+    # insert's one-sort budget is preserved).
+    ok_s = ok[order]
+    csum = jnp.cumsum(ok_s.astype(jnp.int32))
+    excl = csum - ok_s.astype(jnp.int32)  # exclusive count
+    base = jax.lax.cummax(jnp.where(cell_head, excl, -1))
+    first_ok_s = ok_s & (csum - base == 1)
+    cell_winner = jnp.zeros(B, bool).at[order].set(first_ok_s)
 
     stored = m.pts[pool_idx]
     stored_live = m.cell_check[pool_idx] == chk
@@ -284,15 +295,19 @@ def compact(m: TiledMap) -> TiledMap:
 
 
 def load_factor(m: TiledMap) -> float:
-    """Fraction of the pool allocated — the compaction trigger input."""
+    """Fraction of the pool allocated (host-side DEBUG helper).
+
+    NOTE: `float(m.n_alloc)` is a blocking device->host read — through
+    the axon relay the first D2H degrades the session dispatch floor
+    (ops/voxel_map.py:100). The pipeline's compaction trigger does NOT
+    use this: it reads occupancy from the packed per-frame stats row
+    (pipeline._maybe_rebuild)."""
     return float(m.n_alloc) / m.slot_key.shape[0]
 
 
 def extract_points(m: TiledMap):
     """(pts (L, 3), count) — all live map points, host-side (for map
     export / debugging; the PCD surface of laserMapping.cpp:1839-1855)."""
-    import numpy as np
-
     T = m.slot_key.shape[0]
     slot_chk = np.asarray(
         (_mix64(m.slot_key) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
@@ -361,8 +376,6 @@ def build_host(pts: np.ndarray, dims=(128, 128, 64), pool_tiles=16384,
     if len(own_idx) > T:
         own_idx = own_idx[:T]
     n_alloc = len(own_idx)
-    slot_of_tile = np.full(len(tiles_di), -1, np.int64)
-    slot_of_tile[own_idx] = np.arange(n_alloc)
 
     dir_check = np.full(D, int(EMPTY_CHECK), np.int32)
     dir_slot = np.zeros(D, np.int32)
@@ -375,8 +388,14 @@ def build_host(pts: np.ndarray, dims=(128, 128, 64), pool_tiles=16384,
     ok = dir_check[dir_idx] == chk  # points whose tile survived
     slot = dir_slot[dir_idx].astype(np.int64)
     pool_idx = slot * TC + cofs
-    order = np.lexsort((d2c, np.where(ok, pool_idx, -1)))
-    ps = pool_idx[order]
+    # group heads on the MASKED index: a dropped (~ok) point sharing a
+    # raw pool_idx with a survivor (directory-aliasing tile, or a
+    # pool-overflow row reading dir_slot's default 0) must not steal
+    # the survivor's group head and suppress its write (review r5,
+    # repro'd: 0 live points where device inserts keep 1)
+    pool_m = np.where(ok, pool_idx, -1)
+    order = np.lexsort((d2c, pool_m))
+    ps = pool_m[order]
     oks = ok[order]
     headm = np.ones(len(ps), bool)
     headm[1:] = ps[1:] != ps[:-1]

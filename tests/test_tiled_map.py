@@ -304,3 +304,41 @@ def test_long_excursion_bounded_without_delete_boxes():
         f"{drops_after_warm} points dropped in steady state — pool not "
         "bounded by wrap eviction + compaction alone"
     )
+
+
+def test_directory_aliasing_batch_insert_keeps_winner_cells():
+    """Review-r5 repro: two tiles aliasing one directory cell inside one
+    batch. The losing tile's point shares an in-tile cell with one of
+    the winner's points; the winner's point must survive (the old
+    group-head selection let the alias suppress it silently)."""
+    t = tm.empty_tiled_map((4, 4, 4), 16, 0.5)
+    # tile A = tile coords (0,0,0); tile B = (4,0,0) aliases A's
+    # directory cell at dims=4. a2 and b share in-tile cell (0,0,1).
+    a1 = np.array([0.1, 0.1, 0.1], np.float32)        # A, cell (0,0,0)
+    a2 = np.array([0.1, 0.1, 0.9], np.float32)        # A, cell (0,0,1)
+    b = np.array([16.25, 0.25, 0.75], np.float32)     # B, cell (0,0,1), tiny d2c
+    pts = jnp.asarray(np.stack([a1, a2, b]))
+    t2 = tm.insert(t, pts, jnp.ones(3, bool))
+    live, n = tm.extract_points(t2)
+    got = {tuple(np.round(p, 3)) for p in live}
+    assert tuple(np.round(a1, 3)) in got, "winner cell (0,0,0) lost"
+    assert tuple(np.round(a2, 3)) in got, "winner cell (0,0,1) lost"
+    assert n == 2
+    assert int(t2.n_dropped) == 1  # the aliasing loser is counted
+
+
+def test_build_host_directory_aliasing_matches_device():
+    """Review-r5 repro: build_host on two directory-aliasing tiles must
+    keep the owner's point like sequential device inserts do (the old
+    unmasked group-head computation returned 0 live points)."""
+    p0 = np.array([[0.1, 0.1, 0.1]], np.float32)   # tile (0,0,0)
+    p1 = np.array([[16.1, 0.1, 0.1]], np.float32)  # tile (4,0,0): aliases
+    mb = tm.build_host(np.concatenate([p0, p1]), (4, 4, 4), 16, 0.5)
+    live_b, n_b = tm.extract_points(mb)
+
+    md = tm.empty_tiled_map((4, 4, 4), 16, 0.5)
+    md = tm.insert(md, jnp.asarray(p0), jnp.ones(1, bool))
+    md = tm.insert(md, jnp.asarray(p1), jnp.ones(1, bool))
+    live_d, n_d = tm.extract_points(md)
+    assert n_b == n_d == 1
+    np.testing.assert_allclose(live_b, live_d, atol=1e-6)
