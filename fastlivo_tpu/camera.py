@@ -78,7 +78,13 @@ def world2cam(cam: Camera, xyz: jnp.ndarray) -> jnp.ndarray:
 
 
 def cam2world(cam: Camera, px: jnp.ndarray) -> jnp.ndarray:
-    """Pixels (..., 2) -> unit bearing vectors (..., 3)."""
+    """Pixels (..., 2) -> unit bearing vectors (..., 3).
+
+    KNOWN LIMITATION: the 8-iteration fixed-point undistortion runs
+    even for d = 0 cameras (vikit skips it) — Camera's leaves are
+    traced under jit, so `has_distortion` cannot gate here without a
+    static field; the cost is ~16 fused elementwise ops per point,
+    negligible against the gathers that dominate the camera frame."""
     xd = jnp.stack(
         [(px[..., 0] - cam.cx) / cam.fx, (px[..., 1] - cam.cy) / cam.fy],
         axis=-1,

@@ -182,10 +182,17 @@ class ImuInitializer:
     def push(self, acc: np.ndarray, gyr: np.ndarray) -> None:
         if self.n == 0:
             # b_first_frame_ branch (:144-152): seed the means with the
-            # first sample; its for-loop pass is then a no-op (cur ==
-            # mean with N = 1)
+            # first sample. Its for-loop pass is a no-op for the MEANS
+            # (cur == mean) but NOT for the covariances: with N = 1 the
+            # reference multiplies the 0.1 Reset() seed by (N-1)/N = 0,
+            # i.e. the first pass ZEROES cov_acc/cov_gyr. Skipping that
+            # (the old behavior) left a +0.1/N bias — cov_gyr ~40x a
+            # typical static gyro variance after 200 samples, inflating
+            # the attitude process noise from the first frame.
             self.mean_acc = np.asarray(acc, dtype=np.float64).copy()
             self.mean_gyr = np.asarray(gyr, dtype=np.float64).copy()
+            self.cov_acc = np.zeros(3)
+            self.cov_gyr = np.zeros(3)
             self.n = 1
             return
         # the reference processes the i-th sample with divisor N = i

@@ -61,20 +61,6 @@ def _anchor_weights(pc: jnp.ndarray, scale: jnp.ndarray):
     return u_i, v_i, (w_tl, w_tr, w_bl, w_br)
 
 
-def _strided_grid(u_i, v_i, patch_size: int, scale):
-    """(K,) anchors + (K,) scale -> (K, P, P) integer sample grids."""
-    half = patch_size // 2
-    offs = jnp.arange(patch_size) - half  # (P,)
-    s = scale[:, None, None]
-    rows = v_i[:, None, None] + offs[None, :, None] * s  # (K, P, 1)
-    cols = u_i[:, None, None] + offs[None, None, :] * s  # (K, 1, P)
-    K, P = u_i.shape[0], patch_size
-    return (
-        jnp.broadcast_to(rows, (K, P, P)),
-        jnp.broadcast_to(cols, (K, P, P)),
-    )
-
-
 def extract_patches(
     img: jnp.ndarray, pc: jnp.ndarray, patch_size: int, scale
 ) -> jnp.ndarray:
@@ -175,7 +161,13 @@ def shi_tomasi(img: jnp.ndarray, pc: jnp.ndarray) -> jnp.ndarray:
     ~1 ulp effect."""
     half = 4
     box = 2 * half
-    area = box * box
+    # vk::shiTomasiScore uses RAW differences dx = I[x+1]-I[x-1] and
+    # normalizes the structure-tensor sums by 2*box_area; with the
+    # 0.5-scaled gradients below that equals dividing by area/2. (A
+    # previous area divisor made every score exactly HALF of vikit's —
+    # harmless in-repo, where all uses are relative comparisons, but
+    # wrong for any threshold copied from the reference.)
+    area = box * box / 2.0
     H, W = img.shape
     # dense centered-difference gradients with index-clamp edge
     # semantics (pad-edge == clamped +-1 sample)

@@ -51,10 +51,6 @@ def exp(phi: jnp.ndarray) -> jnp.ndarray:
     return eye + a[..., None, None] * k + b[..., None, None] * k2
 
 
-def exp_dt(w: jnp.ndarray, dt) -> jnp.ndarray:
-    """Exp(angular velocity, dt) (so3_math.h:30-52)."""
-    return exp(w * jnp.asarray(dt)[..., None])
-
 
 def log(R: jnp.ndarray) -> jnp.ndarray:
     """Matrix logarithm: (..., 3, 3) -> (..., 3) axis-angle.

@@ -400,7 +400,7 @@ class NumpyDetect:
                 dxx += dx * dx
                 dyy += dy * dy
                 dxy += dx * dy
-        n = 64.0
+        n = 32.0  # 2*box_area normalization of the raw-difference form
         dxx, dyy, dxy = dxx / n, dyy / n, dxy / n
         tr = dxx + dyy
         det = dxx * dyy - dxy * dxy

@@ -92,3 +92,27 @@ def test_log_near_pi():
             R2 = so3.exp(jnp.asarray(w2))
             np.testing.assert_allclose(np.asarray(R2), np.asarray(R),
                                        atol=5e-4)
+
+
+def test_numpy_logging_twins_match_jnp():
+    """logging_util re-implements quaternion/euler conversions in scalar
+    numpy for the Log/ output surface; they must agree with the tested
+    jnp versions (review r5: only the jnp twins were exercised)."""
+    import numpy as np
+
+    from fastlivo_tpu.logging_util import _euler_deg, rot_to_quat_xyzw
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        w = rng.normal(size=3)
+        R = np.asarray(so3.exp(jnp.asarray(w)))
+        q_np = np.asarray(rot_to_quat_xyzw(R))  # [x,y,z,w]
+        q_j = np.asarray(so3.quat_from_rot(jnp.asarray(R)))  # [x,y,z,w]
+        # quaternions are sign-ambiguous
+        if np.dot(q_np, q_j) < 0:
+            q_np = -q_np
+        np.testing.assert_allclose(q_np, q_j, atol=1e-6)
+        # _euler_deg scales by the reference's literal 57.3 (NOT 180/pi)
+        e_np = np.asarray(_euler_deg(R))
+        e_j = 57.3 * np.asarray(so3.rot_to_euler(jnp.asarray(R)))
+        np.testing.assert_allclose(e_np, e_j, atol=1e-5)
