@@ -245,7 +245,9 @@ def decode_compressed_image(data: bytes) -> dict:
     fmt = r.string()
     raw = r.bytes_()
     img = np.asarray(PILImage.open(_io.BytesIO(raw)))
-    if img.ndim == 3 and "jpeg" in fmt.lower() or img.ndim == 3:
+    if img.ndim == 3:
+        if img.shape[2] == 4:
+            img = img[..., :3]  # drop alpha BEFORE the channel flip
         img = img[..., ::-1]  # PIL gives RGB; reference expects BGR
     return {"stamp": stamp, "image": img, "format": fmt}
 
@@ -277,6 +279,7 @@ def read_bag(
     except (ValueError, OSError):  # empty file or mmap-less fs
         data = f.read()
     if not data[: len(MAGIC)] == MAGIC:
+        f.close()
         raise ValueError(f"{path}: not a rosbag v2.0 file")
     conns: dict[int, tuple[str, str]] = {}  # conn id -> (topic, type)
 
@@ -297,20 +300,27 @@ def read_bag(
             if dec is not None:
                 yield topic, mtype, secs + nsecs * 1e-9, dec(rec)
 
-    for hdr, rec in _records(data, len(MAGIC)):
-        op = hdr["op"][0]
-        if op == OP_CHUNK:
-            comp = hdr.get("compression", b"none").decode()
-            if comp == "none":
-                block = rec
-            elif comp == "bz2":
-                block = bz2.decompress(rec)
-            elif comp == "lz4":
-                block = lz4.decompress_frame(rec)
+    try:
+        for hdr, rec in _records(data, len(MAGIC)):
+            op = hdr["op"][0]
+            if op == OP_CHUNK:
+                comp = hdr.get("compression", b"none").decode()
+                if comp == "none":
+                    block = rec
+                elif comp == "bz2":
+                    block = bz2.decompress(rec)
+                elif comp == "lz4":
+                    block = lz4.decompress_frame(rec)
+                else:
+                    raise NotImplementedError(f"chunk compression {comp!r}")
+                for h2, r2 in _records(block):
+                    yield from handle_record(h2, r2)
             else:
-                raise NotImplementedError(f"chunk compression {comp!r}")
-            for h2, r2 in _records(block):
-                yield from handle_record(h2, r2)
-        else:
-            # unchunked bags store connection/message records at top level
-            yield from handle_record(hdr, rec)
+                # unchunked bags store conn/message records at top level
+                yield from handle_record(hdr, rec)
+    finally:
+        # release the mapping + fd even when the caller abandons the
+        # generator early (--max-frames break; review r5)
+        if isinstance(data, mmap.mmap):
+            data.close()
+        f.close()

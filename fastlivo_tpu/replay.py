@@ -251,9 +251,11 @@ class BlockReplayer:
                 # posterior rows no longer describe it
                 self._last_po_pos = self._last_po_bias = None
                 continue
+            from .pipeline import INIT_TIME
+
             ekf_inited = (
                 p.first_lidar_time is not None
-                and g.scan.beg_time - p.first_lidar_time >= 0.5
+                and g.scan.beg_time - p.first_lidar_time >= INIT_TIME
             )
             if not ekf_inited:
                 if pending:
@@ -310,10 +312,12 @@ class BlockReplayer:
         p.state = st
         p.map = m2
         p.acc_s_last, p.angvel_last = acc_f, ang_f
-        wall = _time.perf_counter() - t0
         K = len(groups)
-        # ONE packed read for the whole block's summaries
+        # ONE packed read for the whole block's summaries — the read IS
+        # the block's dominant cost, so `wall` is taken after it
+        # (review r5: timings used to exclude the device round trip)
         u = _unpack_summary(np.asarray(ys))
+        wall = _time.perf_counter() - t0
         pre_R, pre_p, pre_v = u["pre_R"], u["pre_p"], u["pre_v"]
         po_R, po_p, po_v = u["po_R"], u["po_p"], u["po_v"]
         po_bg, po_ba, po_gv = u["po_bg"], u["po_ba"], u["po_gv"]
@@ -321,6 +325,13 @@ class BlockReplayer:
         res_rms = u["tail"][:, 2]
         p._map_occ_host = float(u["tail"][-1, 3])
         self._last_po_pos = po_p[-1]
+        # keep the PIPELINE's slider input fresh too: _process_group's
+        # local-map tracker reads p._last_post (pack24 layout) — stale
+        # after a long block replay it could delete map regions around
+        # the CURRENT pose on a later spin() (review r5)
+        p._last_post = np.concatenate([
+            po_R[-1].reshape(9), po_p[-1], po_v[-1],
+            po_bg[-1], po_ba[-1], po_gv[-1]])
         if p.logger is not None:
             if self._last_po_bias is not None:
                 bg0, ba0, gv0 = self._last_po_bias

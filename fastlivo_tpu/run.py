@@ -106,6 +106,7 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
     if block:
         replayer = _make_replayer(pipe, block, block_scan)
     n_frames = 0
+    n_scans = 0  # block mode: cap INGESTION (spin never runs there)
     t_wall0 = time.perf_counter()
     t_bag0 = None
     for topic, mtype, stamp, msg in read_bag(bag_path, topics):
@@ -123,6 +124,7 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
             pts, t_rel = pp.decode(fields, cfg.preprocess)
             if len(pts) > 1:
                 pipe.push_lidar(msg["stamp"], pts, t_rel)
+                n_scans += 1
         elif topic in img_topics:
             if img_topic_locked is None:
                 img_topic_locked = topic
@@ -133,7 +135,12 @@ def run_bag(pipe: Pipeline, bag_path: str, max_frames: int | None,
                 pipe.push_img(msg["stamp"] + cfg.delta_time, img)
         if replayer is None:
             n_frames += len(pipe.spin())
-        if max_frames and n_frames >= max_frames:
+        if max_frames and (n_frames >= max_frames
+                           or (replayer is not None
+                               and n_scans >= max_frames)):
+            # block mode produces outputs only at replayer.run(), so the
+            # cap applies to ingested scans there (review r5: the old
+            # check could never fire with --block)
             break
     if replayer is not None:
         before = len(pipe.outputs)

@@ -24,6 +24,7 @@ import json
 import socket
 import struct
 import threading
+from collections import deque
 
 import numpy as np
 
@@ -72,6 +73,67 @@ def encode_flush() -> bytes:
     return struct.pack("<I", 1) + struct.pack("<B", FLUSH)
 
 
+class _Sender:
+    """Per-connection outbound queue + sender thread.
+
+    Broadcasts APPEND (non-blocking) and the thread drains with
+    blocking sendall — a stalled consumer fills only its own bounded
+    queue and gets dropped, instead of wedging every connection behind
+    one global send lock (review r5). Also serializes ALL writes to
+    one socket (broadcast + direct replies), so lines cannot
+    interleave."""
+
+    MAX_QUEUE = 4096  # lines; ~0.5 MB of odometry backlog
+
+    def __init__(self, conn):
+        self.conn = conn
+        self._q = deque()
+        self._cv = threading.Condition()
+        self.dead = False       # hard drop (stalled/broken consumer)
+        self.closing = False    # graceful: drain queued lines, then stop
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def send(self, data: bytes) -> None:
+        with self._cv:
+            if self.dead:
+                return
+            if len(self._q) >= self.MAX_QUEUE:
+                # consumer stopped reading: drop it rather than block
+                self.dead = True
+                self._q.clear()
+            else:
+                self._q.append(data)
+            self._cv.notify()
+
+    def close(self) -> None:
+        """Graceful shutdown: queued replies (e.g. the bad-length error
+        line) drain before the socket closes — a hard stop raced the
+        reply with conn.close() and the client never saw it."""
+        with self._cv:
+            self.closing = True
+            self._cv.notify()
+        self._thread.join(2.0)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._q and not (self.dead or self.closing):
+                    self._cv.wait()
+                if not self._q:
+                    return  # dead or closing, queue drained
+                if self.dead:
+                    return  # hard drop: pending data discarded
+                data = self._q.popleft()
+            try:
+                self.conn.sendall(data)
+            except OSError:
+                with self._cv:
+                    self.dead = True
+                    self._q.clear()
+                return
+
+
 class Server:
     """Multi-connection server driving one Pipeline instance.
 
@@ -101,12 +163,10 @@ class Server:
         self.address = self.sock.getsockname()
         self._thread = None
         self._done = threading.Event()
-        self._conns: list = []  # live connections (broadcast targets)
+        self._conns: list = []  # live connections (reader bookkeeping)
+        self._senders: dict = {}  # conn -> _Sender (broadcast targets)
         self._conns_lock = threading.Lock()
         self._pipe_lock = threading.Lock()  # serializes estimation
-        # serializes outbound writes: concurrent sendall from two reader
-        # threads could interleave partial JSON lines on one socket
-        self._send_lock = threading.Lock()
         self._n_ever = 0
 
     def serve_forever(self):
@@ -125,6 +185,7 @@ class Server:
                 self._n_ever += 1
                 with self._conns_lock:
                     self._conns.append(conn)
+                    self._senders[conn] = _Sender(conn)
                 threading.Thread(target=self._reader, args=(conn,),
                                  daemon=True).start()
         finally:
@@ -138,22 +199,28 @@ class Server:
             with self._conns_lock:
                 if conn in self._conns:
                     self._conns.remove(conn)
+                s = self._senders.pop(conn, None)
+            if s is not None:
+                s.close()
             try:
                 conn.close()
             except OSError:
                 pass
 
     def _broadcast(self, data: bytes):
+        """Non-blocking: append to every connection's sender queue."""
         with self._conns_lock:
-            conns = list(self._conns)
-        with self._send_lock:
-            for c in conns:
-                try:
-                    c.sendall(data)
-                except OSError:
-                    with self._conns_lock:
-                        if c in self._conns:
-                            self._conns.remove(c)
+            senders = list(self._senders.values())
+        for s in senders:
+            s.send(data)
+
+    def _send_to(self, conn, data: bytes):
+        """Direct reply to one connection, through its sender queue (so
+        replies never interleave with a concurrent broadcast)."""
+        with self._conns_lock:
+            s = self._senders.get(conn)
+        if s is not None:
+            s.send(data)
 
     def start_background(self):
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
@@ -171,7 +238,7 @@ class Server:
                 break
             (n,) = struct.unpack("<I", hdr)
             if n == 0 or n > MAX_MSG:
-                conn.sendall(b'{"error": "bad message length"}\n')
+                self._send_to(conn, b'{"error": "bad message length"}\n')
                 break
             payload = _recv_exact(conn, n)
             if payload is None:
@@ -208,21 +275,23 @@ class Server:
                     # resolve any deferred frame (async_read mode) so a
                     # flush is a true barrier
                     outs = outs + pipe.finish()
-            for out in outs:
-                line = json.dumps({
-                    "t": out.t,
-                    "pos": [float(v) for v in out.pos],
-                    "quat": [float(v) for v in out.quat],
-                    "n_active": out.n_active,
-                    # online filter health: posterior point-to-plane
-                    # residual RMS (rises on degeneracy/divergence)
-                    "res_rms": round(out.res_rms, 6),
-                }) + "\n"
-                # pub/sub: every connection gets the odometry stream
-                self._broadcast(line.encode())
+                # broadcast INSIDE the pipe lock: queue appends are
+                # non-blocking, and this guarantees globally in-order
+                # odometry lines across publisher threads (review r5)
+                for out in outs:
+                    line = json.dumps({
+                        "t": out.t,
+                        "pos": [float(v) for v in out.pos],
+                        "quat": [float(v) for v in out.quat],
+                        "n_active": out.n_active,
+                        # online filter health: posterior point-to-plane
+                        # residual RMS (degeneracy/divergence signal)
+                        "res_rms": round(out.res_rms, 6),
+                    }) + "\n"
+                    # pub/sub: every connection gets the odometry line
+                    self._broadcast(line.encode())
             if kind == FLUSH:
-                with self._send_lock:
-                    conn.sendall(b'{"flushed": true}\n')
+                self._send_to(conn, b'{"flushed": true}\n')
 
 
 def main(argv=None):
@@ -276,6 +345,11 @@ def main(argv=None):
         mesh = make_mesh(args.mesh)
     elif args.sharded_map:
         ap.error("--sharded-map requires --mesh N")
+    if args.block_read and args.log_dir:
+        # enforce the documented incompatibility at ARGPARSE time
+        # instead of an uncaught ValueError after the socket is bound
+        ap.error("--block-read is incompatible with --log-dir "
+                 "(per-frame trace logging needs per-frame reads)")
     srv = Server(cfg, addr, log_dir=args.log_dir, mesh=mesh,
                  sharded_map=args.sharded_map)
     if args.async_read:
