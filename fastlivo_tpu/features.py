@@ -88,7 +88,11 @@ def _plane_judge(pl, rng, dista, blind, i_cur, is_avia):
         if len(lw):
             leng_wid = float(np.max(lw))
 
-    if leng_wid == 0.0 or (two_dis * two_dis / leng_wid) < P2L_RATIO:
+    # the reference divides by zero for exactly-collinear groups:
+    # two_dis^2 / 0 = inf >= P2L_RATIO, so such groups PROCEED to the
+    # plane classification (preprocess.cpp:848) — an early return-0
+    # guard here inverted that (review r5)
+    if leng_wid > 0.0 and (two_dis * two_dis / leng_wid) < P2L_RATIO:
         return 0, i_nex, np.zeros(3)
 
     disarr_s = sorted(disarr, reverse=True)

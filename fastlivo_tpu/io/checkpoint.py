@@ -44,6 +44,12 @@ def save(path: str | Path, state: NavState, m,
 
 def load(path: str | Path):
     """Returns (NavState, map (any backend), VisualMap | None)."""
+    path = Path(path)
+    if not path.exists() and path.suffix != ".npz":
+        # np.savez appends .npz when missing; accept the same path the
+        # save() caller passed (review r5: save('warm') wrote warm.npz
+        # but load('warm') raised FileNotFoundError)
+        path = path.with_suffix(path.suffix + ".npz")
     z = np.load(path)
     state = NavState(**{
         k.split("/", 1)[1]: jnp.asarray(z[k])

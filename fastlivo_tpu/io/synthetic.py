@@ -162,6 +162,12 @@ class SyntheticDataset:
     points_per_scan: int = 8192
     cam_size: Tuple[int, int] = (320, 256)  # (W, H)
     cam_f: float = 200.0
+    # fy / principal point; None = fx / image center. run_synthetic
+    # passes the CONFIG intrinsics — rendering with a centered pp while
+    # the solver projects with the config's (cx, cy) put a constant
+    # pixel offset between images and model (review r5)
+    cam_fy: float | None = None
+    cam_c: Tuple[float, float] | None = None
     cam_d: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(4)
     )  # radtan [k1, k2, p1, p2]; rendering honors it
@@ -201,24 +207,6 @@ class SyntheticDataset:
         rot, pos = self.traj.pose(t)
         return rot @ self.lid_rot, rot @ self.lid_off + pos
 
-    def lidar_scans(self):
-        """[(beg_time, pts_body (N,3), t_rel (N,)), ...]"""
-        out = []
-        period = 1.0 / self.lidar_hz
-        n = int(self.duration * self.lidar_hz)
-        for i in range(n):
-            beg = i * period
-            t_rel = np.sort(self.rng.uniform(0, period * 0.99, self.points_per_scan))
-            w = self.room.sample_surface(self.points_per_scan, self.rng)
-            pts = np.empty_like(w)
-            # exact per-point pose (vectorized in coarse time bins)
-            for j in range(self.points_per_scan):
-                R_wl, t_wl = self.lidar_pose(beg + t_rel[j])
-                pts[j] = R_wl.T @ (w[j] - t_wl)
-            if self.lidar_noise:
-                pts += self.rng.normal(0, self.lidar_noise, pts.shape)
-            out.append((beg, pts, t_rel))
-        return out
 
     def lidar_scans_fast(self, pose_bins: int = 32):
         """Like lidar_scans but with pose interpolation on a per-scan time
@@ -274,9 +262,11 @@ class SyntheticDataset:
         (each pixel's ray comes from the undistorted normalized coords)."""
         W, H = self.cam_size
         f = self.cam_f
-        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+        fy = self.cam_f if self.cam_fy is None else self.cam_fy
+        cx, cy = (self.cam_c if self.cam_c is not None
+                  else ((W - 1) / 2.0, (H - 1) / 2.0))
         u, v = np.meshgrid(np.arange(W), np.arange(H))
-        xd = np.stack([(u - cx) / f, (v - cy) / f], -1).reshape(-1, 2)
+        xd = np.stack([(u - cx) / f, (v - cy) / fy], -1).reshape(-1, 2)
         if np.any(np.abs(self.cam_d) > 1e-12):
             xn = self._undistort_np(xd)
         else:
@@ -310,20 +300,8 @@ class SyntheticDataset:
 
 
 def _rot_to_quat(R: np.ndarray) -> np.ndarray:
-    """Rotation matrix -> quaternion [w, x, y, z]."""
-    t = np.trace(R)
-    if t > 0:
-        s = np.sqrt(t + 1.0) * 2
-        return np.array(
-            [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
-             (R[1, 0] - R[0, 1]) / s]
-        )
-    i = int(np.argmax(np.diag(R)))
-    j, k = (i + 1) % 3, (i + 2) % 3
-    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
-    q = np.empty(4)
-    q[0] = (R[k, j] - R[j, k]) / s
-    q[1 + i] = 0.25 * s
-    q[1 + j] = (R[j, i] + R[i, j]) / s
-    q[1 + k] = (R[k, i] + R[i, k]) / s
-    return q
+    """[w, x, y, z] — delegates to the shared logging_util converter
+    (was a third parallel implementation; review r5)."""
+    from ..logging_util import rot_to_quat_wxyz
+
+    return rot_to_quat_wxyz(np.asarray(R, np.float64))

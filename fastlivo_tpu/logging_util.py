@@ -33,6 +33,15 @@ def _euler_deg(R: np.ndarray) -> np.ndarray:
     return np.asarray(e) * 57.3
 
 
+def rot_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion [w, x, y, z] (the FrameOutput /
+    odometry convention). One shared host-side implementation — the
+    runtime used to import a private twin from io/synthetic (review
+    r5: three parallel converters)."""
+    x, y, z, w = rot_to_quat_xyzw(R)
+    return np.array([w, x, y, z])
+
+
 def rot_to_quat_xyzw(R: np.ndarray) -> np.ndarray:
     """Rotation matrix -> quaternion [x, y, z, w] (Eigen::Quaterniond
     constructor convention used by the fout_tum writer,

@@ -113,8 +113,9 @@ def sharded_scan_step(
     -> undistortion (sharded rows) -> iterated EKF (sharded rows, psum
     reductions) -> map insertion (all-gather + replicated scatter).
 
-    This is the function `__graft_entry__.dryrun_multichip` compiles over
-    an N-device mesh."""
+    Library building block, exercised by tests/test_sharded.py; the
+    PRODUCT multichip path (and __graft_entry__.dryrun_multichip) runs
+    parallel/product.MeshRunner through Pipeline(cfg, mesh=...)."""
 
     def step(state, m, acc_avg, gyr_avg, dt, offs, pair_valid, tail_dt,
              acc_s_last, angvel_last, pts_body, t_rel, pmask):
@@ -129,10 +130,17 @@ def sharded_scan_step(
             knn_radius=knn_radius, max_probe=max_probe, axis_name=axis,
             plane_fit=plane_fit,
         )
-        # map insert: replicated scatter of the all-gathered world batch
+        # map insert: replicated scatter of the all-gathered world
+        # batch, dispatched by backend (the hash backend takes the SAME
+        # max_probe as the search — a deeper insert than search probes
+        # would hide points from subsequent kNN)
         world = jax.lax.all_gather(res.pts_world, axis, tiled=True)
         wmask = jax.lax.all_gather(pmask, axis, tiled=True)
-        m2 = vm.insert(m, world, wmask)
+        mod = lio_mod.map_module(m)
+        if mod is vm:
+            m2 = vm.insert(m, world, wmask, max_probe=max_probe)
+        else:
+            m2 = mod.insert(m, world, wmask)
         return res.state, m2, res.n_active, acc_l, ang_l
 
     rep = P()

@@ -818,7 +818,7 @@ class Pipeline:
         # forever (tests/test_sync_points.py memory-boundedness guard)
         rot_np = np.array(post_pack[0:9]).reshape(3, 3)
         pos_np = np.array(post_pack[9:12])
-        from .io.synthetic import _rot_to_quat
+        from .logging_util import rot_to_quat_wxyz as _rot_to_quat
 
         quat = _rot_to_quat(rot_np)
         out = FrameOutput(

@@ -275,7 +275,7 @@ class BlockReplayer:
     def _flush(self, groups):
         import time as _time
 
-        from .io.synthetic import _rot_to_quat
+        from .logging_util import rot_to_quat_wxyz as _rot_to_quat
         from .pipeline import FrameOutput
 
         p = self.pipe

@@ -162,6 +162,8 @@ def run_synthetic(pipe: Pipeline, duration: float, with_cam: bool,
         cam_hz=10.0 if with_cam else 0.0,
         cam_size=(cam.width, cam.height),
         cam_f=cam.fx,
+        cam_fy=cam.fy,
+        cam_c=(cam.cx, cam.cy),
         cam_d=np.asarray(cam.d[:4]),
         Rcl=pipe.cfg.Rcl_mat,
         Pcl=pipe.cfg.Pcl_vec,

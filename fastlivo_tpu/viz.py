@@ -93,6 +93,22 @@ class LiveViewer:
     def update(self, out) -> Optional[Path]:
         """Per-frame hook (`out` is a pipeline FrameOutput). Returns the
         written PNG path when this frame rendered, else None."""
+        rgb = None
+        inten_attr = getattr(out, "intensity", None)  # duck-typed hooks
+        if out.pts_world is not None and inten_attr is not None:
+            # LIO mode: grayscale intensity cloud, matching the offline
+            # PCD surface (the live view used to fall back to the
+            # height colormap while playback showed intensity)
+            inten = np.asarray(inten_attr, np.float64)
+            n = min(len(inten), len(out.pts_world))
+            g = np.clip(inten[:n], 0.0, 255.0)
+            if g.size and g.max() <= 1.5:  # normalized intensities
+                g = g * 255.0
+            rgb = np.repeat(g[:, None], 3, axis=1)
+            self.add_cloud(out.pts_world[:n], rgb=rgb)
+            return self._step(out.t, np.asarray(out.pos)[:3],
+                              stats=f"t={out.t:.2f}s  iters={out.iters}  "
+                                    f"pts={out.n_points}")
         self.add_cloud(out.pts_world)
         return self._step(out.t, np.asarray(out.pos)[:3],
                           stats=f"t={out.t:.2f}s  iters={out.iters}  "

@@ -192,7 +192,9 @@ static int plane_judge(const double *pl, const double *rng,
     if (lw > leng_wid) leng_wid = lw;
   }
   *i_nex_out = i_nex;
-  if (leng_wid == 0.0 || (two_dis * two_dis / leng_wid) < P2L_RATIO) {
+  // reference semantics: two_dis^2 / 0 = inf >= P2L_RATIO, so exactly
+  // collinear groups PROCEED to classification (preprocess.cpp:848)
+  if (leng_wid > 0.0 && (two_dis * two_dis / leng_wid) < P2L_RATIO) {
     dir_out[0] = dir_out[1] = dir_out[2] = 0.0;
     return 0;
   }

@@ -57,6 +57,8 @@ def main():
         cam_hz=0.0 if mode.startswith("lio") else 10.0,
         cam_size=(cam.width, cam.height),
         cam_f=cam.fx,
+        cam_fy=cam.fy,
+        cam_c=(cam.cx, cam.cy),
         cam_d=np.asarray(cam.d[:4]),
         Rcl=cfg.Rcl_mat,
         Pcl=cfg.Pcl_vec,
