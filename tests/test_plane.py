@@ -42,7 +42,22 @@ def test_residuals_zero_on_plane():
 
 
 def test_noisy_plane_rejected():
-    pts = _plane_points(8, [0.2, 0.9, 0.1], d=1.0, noise=0.5)
+    # DETERMINISTIC violation (the old noise=0.5 draw depended on the
+    # shared module RNG's state, i.e. on test order under xdist, and a
+    # lucky draw could fit inside the gate — the TLS plane can TILT
+    # into small-spread sets): four wide corners on the plane plus the
+    # CENTROID point lifted 0.5 m along the normal. Tilting about the
+    # centroid cannot reduce the centroid residual, so the best fit
+    # leaves >=0.25 m somewhere and the 0.1 gate must reject.
+    normal = np.asarray([0.2, 0.9, 0.1])
+    normal = normal / np.linalg.norm(normal)
+    a = np.array([1.0, 0, 0])
+    u = np.cross(normal, a); u /= np.linalg.norm(u)
+    v = np.cross(normal, u)
+    uv = np.array([[2, 2], [2, -2], [-2, 2], [-2, -2], [0, 0]], float)
+    base = uv[:, :1] * u + uv[:, 1:] * v - 1.0 * normal
+    base[4] += 0.5 * normal
+    pts = np.tile(base[None], (8, 1, 1)).astype(np.float32)
     _, ok = plane.fit_plane(jnp.asarray(pts), threshold=0.1)
     assert not np.any(np.asarray(ok))
 
