@@ -523,29 +523,29 @@ WATCHDOG_S = 520
 # Most recent COMPLETED bench.py run, used ONLY by the stale-fallback
 # path below when the relay stalls the live run. The producing capture
 # is committed verbatim at
-# docs/bench_captures/2026-08-20_r05_donate_full.json (all sections
+# docs/bench_captures/2026-08-20_r05_final.json (all sections
 # live with the shipped donate_maps default, floor 0.088 ms; relay
 # throughput varies ~25-80 M pts/s between sessions).
 LAST_KNOWN = {
     "schema": 2,
     "metric": "lidar_streamed_points_per_sec",
-    "value": 64240856.2,
+    "value": 86372758.7,
     "unit": "points/s",
-    "vs_baseline": 751.36,
-    "points_per_sec_sync": 20679061.8,
-    "vs_baseline_sync": 241.86,
+    "vs_baseline": 1010.21,
+    "points_per_sec_sync": 23127506.8,
+    "vs_baseline_sync": 270.5,
     "baseline_points_per_sec": 85500.0,
-    "dispatch_overhead_ms": 0.088,
-    "points_per_sec_net": 23278596.5,
-    "vs_baseline_net": 272.26,
-    "vio_pixels_per_sec_streamed": 4145235023.0,
-    "vio_pixels_per_sec_sync": 2229351625.8,
+    "dispatch_overhead_ms": 0.083,
+    "points_per_sec_net": 26203666.8,
+    "vs_baseline_net": 306.48,
+    "vio_pixels_per_sec_streamed": 5108298825.9,
+    "vio_pixels_per_sec_sync": 2420512016.0,
     "vio_baseline_pixels_per_sec": 36800000.0,
-    "vio_vs_baseline": 112.64,
-    "vio_vs_baseline_sync": 60.58,
-    "interactive_ms_per_frame": 30.5,
-    "livo_pair_ms_block": 76.6,
-    "htj_nnz_per_sec": 366530471.1,
+    "vio_vs_baseline": 138.81,
+    "vio_vs_baseline_sync": 65.77,
+    "interactive_ms_per_frame": 30.4,
+    "livo_pair_ms_block": 75.7,
+    "htj_nnz_per_sec": 492805510.5,
 }
 
 
