@@ -97,9 +97,9 @@ def available(log_dir: Path = REFERENCE_LOG_DIR) -> bool:
 
 
 def load(log_dir: Path = REFERENCE_LOG_DIR) -> GoldenTraces:
-    pre = np.loadtxt(log_dir / "mat_pre.txt", dtype=np.float64)
-    out = np.loadtxt(log_dir / "mat_out.txt", dtype=np.float64)
-    imu = np.loadtxt(log_dir / "imu.txt", dtype=np.float64)
+    pre = np.loadtxt(log_dir / "mat_pre.txt", dtype=np.float64, ndmin=2)
+    out = np.loadtxt(log_dir / "mat_out.txt", dtype=np.float64, ndmin=2)
+    imu = np.loadtxt(log_dir / "imu.txt", dtype=np.float64, ndmin=2)
     if pre.shape[1] != 19 or out.shape[1] != 20 or imu.shape[1] != 7:
         raise ValueError(
             f"unexpected trace shapes: pre {pre.shape}, out {out.shape}, imu {imu.shape}"

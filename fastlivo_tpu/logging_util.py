@@ -23,14 +23,12 @@ import numpy as np
 def _euler_deg(R: np.ndarray) -> np.ndarray:
     """RotMtoEuler (so3_math.h:83-103) scaled by the reference's literal
     57.3 (laserMapping.cpp:1449 writes euler*57.3, NOT 180/pi) so our
-    Log/ files are bit-compatible with its plot/eval tooling."""
-    sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
-    if sy > 1e-6:
-        e = [np.arctan2(R[2, 1], R[2, 2]), np.arctan2(-R[2, 0], sy),
-             np.arctan2(R[1, 0], R[0, 0])]
-    else:
-        e = [np.arctan2(-R[1, 2], R[1, 1]), np.arctan2(-R[2, 0], sy), 0.0]
-    return np.asarray(e) * 57.3
+    Log/ files are bit-compatible with its plot/eval tooling. Delegates
+    to the golden PARSER's implementation so the writer and the reader
+    that validates it cannot desynchronize (review r5)."""
+    from .io.golden import EULER_SCALE, rot_to_euler
+
+    return rot_to_euler(np.asarray(R, np.float64)[None])[0] * EULER_SCALE
 
 
 def rot_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
@@ -76,7 +74,7 @@ class TraceLogger:
         self._imu = open(self.dir / "imu.txt", "w")
         self._tum = None  # camera_pose.txt, opened on first use
 
-    def _row(self, f, t, state):
+    def _row(self, f, t, state, extra=()):
         # `state` is either a NavState or the packed 24-vector from
         # state.pack24_host (one transfer instead of six per row)
         if isinstance(state, np.ndarray):
@@ -93,14 +91,18 @@ class TraceLogger:
                     np.asarray(state.grav, np.float64),
                 ]
             )
-        row = np.concatenate([_euler_deg(R), rest])
+        row = np.concatenate([_euler_deg(R), rest, extra])
         f.write("%20.8f " % t + " ".join("%.8f" % v for v in row) + "\n")
 
     def log_pre(self, t, state):
         self._row(self._pre, t, state)
 
-    def log_post(self, t, state):
-        self._row(self._out, t, state)
+    def log_post(self, t, state, n_points: int = 0):
+        """mat_out row: the 19 state columns plus the reference's
+        trailing feats_undistort count (laserMapping.cpp:1810-1815
+        appends `feats_undistort->points.size()` — the golden reader
+        requires the 20-column shape)."""
+        self._row(self._out, t, state, extra=[float(n_points)])
 
     def log_imu(self, t, acc, gyr):
         vals = list(np.asarray(gyr, np.float64)) + list(np.asarray(acc, np.float64))
@@ -109,7 +111,7 @@ class TraceLogger:
     def log_pos(self, t: float, state):
         """pos_log.txt row (dump_lio_state_to_log, laserMapping.cpp:
         226-256: t, SO3-log angle, pos, omega=0, vel, acc=0, bg, ba,
-        gravity — 22 columns; the reference's call site is commented out
+        gravity — 25 columns (t + 8 groups of 3); the reference's call site is commented out
         but the format is part of its Log/ surface)."""
         if not hasattr(self, "_pos") or self._pos is None:
             self._pos = open(self.dir / "pos_log.txt", "w")
@@ -163,7 +165,7 @@ def write_tum(path: str | Path, rows: np.ndarray):
 
 
 def load_tum(path: str | Path) -> np.ndarray:
-    return np.loadtxt(path).reshape(-1, 8)
+    return np.loadtxt(path, ndmin=2).reshape(-1, 8)
 
 
 def ate_rmse(est: np.ndarray, gt: np.ndarray, assoc_tol: float = 0.02):
@@ -189,8 +191,8 @@ def plot_traces(log_dir: str | Path, out_png: Optional[str | Path] = None):
     import matplotlib.pyplot as plt
 
     d = Path(log_dir)
-    pre = np.loadtxt(d / "mat_pre.txt")
-    post = np.loadtxt(d / "mat_out.txt")
+    pre = np.loadtxt(d / "mat_pre.txt", ndmin=2)
+    post = np.loadtxt(d / "mat_out.txt", ndmin=2)
     lab = ["att(deg)", "pos(m)", "vel(m/s)", "bg", "ba", "grav"]
     fig, axs = plt.subplots(3, 2, figsize=(14, 10))
     for blk in range(6):

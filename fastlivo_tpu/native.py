@@ -101,6 +101,11 @@ def voxel_downsample_native(pts: np.ndarray, leaf: float,
         return None
     pts = np.ascontiguousarray(pts, np.float32)
     n, cols = pts.shape
+    if cols > 8:
+        # the kernel accumulates at most 8 columns (sum[8]); wider rows
+        # would return uninitialized memory in the extra columns —
+        # fall back to the numpy path, which averages ALL columns
+        return None
     cap = n if max_out is None else max(n, max_out)
     out = np.empty((cap, cols), np.float32)
     m = lib.voxel_downsample_f32(

@@ -67,14 +67,20 @@ def _cell_check(m: DenseMap, keys: jnp.ndarray):
     return flat.astype(jnp.int32), check
 
 
-@jax.jit
-def insert(m: DenseMap, pts: jnp.ndarray, valid: jnp.ndarray) -> DenseMap:
+@functools.partial(jax.jit, static_argnames=("max_probe",))
+def insert(m: DenseMap, pts: jnp.ndarray, valid: jnp.ndarray,
+           max_probe: int = 0) -> DenseMap:
     """Insert-with-downsample (ikd_Tree.cpp:391-417 semantics): per
     voxel keep the point nearest the voxel center among batch + stored.
     An aliased occupant (different voxel, same wrapped cell) is evicted.
 
     No sort needed: the in-batch winner per cell is resolved with one
-    packed scatter-min."""
+    packed scatter-min. `max_probe` accepted (ignored) for backend API
+    parity with the hash map."""
+    assert pts.shape[0] < (1 << 24), (
+        "dense insert packs the batch row into 24 bits; split batches "
+        f"of {pts.shape[0]} rows"
+    )
     G = m.check.shape[0]
     vs = m.voxel_size
     keys = voxel_of(pts, vs)

@@ -103,7 +103,7 @@ def _dir_of(m: TiledMap, tkey: jnp.ndarray):
     return flat.astype(jnp.int32), check
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("max_probe",))
 def insert(m: TiledMap, pts: jnp.ndarray, valid: jnp.ndarray,
            max_probe: int = 0) -> TiledMap:
     """Insert-with-downsample (ikd_Tree.cpp:391-417 semantics).

@@ -809,7 +809,8 @@ class Pipeline:
         path and the deferred-readback resolution (`_resolve_pending`)."""
         self._last_post = post_pack  # feeds next frame's map slider
         if self.logger is not None:
-            self.logger.log_post(scan.end_time, post_pack)
+            self.logger.log_post(scan.end_time, post_pack,
+                                 n_points=len(scan.pts))
             self.logger.log_pos(scan.beg_time - (self.first_lidar_time or 0.0),
                                 post_pack)
         # COPY the pose slices: np.asarray of a device array is

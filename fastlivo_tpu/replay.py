@@ -352,7 +352,8 @@ class BlockReplayer:
                 post = NavState(po_R[k], po_p[k], po_v[k],
                                 po_bg[k], po_ba[k], po_gv[k], st.cov)
                 p.logger.log_pre(ts[k], pre)
-                p.logger.log_post(ts[k], post)
+                p.logger.log_post(ts[k], post,
+                                  n_points=len(groups[k].scan.pts))
             quat = _rot_to_quat(po_R[k].astype(np.float64))
             out = FrameOutput(
                 t=ts[k], pos=po_p[k].astype(np.float64), quat=quat,

@@ -223,7 +223,7 @@ def _load_pcd(path: str | Path):
 
 def playback(log_dir: str | Path, out_dir: str | Path, every: int = 10,
              pcd: str | Path | None = None) -> int:
-    """Replay pos_log.txt (22-col rows, logging_util.log_pos — the
+    """Replay pos_log.txt (25-col rows, logging_util.log_pos — the
     dump_lio_state_to_log format, laserMapping.cpp:226-256) into viewer
     frames; optional PCD world cloud as the static background. Returns
     the number of frames rendered."""

@@ -216,11 +216,8 @@ def test_own_traces_roundtrip_through_golden_parser(tmp_path):
         lg.log_post(0.1 * (k + 1), s)
         lg.log_imu(0.1 * k + 0.05, rng.normal(size=3), rng.normal(size=3))
     lg.close()
-    # mat_out lacks the feats count column in our logger; pad it so the
-    # strict golden reader accepts the file
-    rows = np.loadtxt(tmp_path / "mat_out.txt")
-    np.savetxt(tmp_path / "mat_out.txt",
-               np.hstack([rows, np.zeros((len(rows), 1))]))
+    # the logger now writes the reference's trailing feats count
+    # itself (laserMapping.cpp:1810-1815) — no padding needed
     tr = golden.load(tmp_path)
     assert len(tr.pre_t) == 5
     for k, s in enumerate(states):

@@ -63,7 +63,8 @@ def test_state_traces_written(logged_livo):
     log_dir, pipe, outs = logged_livo
     pre = np.loadtxt(log_dir / "mat_pre.txt")
     post = np.loadtxt(log_dir / "mat_out.txt")
-    assert pre.shape[1] == 19 and post.shape[1] == 19
+    # mat_out carries the reference's trailing feats count (20 cols)
+    assert pre.shape[1] == 19 and post.shape[1] == 20
     # the map-bootstrap frame logs a prior but no posterior
     assert len(pre) >= len(post) >= len(outs)
 

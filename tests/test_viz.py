@@ -56,7 +56,7 @@ def test_rgb_cloud_roundtrip(tmp_path):
 
 
 def test_playback_from_pos_log(tmp_path):
-    # synthesize a 22-column pos_log.txt (logging_util.log_pos layout)
+    # synthesize a 25-column pos_log.txt (logging_util.log_pos layout)
     log = tmp_path / "Log"
     log.mkdir()
     rows = []
