@@ -96,7 +96,8 @@ def available(log_dir: Path = REFERENCE_LOG_DIR) -> bool:
     )
 
 
-def load(log_dir: Path = REFERENCE_LOG_DIR) -> GoldenTraces:
+def load(log_dir: str | Path = REFERENCE_LOG_DIR) -> GoldenTraces:
+    log_dir = Path(log_dir)
     pre = np.loadtxt(log_dir / "mat_pre.txt", dtype=np.float64, ndmin=2)
     out = np.loadtxt(log_dir / "mat_out.txt", dtype=np.float64, ndmin=2)
     imu = np.loadtxt(log_dir / "imu.txt", dtype=np.float64, ndmin=2)
