@@ -159,3 +159,21 @@ def test_block_read_rejects_per_frame_consumers(tmp_path):
     pipe.on_frame = lambda o: None
     with pytest.raises(ValueError):
         pipe.enable_block_read(2)
+
+
+@pytest.mark.slow
+def test_long_livo_soak_stays_consistent(livo_run):
+    """Long-horizon stability on the full LIVO pipeline: the health
+    signals must stay bounded over the whole run — res_rms (posterior
+    point-to-plane RMS) must not trend upward (filter divergence shows
+    here first) and the pose must stay inside the synthetic room."""
+    ds, pipe, outs = livo_run
+    assert len(outs) >= 40
+    rms = np.asarray([o.res_rms for o in outs if o.res_rms > 0])
+    assert len(rms) >= 30
+    first, last = rms[: len(rms) // 3], rms[-len(rms) // 3:]
+    assert np.median(last) < 3.0 * max(np.median(first), 0.01), (
+        np.median(first), np.median(last))
+    assert np.max(rms) < 1.0  # meters — sanity ceiling for the scene
+    pos = np.asarray([o.pos for o in outs])
+    assert np.all(np.abs(pos) < 50.0)  # never leaves the room's world
