@@ -741,3 +741,191 @@ def test_outlier_and_ncc_gates_reject_corrupted_cells(scene):
     assert n_rej >= 2, f"corruption rejected only {n_rej} cells — retune"
     # and clean cells far from the blob must still track
     assert valid.sum() >= 5
+
+
+# ---------------------------------------------------------------------------
+# distorted-camera scenario: the same chain through the radtan model
+# (the real camera_pinhole rig has nonzero distortion; everything above
+# ran d = 0)
+# ---------------------------------------------------------------------------
+
+D_COEF = np.array([-0.09, 0.06, 0.0005, -0.0004])
+
+
+def np_distort(xn):
+    x, y = xn[..., 0], xn[..., 1]
+    k1, k2, p1, p2 = D_COEF
+    r2 = x * x + y * y
+    rad = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return np.stack([xd, yd], -1)
+
+
+def np_undistort(xd, iters=8):
+    xn = xd.copy()
+    for _ in range(iters):
+        xn = xd - (np_distort(xn) - xn)
+    return xn
+
+
+def render_dist(rcw, pcw):
+    """Distorted render: each pixel's ray comes from the UNDISTORTED
+    normalized coords (matching io/synthetic's convention)."""
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    xd = np.stack([(u - CX) / F, (v - CY) / F], -1)
+    xn = np_undistort(xd)
+    d_cam = np.concatenate([xn, np.ones_like(xn[..., :1])], -1)
+    d_w = d_cam @ rcw
+    origin = -rcw.T @ pcw
+    t = (Z0 - origin[2]) / d_w[..., 2]
+    Xw = origin[None, None, :] + t[..., None] * d_w
+    return texture(Xw[..., 0], Xw[..., 1])
+
+
+def w2c_dist(c):
+    """(…,3) camera-frame -> distorted pixel."""
+    xn = c[..., :2] / c[..., 2:3]
+    xd = np_distort(xn)
+    return np.stack([F * xd[..., 0] + CX, F * xd[..., 1] + CY], -1)
+
+
+def c2w_dist(px):
+    xd = np.stack([(px[..., 0] - CX) / F, (px[..., 1] - CY) / F], -1)
+    xn = np_undistort(np.atleast_2d(xd))[0] if xd.ndim == 1 else np_undistort(xd)
+    b = np.concatenate([np.atleast_1d(xn).reshape(-1, 2),
+                        np.ones((np.atleast_2d(xn).shape[0], 1))], -1)
+    b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    return b[0] if px.ndim == 1 else b
+
+
+def test_select_tracked_distorted_camera_matches_model():
+    """select_tracked through the radtan camera: winners, gates, search
+    levels and warped patches must match a numpy transcription that
+    projects with the distorted model (depth map, per-cell winner,
+    close-view obs, warp matrix from distorted projections)."""
+    from fastlivo_tpu import visual_map as vmap_mod
+
+    cam = Camera(
+        fx=np.float32(F), fy=np.float32(F), cx=np.float32(CX),
+        cy=np.float32(CY), d=D_COEF.astype(np.float32), width=W, height=H,
+    )
+    pts, scores, extra = build_scene()
+    img0 = render_dist(*POSE0)
+    rcw2, pcw2 = POSE2
+    img2 = render_dist(rcw2, pcw2)
+
+    # visual map with ONE distorted-projection observation per point
+    vm = vmap_mod.empty_visual_map(
+        n_points=1 << 10, n_obs=4, table_size=1 << 12, voxel_cap=4,
+        ring=4, height=H, width=W, img_dtype=jnp.float32,
+    )
+    rcw0, pcw0 = POSE0
+    c0 = pts @ rcw0.T + pcw0
+    px0 = w2c_dist(c0)
+    vm = vmap_mod.push_image(vm, jnp.asarray(img0, jnp.float32),
+                             jnp.int32(0))
+    vm = vmap_mod.add_points(
+        vm, jnp.asarray(pts, jnp.float32), jnp.asarray(px0, jnp.float32),
+        jnp.asarray(rcw0, jnp.float32), jnp.asarray(pcw0, jnp.float32),
+        jnp.asarray(scores, jnp.float32), jnp.int32(0),
+        jnp.ones(len(pts), bool),
+    )
+    pg = np.concatenate([pts, extra], axis=0)
+    vox = np.unique(np.floor(pg / VOX).astype(np.int32), axis=0)
+
+    ts = vio_mod.select_tracked(
+        vm, cam, jnp.asarray(rcw2, jnp.float32),
+        jnp.asarray(pcw2, jnp.float32), jnp.asarray(img2, jnp.float32),
+        jnp.asarray(pg, jnp.float32), jnp.ones(len(pg), bool),
+        jnp.asarray(vox, jnp.int32), jnp.ones(len(vox), bool),
+        OUTLIER, NCC_THRE, GRID, PS, GW, GH, ncc_en=False,
+    )
+
+    # ---- numpy model with distorted projections -----------------------
+    model_obs = [[dict(px=px0[i], rcw=rcw0, pcw=pcw0, img=img0)]
+                 for i in range(len(pts))]
+    model = NumpyDetect(pts, scores, model_obs)
+
+    # transcribe the distorted variants of the projection-dependent
+    # phases (depth map, winners, warp) — the pinhole model methods
+    # can't be reused verbatim
+    depth = np.zeros((H, W))
+    for p in pg:
+        c = rcw2 @ p + pcw2
+        if c[2] <= 0:
+            continue
+        u, v = w2c_dist(c)
+        if BORDER <= u < W - BORDER and BORDER <= v < H - BORDER:
+            depth[int(v), int(u)] = c[2]
+
+    campos = -rcw2.T @ pcw2
+    rows = model.candidates(vox)
+    best = {}
+    for row, pi in sorted(rows.items()):
+        c = rcw2 @ pts[pi] + pcw2
+        if c[2] <= 0:
+            continue
+        u, v = w2c_dist(c)
+        if not (BORDER <= int(u) < W - BORDER
+                and BORDER <= int(v) < H - BORDER):
+            continue
+        cell = min(max(int(u / GRID) * GH + int(v / GRID), 0), G - 1)
+        d = np.linalg.norm(campos - pts[pi])
+        if cell not in best or d < best[cell][0]:
+            best[cell] = (d, row, pi)
+
+    idx = np.asarray(ts.idx)
+    valid = np.asarray(ts.valid)
+    search = np.asarray(ts.search_level)
+    patches = np.asarray(ts.patch)
+    n_checked = 0
+    for cell, (_, row, pi) in best.items():
+        assert idx[cell] == pi, f"cell {cell} winner"
+        c = rcw2 @ pts[pi] + pcw2
+        u, v = w2c_dist(c)
+        ok_depth = model.depth_continuous(depth, c[2], u, v)
+        ref = model_obs[pi][0]
+        # warp with distorted projections (getWarpMatrixAffine)
+        ref_campos = -ref["rcw"].T @ ref["pcw"]
+        depth_ref = np.linalg.norm(ref_campos - pts[pi])
+        f_ref = c2w_dist(ref["px"])
+        xyz_ref = f_ref * depth_ref
+        f_du = c2w_dist(ref["px"] + np.array([HALF, 0.0]))
+        f_dv = c2w_dist(ref["px"] + np.array([0.0, HALF]))
+        xyz_du = f_du * (xyz_ref[2] / f_du[2])
+        xyz_dv = f_dv * (xyz_ref[2] / f_dv[2])
+        R_cr = rcw2 @ ref["rcw"].T
+        t_cr = pcw2 - R_cr @ ref["pcw"]
+
+        def proj(xyz):
+            return w2c_dist(R_cr @ xyz + t_cr)
+
+        px_cur = proj(xyz_ref)
+        A = np.stack([(proj(xyz_du) - px_cur) / HALF,
+                      (proj(xyz_dv) - px_cur) / HALF], axis=1)
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        lvl = 0
+        Dd = det
+        while Dd > 3.0 and lvl < 2:
+            lvl += 1
+            Dd *= 0.25
+        if not (ok_depth and valid[cell]):
+            # gates must agree at least on clear non-tracking
+            continue
+        assert search[cell] == lvl, f"cell {cell} search level"
+        A_inv = np.linalg.inv(A)
+        sc = (1 << lvl)
+        p_np = np.zeros((PS, PS))
+        for x in range(PS):
+            for y in range(PS):
+                dpx = A_inv @ np.array([(y - HALF) * sc, (x - HALF) * sc])
+                q = dpx + ref["px"]
+                if 0 <= q[0] < W - 1 and 0 <= q[1] < H - 1:
+                    p_np[x, y] = bilinear_np(ref["img"], q[0], q[1])
+        np.testing.assert_allclose(patches[cell][0], p_np,
+                                   rtol=1e-4, atol=5e-3,
+                                   err_msg=f"cell {cell} patch")
+        n_checked += 1
+    assert n_checked >= 8, f"distorted scene too weak: {n_checked}"
