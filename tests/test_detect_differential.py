@@ -427,9 +427,15 @@ class NumpyDetect:
 
     # -- UpdateState cascade (:743-902, :1052-1066) ----------------------
     def update_state(self, rot0, pos0, prior_rot, prior_x, cov, img,
-                     tracked, max_iter):
+                     tracked, max_iter, proj=None):
         """tracked: list of (pos, patches(3,P,P), search) for valid rows.
-        Returns (rot, x15, iters, err, rollback_happened)."""
+        Returns (rot, x15, iters, err, rollback_happened).
+
+        `proj`: optional camera-frame -> pixel map replacing the pinhole
+        projection for the PATCH CENTER only — the Jacobian Jdpi stays
+        pinhole either way, matching the reference (lidar_selection.cpp
+        uses cam->world2cam, i.e. the distorted vikit model, for pc but
+        the pinhole dpi() for the chain rule)."""
         def expm(w):
             th = np.linalg.norm(w)
             if th < 1e-12:
@@ -467,8 +473,11 @@ class NumpyDetect:
                 for (pw, patches, search) in tracked:
                     pf = rcw @ pw + pcw
                     scale = (1 << level) * (1 << search)
-                    u = F * pf[0] / pf[2] + CX
-                    v = F * pf[1] / pf[2] + CY
+                    if proj is None:
+                        u = F * pf[0] / pf[2] + CX
+                        v = F * pf[1] / pf[2] + CY
+                    else:
+                        u, v = proj(pf)
                     zi = 1.0 / pf[2]
                     Jdpi = np.array([[F * zi, 0, -F * pf[0] * zi * zi],
                                      [0, F * zi, -F * pf[1] * zi * zi]])
@@ -800,11 +809,10 @@ def c2w_dist(px):
     return b[0] if px.ndim == 1 else b
 
 
-def test_select_tracked_distorted_camera_matches_model():
-    """select_tracked through the radtan camera: winners, gates, search
-    levels and warped patches must match a numpy transcription that
-    projects with the distorted model (depth map, per-cell winner,
-    close-view obs, warp matrix from distorted projections)."""
+@pytest.fixture(scope="module")
+def dscene():
+    """Shared distorted-camera scene: visual map seeded with ONE
+    distorted-projection observation per point from POSE0."""
     from fastlivo_tpu import visual_map as vmap_mod
 
     cam = Camera(
@@ -813,10 +821,7 @@ def test_select_tracked_distorted_camera_matches_model():
     )
     pts, scores, extra = build_scene()
     img0 = render_dist(*POSE0)
-    rcw2, pcw2 = POSE2
-    img2 = render_dist(rcw2, pcw2)
-
-    # visual map with ONE distorted-projection observation per point
+    img2 = render_dist(*POSE2)
     vm = vmap_mod.empty_visual_map(
         n_points=1 << 10, n_obs=4, table_size=1 << 12, voxel_cap=4,
         ring=4, height=H, width=W, img_dtype=jnp.float32,
@@ -834,18 +839,36 @@ def test_select_tracked_distorted_camera_matches_model():
     )
     pg = np.concatenate([pts, extra], axis=0)
     vox = np.unique(np.floor(pg / VOX).astype(np.int32), axis=0)
+    model_obs = [[dict(px=px0[i], rcw=rcw0, pcw=pcw0, img=img0)]
+                 for i in range(len(pts))]
+    return dict(cam=cam, pts=pts, scores=scores, img0=img0, img2=img2,
+                vm=vm, pg=pg, vox=vox, model_obs=model_obs)
 
-    ts = vio_mod.select_tracked(
-        vm, cam, jnp.asarray(rcw2, jnp.float32),
-        jnp.asarray(pcw2, jnp.float32), jnp.asarray(img2, jnp.float32),
-        jnp.asarray(pg, jnp.float32), jnp.ones(len(pg), bool),
-        jnp.asarray(vox, jnp.int32), jnp.ones(len(vox), bool),
+
+def _impl_tracked_dist(dscene, rcw, pcw):
+    return vio_mod.select_tracked(
+        dscene["vm"], dscene["cam"], jnp.asarray(rcw, jnp.float32),
+        jnp.asarray(pcw, jnp.float32),
+        jnp.asarray(dscene["img2"], jnp.float32),
+        jnp.asarray(dscene["pg"], jnp.float32),
+        jnp.ones(len(dscene["pg"]), bool),
+        jnp.asarray(dscene["vox"], jnp.int32),
+        jnp.ones(len(dscene["vox"]), bool),
         OUTLIER, NCC_THRE, GRID, PS, GW, GH, ncc_en=False,
     )
 
-    # ---- numpy model with distorted projections -----------------------
-    model_obs = [[dict(px=px0[i], rcw=rcw0, pcw=pcw0, img=img0)]
-                 for i in range(len(pts))]
+
+def test_select_tracked_distorted_camera_matches_model(dscene):
+    """select_tracked through the radtan camera: winners, gates, search
+    levels and warped patches must match a numpy transcription that
+    projects with the distorted model (depth map, per-cell winner,
+    close-view obs, warp matrix from distorted projections)."""
+    pts, scores = dscene["pts"], dscene["scores"]
+    pg, vox = dscene["pg"], dscene["vox"]
+    img2 = dscene["img2"]
+    model_obs = dscene["model_obs"]
+    rcw2, pcw2 = POSE2
+    ts = _impl_tracked_dist(dscene, rcw2, pcw2)
     model = NumpyDetect(pts, scores, model_obs)
 
     # transcribe the distorted variants of the projection-dependent
@@ -929,3 +952,58 @@ def test_select_tracked_distorted_camera_matches_model():
                                    err_msg=f"cell {cell} patch")
         n_checked += 1
     assert n_checked >= 8, f"distorted scene too weak: {n_checked}"
+
+
+def test_photometric_cascade_distorted_matches_model(dscene):
+    """Photometric cascade under the radtan camera. Pins the reference's
+    asymmetric combination: the patch center projects through the FULL
+    distorted model while the chain-rule Jacobian Jdpi stays pinhole
+    (lidar_selection.cpp pc = cam->world2cam vs dpi()); both sides must
+    converge to the same pose from the same offset prior."""
+    rwc_true = POSE2[0].T
+    campos_true = -POSE2[0].T @ POSE2[1]
+    dr = np.radians(0.4)
+    Rz = np.array([[np.cos(dr), -np.sin(dr), 0],
+                   [np.sin(dr), np.cos(dr), 0], [0, 0, 1.0]])
+    rot0 = rwc_true @ Rz
+    pos0 = campos_true + np.array([0.02, -0.015, 0.01])
+    rcw0p = rot0.T
+    pcw0p = -rcw0p @ pos0
+    ts = _impl_tracked_dist(dscene, rcw0p, pcw0p)
+
+    s0 = identity_state()._replace(
+        rot=jnp.asarray(rot0), pos=jnp.asarray(pos0),
+        cov=jnp.eye(18, dtype=jnp.float64) * 0.05,
+    )
+    eye = np.eye(3, dtype=np.float32)
+    zero3 = np.zeros((3, 3), np.float32)
+    st, Gm, perr, err, its = vio_mod.photometric_update_levels(
+        s0, s0, dscene["cam"], jnp.asarray(dscene["img2"], jnp.float32),
+        ts.pos, ts.patch, ts.search_level, ts.valid,
+        eye, np.zeros(3, np.float32), eye, zero3,
+        IMG_COV, PS, levels=(2, 1, 0), max_iter=6,
+    )
+
+    model = NumpyDetect(dscene["pts"], dscene["scores"],
+                        dscene["model_obs"])
+    valid = np.asarray(ts.valid)
+    patches = np.asarray(ts.patch, np.float64)
+    search = np.asarray(ts.search_level)
+    pos_ts = np.asarray(ts.pos, np.float64)
+    tracked = [(pos_ts[c], patches[c], int(search[c]))
+               for c in range(G) if valid[c]]
+    assert len(tracked) >= 8, f"distorted scene too weak: {len(tracked)}"
+    cov = np.asarray(s0.cov, np.float64)
+    prior_x = np.concatenate([pos0, np.zeros(12)])
+    mrot, mx, miters, merr, _ = model.update_state(
+        rot0.copy(), pos0.copy(), rot0, prior_x, cov, dscene["img2"],
+        tracked, 6, proj=lambda pf: tuple(w2c_dist(pf)))
+
+    ipos = np.asarray(st.pos, np.float64)
+    irot = np.asarray(st.rot, np.float64)
+    np.testing.assert_allclose(ipos, mx[0:3], atol=5e-4)
+    np.testing.assert_allclose(irot, mrot, atol=5e-5)
+    np.testing.assert_allclose(float(err), merr, rtol=2e-2)
+    assert abs(int(its) - miters) <= 1, (int(its), miters)
+    assert (np.linalg.norm(ipos - campos_true)
+            < 0.7 * np.linalg.norm(pos0 - campos_true))
