@@ -177,3 +177,41 @@ def test_long_livo_soak_stays_consistent(livo_run):
     assert np.max(rms) < 1.0  # meters — sanity ceiling for the scene
     pos = np.asarray([o.pos for o in outs])
     assert np.all(np.abs(pos) < 50.0)  # never leaves the room's world
+
+
+@pytest.mark.slow
+def test_livo_end_to_end_with_distorted_camera():
+    """Full LIVO through a radtan camera: the dataset renders with
+    nonzero distortion and the pipeline's camera model carries the same
+    coefficients. Tracking must stay alive and the trajectory accurate —
+    closes the loop above the unit-level distortion differentials
+    (test_detect_differential), which pin the projections but not the
+    sync/undistort/EKF integration around them."""
+    D = np.array([-0.05, 0.03, 0.0003, -0.0002])
+    ds = SyntheticDataset(
+        duration=4.0, points_per_scan=4096, lidar_noise=0.004, seed=6,
+        cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL, cam_d=D,
+    )
+    cfg = livo_config()
+    cfg.camera = CameraConfig(
+        width=W, height=H, fx=F, fy=F, cx=(W - 1) / 2.0, cy=(H - 1) / 2.0,
+        d=D.tolist(),
+    )
+    pipe = Pipeline(cfg)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    for t, img in ds.images():
+        pipe.push_img(t, img)
+    outs = pipe.spin()
+    assert len(outs) >= 25
+    assert int(pipe.vio.vmap.n_pts) > 50
+    assert pipe.vio.last_stats.get("tracked", 0) > 5
+    base = ds.traj.base_pos
+    errs = [
+        np.linalg.norm(o.pos - (ds.traj.pose(o.t)[1] - base))
+        for o in outs if o.t >= ds.traj.t_static + 0.5
+    ]
+    ate = np.sqrt(np.mean(np.square(errs)))
+    assert ate < 0.08, f"distorted-camera LIVO ATE {ate:.4f} m"
