@@ -149,3 +149,28 @@ def test_intensity_pcd_roundtrip(tmp_path):
     np.testing.assert_allclose(p2, pts, atol=1e-3)
     np.testing.assert_allclose(r2[:, 0], inten, atol=1e-3)
     assert np.all(r2[:, 0] == r2[:, 1])
+
+
+def test_pcd_binary_pointxyzrgb_float_bits(tmp_path):
+    """Binary PCD in pcl::PointXYZRGB convention: TYPE F rgb whose
+    float BITS hold the packed 0xRRGGBB value (_load_pcd's binary
+    branch — previously only the ASCII writer's TYPE-U path was
+    exercised)."""
+    pts = np.array([[1.5, -2.0, 3.25], [0.0, 4.0, -1.0]], np.float32)
+    rgb = np.array([[10, 200, 30], [255, 255, 0]], np.uint32)
+    packed = ((rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]).astype(
+        np.uint32)
+    rows = np.concatenate(
+        [pts, packed.view(np.float32)[:, None]], axis=1
+    ).astype(np.float32)
+    hdr = (
+        "# .PCD v0.7\nVERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\n"
+        "TYPE F F F F\nCOUNT 1 1 1 1\nWIDTH 2\nHEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 2\nDATA binary\n"
+    )
+    with open(tmp_path / "b.pcd", "wb") as f:
+        f.write(hdr.encode())
+        f.write(rows.tobytes())
+    p2, r2 = viz._load_pcd(tmp_path / "b.pcd")
+    np.testing.assert_allclose(p2, pts, atol=1e-6)
+    np.testing.assert_array_equal(r2, rgb.astype(np.float32))
