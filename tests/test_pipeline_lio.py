@@ -221,3 +221,59 @@ def test_varying_scan_sizes_grow_only_bucket():
         _, gt_pos = ds.traj.pose(o.t)
         errs.append(np.linalg.norm(o.pos - (gt_pos - ds.traj.base_pos)))
     assert np.sqrt(np.mean(np.square(errs))) < 0.05
+
+
+def test_imu_gap_mid_run_survives():
+    """IMU dropouts (real rigs drop packets). Two scenarios pin the
+    honest contract — the same one the reference offers (it has no
+    relocalization; IMU_Processing extrapolates the head pose):
+
+    1. A 0.4 s gap while STATIC: propagation extrapolation is exact,
+       so the filter fully recovers to mm accuracy.
+    2. A 0.4 s gap under MOTION: the constant-rate extrapolation drifts
+       past the plane-match basin and the map takes wrong-pose
+       insertions — the run must stay finite and bounded (no crash, no
+       NaN, no runaway), but re-convergence is NOT promised.
+    """
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+
+    # --- static-phase gap: full recovery ------------------------------
+    ds = SyntheticDataset(duration=5.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=9)
+    pipe = Pipeline(small_config())
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    n_dropped = 0
+    for t, acc, gyr in ds.imu_stream():
+        if 1.2 <= t < 1.6:  # inside the static window (t_static = 2.0)
+            n_dropped += 1
+            continue
+        pipe.push_imu(t, acc, gyr)
+    assert n_dropped >= 50
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) >= 35
+    base = ds.traj.base_pos
+    tail = [
+        np.linalg.norm(o.pos - (ds.traj.pose(o.t)[1] - base))
+        for o in outs if o.t >= 3.0
+    ]
+    assert np.sqrt(np.mean(np.square(tail))) < 0.02, (
+        "static-phase IMU gap must fully recover")
+
+    # --- motion-phase gap: bounded survival ---------------------------
+    ds2 = SyntheticDataset(duration=5.0, points_per_scan=4096,
+                           lidar_noise=0.004, seed=9)
+    pipe2 = Pipeline(small_config())
+    for beg, pts, t_rel in ds2.lidar_scans_fast():
+        pipe2.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds2.imu_stream():
+        if 2.5 <= t < 2.9:
+            continue
+        pipe2.push_imu(t, acc, gyr)
+    outs2 = pipe2.spin() + pipe2.finish()
+    assert len(outs2) >= 35
+    pos = np.asarray([o.pos for o in outs2])
+    assert np.all(np.isfinite(pos))
+    assert np.all(np.abs(pos) < 50.0)  # bounded, inside the room world
+    rms = np.asarray([o.res_rms for o in outs2])
+    assert np.all(np.isfinite(rms))
