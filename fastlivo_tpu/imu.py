@@ -416,7 +416,31 @@ def prepare_pairs(
     P = max_pairs
     n = max(len(imu_t) - 1, 0)
     if n > P:
-        raise ValueError(f"IMU group too large: {n} pairs > capacity {P}")
+        # A group can only exceed the capacity in anomaly conditions —
+        # a lidar stall or dropped scans stretched the segment so it
+        # spans more IMU samples than `max_imu_per_group`. The
+        # reference (dynamic vectors) just integrates them all; a
+        # static-shape pipeline must degrade instead of die: subsample
+        # the sample grid (endpoints kept) so integration proceeds at
+        # reduced IMU rate across the stall. Midpoint-rule error on the
+        # merged windows is second-order and dwarfed by the gap itself;
+        # mirrors the max_raw_points stride-decimation fallback.
+        import warnings
+
+        k = -(-n // (P - 1))  # ceil; P-1 leaves room for the forced end
+        keep = np.arange(0, len(imu_t), k)
+        if keep[-1] != len(imu_t) - 1:
+            keep = np.append(keep, len(imu_t) - 1)
+        warnings.warn(
+            f"IMU group of {n} pairs exceeds capacity {P} (sensor "
+            f"stall?); merging every {k} intervals to fit. Raise "
+            "capacity.max_imu_per_group to integrate at full rate.",
+            RuntimeWarning,
+        )
+        imu_t = imu_t[keep]
+        imu_acc = np.asarray(imu_acc)[keep]
+        imu_gyr = np.asarray(imu_gyr)[keep]
+        n = len(imu_t) - 1
     acc_avg = np.zeros((P, 3), np.float32)
     gyr_avg = np.zeros((P, 3), np.float32)
     dt = np.zeros(P, np.float32)

@@ -277,3 +277,33 @@ def test_imu_gap_mid_run_survives():
     assert np.all(np.abs(pos) < 50.0)  # bounded, inside the room world
     rms = np.asarray([o.res_rms for o in outs2])
     assert np.all(np.isfinite(rms))
+
+
+def test_lidar_gap_mid_run_recovers():
+    """A missing scan (sensor stall / dropped UDP burst): the sync layer
+    just sees a longer inter-scan interval; the next group's IMU
+    segment spans the gap and propagation bridges it. Static-phase gap
+    -> full recovery (same contract as the IMU-gap test)."""
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(duration=5.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=11)
+    pipe = Pipeline(small_config())
+    n_dropped = 0
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        if 1.0 <= beg < 1.5:
+            n_dropped += 1
+            continue
+        pipe.push_lidar(beg, pts, t_rel)
+    assert n_dropped >= 3
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) >= 30
+    base = ds.traj.base_pos
+    tail = [
+        np.linalg.norm(o.pos - (ds.traj.pose(o.t)[1] - base))
+        for o in outs if o.t >= 3.0
+    ]
+    assert np.sqrt(np.mean(np.square(tail))) < 0.02, (
+        "lidar gap during static phase must fully recover")

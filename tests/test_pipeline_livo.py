@@ -215,3 +215,38 @@ def test_livo_end_to_end_with_distorted_camera():
     ]
     ate = np.sqrt(np.mean(np.square(errs)))
     assert ate < 0.08, f"distorted-camera LIVO ATE {ate:.4f} m"
+
+
+@pytest.mark.slow
+def test_camera_dropout_livo_continues_on_lio():
+    """A 1 s camera outage mid-run (dropped frames / exposure stall):
+    image groups simply stop arriving for that window — the LIO leg
+    must carry the trajectory through unharmed and VIO must resume
+    cleanly after (the reference behaves the same: no image callback,
+    no detect)."""
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=7,
+        cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL,
+    )
+    pipe = Pipeline(livo_config())
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    n_dropped = 0
+    for t, img in ds.images():
+        if 3.0 <= t < 4.0:
+            n_dropped += 1
+            continue
+        pipe.push_img(t, img)
+    assert n_dropped >= 8
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) >= 40
+    assert pipe.vio.last_stats.get("tracked", 0) > 5  # VIO resumed
+    base = ds.traj.base_pos
+    tail = [
+        np.linalg.norm(o.pos - (ds.traj.pose(o.t)[1] - base))
+        for o in outs if o.t >= 3.0
+    ]
+    ate = np.sqrt(np.mean(np.square(tail)))
+    assert ate < 0.06, f"camera-dropout ATE {ate:.4f} m"
