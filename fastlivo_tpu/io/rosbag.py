@@ -209,9 +209,19 @@ def decode_image(data: bytes) -> dict:
     _, stamp, _ = r.header()
     h, w = r.u32(), r.u32()
     enc = r.string()
-    r.u8()
+    be = r.u8()  # is_bigendian
     step = r.u32()
     raw = r.bytes_()
+    el = enc.lower()
+    if "16" in el and ("mono" in el or "16uc1" in el or el == "16sc1"):
+        # 16-bit mono (mono16 / 16UC1): decode as u16 rows, scale to the
+        # 8-bit range the pipeline's grayscale path expects (the
+        # reference receives 8-bit BGR via cv_bridge; a 16-bit camera
+        # stream would go through the same 8-bit conversion there)
+        dt = np.dtype(">u2" if be else "<u2")
+        img16 = np.frombuffer(raw, dt).reshape(h, step // 2)[:, :w]
+        img = (img16 >> 8).astype(np.uint8)
+        return {"stamp": stamp, "image": img, "encoding": enc}
     img = np.frombuffer(raw, np.uint8)
     ch = step // max(w, 1)
     img = img.reshape(h, step)[:, : w * ch]

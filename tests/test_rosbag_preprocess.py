@@ -619,3 +619,36 @@ def test_cli_bag_replay_ouster(tmp_path):
 def test_cli_bag_replay_xt32(tmp_path):
     """Hesai XT32 bag (absolute f64 `timestamp` field) end-to-end."""
     _run_vendor_lio_replay(tmp_path, "xt32", XT32, 32)
+
+
+def test_decode_image_mono16():
+    """16-bit mono streams (mono16 / 16UC1, common for industrial
+    cameras) must decode to the 8-bit grayscale the pipeline expects —
+    previously they came out as a garbled (H, W, 2) uint8 array."""
+    from fastlivo_tpu.io.rosbag import decode_image
+
+    h, w = 6, 9
+    img16 = (np.arange(h * w, dtype=np.uint16).reshape(h, w) * 700)
+    payload = (
+        _ros_header(5.0)
+        + struct.pack("<II", h, w)
+        + _ros_string(b"mono16")
+        + struct.pack("<B", 0)
+        + struct.pack("<I", w * 2)
+        + struct.pack("<I", h * w * 2) + img16.astype("<u2").tobytes()
+    )
+    out = decode_image(payload)
+    assert out["image"].shape == (h, w)
+    assert out["image"].dtype == np.uint8
+    np.testing.assert_array_equal(out["image"], (img16 >> 8).astype(np.uint8))
+    # big-endian variant ("16UC1" with is_bigendian set)
+    payload_be = (
+        _ros_header(5.0)
+        + struct.pack("<II", h, w)
+        + _ros_string(b"16UC1")
+        + struct.pack("<B", 1)
+        + struct.pack("<I", w * 2)
+        + struct.pack("<I", h * w * 2) + img16.astype(">u2").tobytes()
+    )
+    out_be = decode_image(payload_be)
+    np.testing.assert_array_equal(out_be["image"], out["image"])
