@@ -45,6 +45,11 @@ def decode_avia(
     cfg: PreprocessConfig,
 ):
     xyz = np.asarray(xyz, np.float64)
+    if len(xyz) == 0:
+        # Livox drivers emit empty CustomMsgs during startup/stalls;
+        # the reference's i=1..point_num loop trivially yields an empty
+        # cloud there — match it instead of IndexError-ing below
+        return np.zeros((0, 4), np.float32), np.zeros(0, np.float64)
     tag = np.asarray(tag)
     t30 = tag & 0x30
     ok = (np.asarray(line) < cfg.n_scans) & ((t30 == 0x10) | (t30 == 0x00))
@@ -193,6 +198,8 @@ def decode_features(fields: dict, cfg: PreprocessConfig):
     from .features import extract_features_rings
 
     xyz = np.asarray(fields["xyz"], np.float64)
+    if len(xyz) == 0:  # empty driver message (startup/stall): empty scan
+        return np.zeros((0, 4), np.float32), np.zeros(0, np.float64)
     if cfg.lidar_type == AVIA:
         tag = np.asarray(fields["tag"])
         line = np.asarray(fields["line"])

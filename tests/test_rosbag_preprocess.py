@@ -652,3 +652,32 @@ def test_decode_image_mono16():
     )
     out_be = decode_image(payload_be)
     np.testing.assert_array_equal(out_be["image"], out["image"])
+
+
+def test_decode_empty_messages_all_paths():
+    """Livox drivers emit empty CustomMsgs during startup/stalls and
+    PointCloud2 streams can carry zero-point frames: every decode path
+    (all 4 vendor types, with and without feature extraction) must
+    return an empty scan, not IndexError (the reference's per-point
+    loops trivially no-op)."""
+    from fastlivo_tpu import preprocess as pp
+    from fastlivo_tpu.config import AVIA, OUST64, VELO16, XT32, Config
+
+    empty = {
+        "xyz": np.zeros((0, 3), np.float32),
+        "reflectivity": np.zeros(0, np.float32),
+        "tag": np.zeros(0, np.uint8), "line": np.zeros(0, np.uint8),
+        "offset_time_ns": np.zeros(0, np.float64),
+        "intensity": np.zeros(0, np.float32),
+        "time_s": np.zeros(0, np.float64),
+        "t_ns": np.zeros(0, np.float64),
+        "ring": np.zeros(0, np.int32),
+        "timestamp_s": np.zeros(0, np.float64),
+    }
+    for lt in (AVIA, VELO16, OUST64, XT32):
+        for feats in (False, True):
+            cfg = Config().preprocess
+            cfg.lidar_type = lt
+            cfg.feature_extract_enable = feats
+            pts, t_rel = pp.decode(empty, cfg)
+            assert pts.shape == (0, 4) and len(t_rel) == 0, (lt, feats)
