@@ -34,6 +34,11 @@ def voxel_downsample_device(
     Returns (out (max_out, C), mask (max_out,)).
     """
     N, C = pts.shape
+    # non-finite returns (PointCloud2 no-return NaN padding; inf from
+    # fog/sun artifacts — inf>blind^2 passes every decoder range gate)
+    # are dropped here, mirroring pcl::VoxelGrid's is-finite skip; one
+    # surviving NaN poisons the EKF state within a frame
+    valid = valid & jnp.all(jnp.isfinite(pts[:, :3]), axis=-1)
     keys = jnp.floor(pts[:, :3] / leaf).astype(jnp.int64)
     # pack 3x20-bit offset coords into ONE sort key (scheme of the host
     # path below, one bit narrower so the invalid marker 2^62 sorts
@@ -85,6 +90,9 @@ def voxel_downsample(
       M is the number of occupied voxels and mask is all-true.
     """
     pts = np.asarray(pts, dtype=np.float64)
+    if pts.ndim == 2 and len(pts):
+        # pcl::VoxelGrid is-finite skip (see voxel_downsample_device)
+        pts = pts[np.all(np.isfinite(pts[:, :3]), axis=1)]
     if pts.size == 0:
         M = max_out or 0
         return np.zeros((M, pts.shape[1] if pts.ndim == 2 else 3), np.float32), np.zeros(M, bool)
@@ -144,6 +152,7 @@ def voxel_downsample_scatter(
     N, C = pts.shape
     l2 = grid_log2
     G = 1 << (l2[0] + l2[1] + l2[2])
+    valid = valid & jnp.all(jnp.isfinite(pts[:, :3]), axis=-1)
     keys = jnp.floor(pts[:, :3] / leaf).astype(jnp.int32)
     kx = keys[:, 0] & ((1 << l2[0]) - 1)
     ky = keys[:, 1] & ((1 << l2[1]) - 1)

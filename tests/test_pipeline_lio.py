@@ -307,3 +307,38 @@ def test_lidar_gap_mid_run_recovers():
     ]
     assert np.sqrt(np.mean(np.square(tail))) < 0.02, (
         "lidar gap during static phase must fully recover")
+
+
+def test_nonfinite_and_far_outlier_returns_survive():
+    """NaN padding (PointCloud2 no-return convention), inf returns
+    (fog/sun artifacts — inf passes every range gate) and km-scale
+    outliers injected into scans: the voxel filters drop non-finite
+    rows (pcl::VoxelGrid's is-finite skip) and the match gates reject
+    the outliers; the trajectory must stay finite and accurate."""
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(duration=4.0, points_per_scan=2048,
+                          lidar_noise=0.004, seed=5)
+    pipe = Pipeline(small_config())
+    rng = np.random.default_rng(0)
+    for i, (beg, pts, t_rel) in enumerate(ds.lidar_scans_fast()):
+        pts = np.array(pts)
+        if i % 3 == 1:
+            k = rng.integers(0, len(pts), 6)
+            pts[k[0], :3] = [9.7e4, -8.1e4, 5.5e4]
+            pts[k[1], :3] = [1.3e5, 2.2e5, -9e4]
+            pts[k[2], 0] = np.nan
+            pts[k[3], 1] = np.inf
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    outs = pipe.spin() + pipe.finish()
+    assert len(outs) >= 25
+    pos = np.asarray([o.pos for o in outs])
+    assert np.all(np.isfinite(pos))
+    base = ds.traj.base_pos
+    tail = [
+        np.linalg.norm(o.pos - (ds.traj.pose(o.t)[1] - base))
+        for o in outs if o.t >= 3.0
+    ]
+    assert np.sqrt(np.mean(np.square(tail))) < 0.02
