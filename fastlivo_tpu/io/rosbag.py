@@ -317,12 +317,29 @@ def read_bag(
                 comp = hdr.get("compression", b"none").decode()
                 if comp == "none":
                     block = rec
-                elif comp == "bz2":
-                    block = bz2.decompress(rec)
-                elif comp == "lz4":
-                    block = lz4.decompress_frame(rec)
                 else:
-                    raise NotImplementedError(f"chunk compression {comp!r}")
+                    try:
+                        if comp == "bz2":
+                            block = bz2.decompress(rec)
+                        elif comp == "lz4":
+                            block = lz4.decompress_frame(rec)
+                        else:
+                            raise NotImplementedError(
+                                f"chunk compression {comp!r}")
+                    except NotImplementedError:
+                        raise
+                    except Exception as e:
+                        # one corrupt chunk (bit rot, partial write)
+                        # must not kill a multi-GB replay: skip it,
+                        # keep every other chunk — mirrors the
+                        # truncated-record degradation in _records
+                        import warnings
+
+                        warnings.warn(
+                            f"corrupt {comp} chunk skipped "
+                            f"({type(e).__name__}: {e})",
+                            RuntimeWarning, stacklevel=2)
+                        continue
                 for h2, r2 in _records(block):
                     yield from handle_record(h2, r2)
             else:

@@ -681,3 +681,49 @@ def test_decode_empty_messages_all_paths():
             cfg.feature_extract_enable = feats
             pts, t_rel = pp.decode(empty, cfg)
             assert pts.shape == (0, 4) and len(t_rel) == 0, (lt, feats)
+
+
+def test_corrupt_chunk_skipped_keeps_rest(tmp_path):
+    """Bit rot in ONE compressed chunk must not kill the replay: the
+    chunk is skipped with a RuntimeWarning and every other chunk's
+    messages still decode (mirrors the truncated-record degradation)."""
+    import warnings
+
+    t0 = 50.0
+    mk = lambda t: (1, "/livox/imu", "sensor_msgs/Imu",
+                    t, make_imu_msg(t, [0, 0, 9.8], [0, 0, 0]))
+    chunks = [("lz4", [mk(t0 + 0.01 * k) for k in range(5)]),
+              ("lz4", [mk(t0 + 1 + 0.01 * k) for k in range(5)]),
+              ("lz4", [mk(t0 + 2 + 0.01 * k) for k in range(5)])]
+    path = tmp_path / "rot.bag"
+    build_bag(path, chunks)
+    blob = bytearray(path.read_bytes())
+
+    # walk the record framing to find the SECOND chunk's data payload
+    i = len(rb.MAGIC)
+    n_chunk = 0
+    while i + 8 <= len(blob):
+        (hlen,) = struct.unpack_from("<I", blob, i)
+        hdr = rb._parse_header(bytes(blob[i + 4:i + 4 + hlen]))
+        (dlen,) = struct.unpack_from("<I", blob, i + 4 + hlen)
+        dstart = i + 8 + hlen
+        if hdr["op"][0] == rb.OP_CHUNK:
+            n_chunk += 1
+            if n_chunk == 2:
+                mid = dstart + dlen // 2
+                for j in range(mid, min(mid + 16, dstart + dlen)):
+                    blob[j] ^= 0xFF
+                break
+        i = dstart + dlen
+    assert n_chunk == 2, "did not find the second chunk"
+    path.write_bytes(bytes(blob))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stamps = [t for top, ty, t, m in rb.read_bag(path)
+                  if ty == "sensor_msgs/Imu"]
+    assert any("chunk skipped" in str(x.message) for x in w), (
+        [str(x.message) for x in w])
+    # chunks 1 and 3 fully decoded; chunk 2's window absent
+    assert len(stamps) == 10
+    assert not any(t0 + 0.9 < s < t0 + 1.9 for s in stamps)
