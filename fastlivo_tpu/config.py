@@ -96,6 +96,16 @@ class CapacityConfig:
     # donate_maps: false if a relay session exhibits the legacy
     # behavior. See docs/PERF_ANALYSIS.md "in-place map updates".
     donate_maps: bool = True
+    # divergence watchdog (beyond-reference, default OFF): when
+    # res_rms stays above auto_reset_rms for auto_reset_frames
+    # consecutive frames the pipeline RESTARTS MAPPING at the current
+    # pose (fresh geometric+visual maps; state/trajectory kept) —
+    # after losing track (e.g. a motion-phase IMU gap) there is no
+    # relocalization (the reference has none either), so the map is
+    # permanently poisoned and drift compounds; the restart freezes
+    # the accumulated offset instead. 0.0 disables.
+    auto_reset_rms: float = 0.0
+    auto_reset_frames: int = 10
     # sliding-local-map mode: "ref" (default) reproduces the reference's
     # lasermap_fov_segment exactly — including its runaway-slide quirk
     # with shipped cube_side_length values (lio.LocalMapTracker
@@ -270,6 +280,8 @@ def load_config(yaml_path: str | Path, camera_yaml: Optional[str | Path] = None)
             elif k in ("cache_knn", "mixed_gain", "frame_ring_u8",
                        "pallas_knn", "donate_maps"):
                 kw[k] = bool(v)
+            elif k == "auto_reset_rms":
+                kw[k] = float(v)
             elif k in ("dense_dims", "tiled_dir_dims"):
                 kw[k] = tuple(int(x) for x in v)
             else:

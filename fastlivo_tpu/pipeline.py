@@ -114,25 +114,33 @@ class Pipeline:
             from .parallel.sharded_backend import ShardedTiledBackend
 
             self._map_mod = ShardedTiledBackend(mesh)
-            self.map = self._map_mod.empty(
+            self._make_map = lambda: self._map_mod.empty(
                 cap.tiled_dir_dims, cap.tiled_pool, cfg.filter_size_map
             )
+            self.map = self._make_map()
         elif cap.map_backend == "dense":
             from .ops import dense_map as dm
 
-            self.map = dm.empty_dense_map(cap.dense_dims, cfg.filter_size_map)
+            self._make_map = lambda: dm.empty_dense_map(
+                cap.dense_dims, cfg.filter_size_map)
+            self.map = self._make_map()
             self._map_mod = dm
         elif cap.map_backend == "tiled":
             from .ops import tiled_map as tmod
 
-            self.map = tmod.empty_tiled_map(
+            self._make_map = lambda: tmod.empty_tiled_map(
                 cap.tiled_dir_dims, cap.tiled_pool, cfg.filter_size_map
             )
+            self.map = self._make_map()
             self._map_mod = tmod
         else:
-            self.map = vm.empty_map(cap.map_table_size, cfg.filter_size_map)
+            self._make_map = lambda: vm.empty_map(
+                cap.map_table_size, cfg.filter_size_map)
+            self.map = self._make_map()
             self._map_mod = vm
         self.map_built = False
+        self._rms_high_streak = 0
+        self.auto_resets = 0  # divergence-watchdog restart count
         self._frames_since_rebuild_check = 0
         # per-frame jit scalar args cached as committed device arrays —
         # passing a Python float re-uploads a scalar every call (~2 ms
@@ -880,7 +888,65 @@ class Pipeline:
         self.trajectory.append(
             np.array([out.t, *pos_np, quat[1], quat[2], quat[3], quat[0]])
         )
+        # divergence watchdog (capacity.auto_reset_rms): res_rms is the
+        # health signal — a sustained rise means the filter lost the
+        # map (docs/MIGRATION.md "Sensor-anomaly behavior")
+        thr = self.cfg.capacity.auto_reset_rms
+        if thr > 0.0 and res_rms > 0.0:
+            if res_rms > thr:
+                self._rms_high_streak += 1
+                if self._rms_high_streak >= self.cfg.capacity.auto_reset_frames:
+                    self._mapping_restart(res_rms)
+            else:
+                self._rms_high_streak = 0
         return out
+
+    def _mapping_restart(self, res_rms: float):
+        """Divergence-watchdog action (beyond-reference; default off
+        via capacity.auto_reset_rms = 0): rebuild the geometric and
+        visual maps from scratch at the CURRENT pose, keeping the
+        state/trajectory. After losing track there is no
+        relocalization (the reference has none either, and its
+        poisoned ikd-tree keeps feeding wrong matches forever); the
+        restart freezes the accumulated offset so drift stops
+        compounding and res_rms returns to the noise floor. In block
+        replay the restart lands at the next block boundary."""
+        import warnings
+
+        warnings.warn(
+            f"divergence watchdog: res_rms {res_rms:.3f} > "
+            f"{self.cfg.capacity.auto_reset_rms} for "
+            f"{self._rms_high_streak} frames — restarting mapping at "
+            "the current pose",
+            RuntimeWarning,
+        )
+        self.map = self._make_map()
+        self.map_built = False
+        self.tracker = lio_mod.LocalMapTracker(
+            self.cfg.cube_side_length, mode=self.cfg.capacity.slider)
+        if self.vio is not None:
+            self.vio.reset_map()
+        # Re-anchor the state, not just the map: a diverged ATTITUDE
+        # misprojects gravity, which pumps velocity error every IMU
+        # sample and re-poisons the fresh map within a second (measured
+        # on the motion-gap scenario: vel_err 1.2 -> 2.6 m/s after a
+        # map-only restart). Zero the velocity and re-open the
+        # covariance on rotation/velocity/biases/gravity so the EKF
+        # re-estimates them against the fresh map + accelerometer.
+        cov = np.array(self.state.cov, np.float64)  # writable copy
+        for blk, var in ((slice(0, 3), 0.1), (slice(6, 9), 1.0),
+                         (slice(9, 12), 1e-3), (slice(12, 15), 1e-2),
+                         (slice(15, 18), 0.1)):
+            sub = cov[blk, blk]
+            np.fill_diagonal(sub, np.maximum(np.diagonal(sub), var))
+        self.state = self.state._replace(
+            vel=jnp.zeros(3, self.state.vel.dtype),
+            cov=jnp.asarray(cov),
+        )
+        self._rms_high_streak = -3 * self.cfg.capacity.auto_reset_frames
+        # ^ cooldown: no re-trigger while the filter re-converges —
+        # repeated map wipes would starve the estimator
+        self.auto_resets += 1
 
     def _profile_stages(self, pose_table, buf, trel, pmask, cap) -> dict:
         """Per-stage timing breakdown for the fused steady state (the

@@ -1080,38 +1080,11 @@ class Vio:
         )
         self.Jdp_dR = jnp.asarray(-Rci @ skew_pic, jnp.float32)
 
-        self.vmap = vmap_mod.empty_visual_map(
-            n_points=cap.vmap_points,
-            n_obs=cap.vmap_obs,
-            table_size=cap.vmap_table_size,
-            voxel_cap=cap.vmap_voxel_cap,
-            ring=cap.frame_ring,
-            height=cfg.camera.height,
-            width=cfg.camera.width,
-            img_dtype=jnp.uint8 if cap.frame_ring_u8 else None,
-        )
         self.pool_sharded = bool(
             mesh_runner is not None
             and getattr(mesh_runner, "sharded_map", False)
         )
-        if self.pool_sharded:
-            # --sharded-map: the reference-image pool AND the obs rings
-            # shard over the mesh (slot/row slabs; reads owner-gather +
-            # psum, writes owner-local — see visual_map._gather_obs and
-            # select_tracked's vmap_axis) — per-device visual-map HBM
-            # drops from ~170 MB to ~25 MB at n=8, shipped capacities
-            from jax.sharding import NamedSharding, PartitionSpec as _P
-
-            shp = NamedSharding(mesh_runner.mesh, _P(mesh_runner.axis))
-            self.vmap = self.vmap._replace(
-                imgs=jax.device_put(self.vmap.imgs, shp),
-                obs_px=jax.device_put(self.vmap.obs_px, shp),
-                obs_rcw=jax.device_put(self.vmap.obs_rcw, shp),
-                obs_pcw=jax.device_put(self.vmap.obs_pcw, shp),
-                obs_slot=jax.device_put(self.vmap.obs_slot, shp),
-                obs_fid=jax.device_put(self.vmap.obs_fid, shp),
-                obs_level=jax.device_put(self.vmap.obs_level, shp),
-            )
+        self.vmap = self._fresh_vmap()
         self.fid = 0
         self.last_cloud: Optional[np.ndarray] = None
         self._last_cloud_dev = None  # (device (cloud_cap,3), host n)
@@ -1151,6 +1124,51 @@ class Vio:
         # frame's stats row joins the block's device-side stack instead
         # of being read at all; _apply_stats runs at the block boundary
         self.read_collector = None
+
+    def _fresh_vmap(self) -> vmap_mod.VisualMap:
+        """A new empty visual map at the configured capacities (used at
+        init and by the pipeline's divergence-watchdog restart). With
+        pool_sharded (--sharded-map), the pool + obs rings shard over
+        the mesh (slot/row slabs; reads owner-gather + psum, writes
+        owner-local — see visual_map._gather_obs and select_tracked's
+        vmap_axis) — per-device visual-map HBM drops from ~170 MB to
+        ~25 MB at n=8, shipped capacities."""
+        cap, cfg = self.cfg.capacity, self.cfg
+        vm = vmap_mod.empty_visual_map(
+            n_points=cap.vmap_points,
+            n_obs=cap.vmap_obs,
+            table_size=cap.vmap_table_size,
+            voxel_cap=cap.vmap_voxel_cap,
+            ring=cap.frame_ring,
+            height=cfg.camera.height,
+            width=cfg.camera.width,
+            img_dtype=jnp.uint8 if cap.frame_ring_u8 else None,
+        )
+        if self.pool_sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            shp = NamedSharding(self.mesh_runner.mesh,
+                                _P(self.mesh_runner.axis))
+            vm = vm._replace(
+                imgs=jax.device_put(vm.imgs, shp),
+                obs_px=jax.device_put(vm.obs_px, shp),
+                obs_rcw=jax.device_put(vm.obs_rcw, shp),
+                obs_pcw=jax.device_put(vm.obs_pcw, shp),
+                obs_slot=jax.device_put(vm.obs_slot, shp),
+                obs_fid=jax.device_put(vm.obs_fid, shp),
+                obs_level=jax.device_put(vm.obs_level, shp),
+            )
+        return vm
+
+    def reset_map(self):
+        """Discard the visual map (pipeline divergence-watchdog
+        restart): points added at drifted poses would keep feeding
+        wrong photometric residuals. Pose/extrinsics/pool config and
+        the frame-id counter are kept (fids stay monotone, so stale
+        pool bookkeeping cannot alias a future frame)."""
+        self.vmap = self._fresh_vmap()
+        self._n_pts_host = None
+        self.last_stats = {}
 
     @property
     def last_bgr(self) -> Optional[np.ndarray]:

@@ -342,3 +342,45 @@ def test_nonfinite_and_far_outlier_returns_survive():
         for o in outs if o.t >= 3.0
     ]
     assert np.sqrt(np.mean(np.square(tail))) < 0.02
+
+
+def test_divergence_watchdog_restarts_mapping():
+    """capacity.auto_reset_rms: the motion-phase IMU gap scenario
+    diverges permanently with the watchdog OFF (map poisoned, res_rms
+    stays high — see test_imu_gap_mid_run_survives). With the watchdog
+    ON the pipeline must detect the sustained res_rms rise, restart
+    mapping at the current pose, and res_rms must return to the noise
+    floor (drift frozen instead of compounding)."""
+    import warnings
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(duration=6.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=9)
+    cfg = small_config()
+    cfg.capacity.auto_reset_rms = 0.08
+    cfg.capacity.auto_reset_frames = 5
+    pipe = Pipeline(cfg)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        if 2.5 <= t < 2.9:
+            continue
+        pipe.push_imu(t, acc, gyr)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        outs = pipe.spin() + pipe.finish()
+    assert pipe.auto_resets >= 1
+    assert any("divergence watchdog" in str(x.message) for x in w)
+    assert len(outs) >= 40
+    pos = np.asarray([o.pos for o in outs])
+    assert np.all(np.isfinite(pos)) and np.all(np.abs(pos) < 50.0)
+    # post-restart health: res_rms back at the noise floor
+    rms_tail = np.asarray([o.res_rms for o in outs[-12:] if o.res_rms > 0])
+    assert len(rms_tail) >= 8
+    assert np.median(rms_tail) < 0.08, rms_tail
+    # and the drift FROZE: position change over the last second tracks
+    # ground truth motion to cm-level again
+    base = ds.traj.base_pos
+    d_est = outs[-1].pos - outs[-11].pos
+    d_gt = (ds.traj.pose(outs[-1].t)[1] - ds.traj.pose(outs[-11].t)[1])
+    assert np.linalg.norm(d_est - d_gt) < 0.05, (d_est, d_gt)
