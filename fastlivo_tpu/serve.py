@@ -287,6 +287,10 @@ class Server:
                         # online filter health: posterior point-to-plane
                         # residual RMS (degeneracy/divergence signal)
                         "res_rms": round(out.res_rms, 6),
+                        # divergence-watchdog restarts so far (0 with
+                        # the watchdog off; a step-up tells the
+                        # operator mapping restarted at this pose)
+                        "auto_resets": pipe.auto_resets,
                     }) + "\n"
                     # pub/sub: every connection gets the odometry line
                     self._broadcast(line.encode())

@@ -54,6 +54,10 @@ def test_socket_stream_lio(tmp_path):
                 assert np.linalg.norm(frames[0]["pos"]) < 0.02
                 assert all(np.isfinite(f["pos"]).all() is not False
                            for f in frames)
+                # health surface: res_rms + watchdog counter on every
+                # odometry line (0 = watchdog off / never fired)
+                assert all("res_rms" in f and f["auto_resets"] == 0
+                           for f in frames)
                 return
             lines.append(d)
     raise AssertionError("no flush ack received")
