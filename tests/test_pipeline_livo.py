@@ -250,3 +250,40 @@ def test_camera_dropout_livo_continues_on_lio():
     ]
     ate = np.sqrt(np.mean(np.square(tail)))
     assert ate < 0.06, f"camera-dropout ATE {ate:.4f} m"
+
+
+def test_mapping_restart_mid_livo_stream():
+    """Pipeline._mapping_restart on a FULL LIVO pipeline (the
+    watchdog's action path incl. Vio.reset_map): invoked mid-stream it
+    must rebuild both maps, keep the frame-id counter monotone, and
+    VIO must re-populate and resume tracking on the remaining frames."""
+    ds = SyntheticDataset(
+        duration=6.0, points_per_scan=4096, lidar_noise=0.004, seed=5,
+        cam_hz=10.0, cam_size=(W, H), cam_f=F, Rcl=RCL,
+    )
+    pipe = Pipeline(livo_config())
+    evts = ([("L", beg, (beg, pts, t_rel))
+             for beg, pts, t_rel in ds.lidar_scans_fast()]
+            + [("I", t, (t, a, g)) for t, a, g in ds.imu_stream()]
+            + [("C", t, (t, img)) for t, img in ds.images()])
+    evts.sort(key=lambda e: e[1])
+    fired = False
+    for kind, t, payload in evts:
+        {"L": pipe.push_lidar, "I": pipe.push_imu,
+         "C": pipe.push_img}[kind](*payload)
+        pipe.spin()
+        if not fired and t >= 3.5 and pipe.init_done:
+            fid_before = pipe.vio.fid
+            assert int(pipe.vio.vmap.n_pts) > 20  # populated pre-reset
+            pipe._mapping_restart(1.0)
+            assert int(pipe.vio.vmap.n_pts) == 0  # visual map wiped
+            assert pipe.vio.fid == fid_before  # fid continuity
+            assert not pipe.map_built
+            fired = True
+    outs = pipe.finish() + pipe.outputs
+    assert fired and pipe.auto_resets == 1
+    # VIO resumed: map re-populated and tracking alive post-restart
+    assert int(pipe.vio.vmap.n_pts) > 20
+    assert pipe.vio.last_stats.get("tracked", 0) > 5
+    pos = np.asarray([o.pos for o in outs])
+    assert np.all(np.isfinite(pos)) and np.all(np.abs(pos) < 50.0)
