@@ -422,6 +422,9 @@ def main(argv=None):
         f"frames={n} wall={wall:.1f}s "
         + " ".join(f"{k}={v:.1f}ms" for k, v in tm.items())
     )
+    if pipe.auto_resets:
+        print(f"divergence watchdog fired {pipe.auto_resets}x "
+              "(mapping restarted; see capacity.auto_reset_rms)")
     print(f"trajectory: {args.out} ({len(traj)} poses)")
     if args.eval and ds is not None:
         # ATE vs the known synthetic trajectory + filter-consistency
