@@ -231,3 +231,32 @@ def test_livo_block_replay_matches_per_frame():
         errs.append(np.linalg.norm(o.pos - (pos_gt - base)))
     ate = float(np.sqrt(np.mean(np.square(errs))))
     assert ate < 0.06, ate
+
+
+def test_watchdog_fires_under_block_replay():
+    """The divergence watchdog composes with block replay: outputs
+    (and thus the res_rms stream) resolve at block boundaries, the
+    restart replaces pipe.map between blocks, and the replayer's next
+    block picks up the fresh map (replay.py reads p.map per block)."""
+    import warnings
+    from fastlivo_tpu.replay import LivoBlockReplayer
+
+    ds = SyntheticDataset(duration=4.0, points_per_scan=2048,
+                          lidar_noise=0.004, seed=3)
+    cfg = small_config()
+    cfg.capacity.auto_reset_rms = 0.001  # every frame counts as "high"
+    cfg.capacity.auto_reset_frames = 5
+    pipe = Pipeline(cfg)
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        pipe.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds.imu_stream():
+        pipe.push_imu(t, acc, gyr)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        outs = LivoBlockReplayer(pipe, 4).run()
+    assert pipe.auto_resets >= 1
+    assert any("divergence watchdog" in str(x.message) for x in w)
+    assert len(outs) >= 20
+    assert pipe.map_built  # post-restart blocks rebuilt the map
+    pos = np.asarray([o.pos for o in outs])
+    assert np.all(np.isfinite(pos)) and np.all(np.abs(pos) < 50.0)
