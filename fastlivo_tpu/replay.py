@@ -225,9 +225,26 @@ class BlockReplayer:
                     p.logger.log_imu(
                         imu_t[i] - p.first_lidar_time, a[i], gy[i]
                     )
-            n = min(len(scan.pts), R)
-            PTS[k, :n] = scan.pts[:n, :3]
-            TR[k, :n] = scan.t_rel[:n]
+            pts_use, trel_use = scan.pts, scan.t_rel
+            if len(pts_use) > R:
+                # same stride decimation as the per-frame path
+                # (pipeline._process_group): tail-TRUNCATION would bias
+                # away the scan's latter angular sweep
+                import warnings
+
+                stride = -(-len(pts_use) // R)
+                if not p._decimation_warned:
+                    p._decimation_warned = True
+                    warnings.warn(
+                        f"raw scan of {len(pts_use)} points exceeds "
+                        f"capacity.max_raw_points={R}; stride-decimating "
+                        f"by {stride} (coverage loss). Raise the "
+                        "capacity to keep full scans.", RuntimeWarning)
+                idx = np.arange(0, len(pts_use), stride)
+                pts_use, trel_use = pts_use[idx], trel_use[idx]
+            n = min(len(pts_use), R)
+            PTS[k, :n] = pts_use[:n, :3]
+            TR[k, :n] = trel_use[:n]
             PM[k, :n] = True
         return (A, G, D, O, V, TD, R0, PTS, TR, PM), ts
 
