@@ -42,24 +42,31 @@ _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 __version__ = "0.1.0"
 
 
+_LAZY = {
+    "Pipeline": ("fastlivo_tpu.pipeline", "Pipeline"),
+    "Config": ("fastlivo_tpu.config", "Config"),
+    "load_config": ("fastlivo_tpu.config", "load_config"),
+    "Vio": ("fastlivo_tpu.vio", "Vio"),
+    "NavState": ("fastlivo_tpu.state", "NavState"),
+    "BlockReplayer": ("fastlivo_tpu.replay", "BlockReplayer"),
+    "LivoBlockReplayer": ("fastlivo_tpu.replay", "LivoBlockReplayer"),
+    "Server": ("fastlivo_tpu.serve", "Server"),
+}
+
+
 def __getattr__(name):
     """Lazy public API (imports stay cheap; heavy modules load on use):
 
         from fastlivo_tpu import Pipeline, load_config, Vio
     """
-    lazy = {
-        "Pipeline": ("fastlivo_tpu.pipeline", "Pipeline"),
-        "Config": ("fastlivo_tpu.config", "Config"),
-        "load_config": ("fastlivo_tpu.config", "load_config"),
-        "Vio": ("fastlivo_tpu.vio", "Vio"),
-        "NavState": ("fastlivo_tpu.state", "NavState"),
-        "BlockReplayer": ("fastlivo_tpu.replay", "BlockReplayer"),
-        "LivoBlockReplayer": ("fastlivo_tpu.replay", "LivoBlockReplayer"),
-        "Server": ("fastlivo_tpu.serve", "Server"),
-    }
-    if name in lazy:
+    if name in _LAZY:
         import importlib
 
-        mod, attr = lazy[name]
+        mod, attr = _LAZY[name]
         return getattr(importlib.import_module(mod), attr)
     raise AttributeError(f"module 'fastlivo_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    # surface the lazy names to dir()/tab-completion
+    return sorted(set(globals()) | set(_LAZY))
