@@ -30,7 +30,10 @@ def _map_type_name(m) -> str:
 
 
 def save(path: str | Path, state: NavState, m,
-         visual: vmap_mod.VisualMap | None = None) -> None:
+         visual: vmap_mod.VisualMap | None = None, calib=None) -> None:
+    """`calib`: optional imu.ImuCalib — with it, a restored process
+    resumes WITHOUT the 200-sample static IMU re-initialization (the
+    calibration is rig state, not trajectory state)."""
     out = {"map_type": np.array(_map_type_name(m))}
     for name, val in state._asdict().items():
         out[f"state/{name}"] = np.asarray(val)
@@ -39,11 +42,15 @@ def save(path: str | Path, state: NavState, m,
     if visual is not None:
         for name, val in visual._asdict().items():
             out[f"vmap/{name}"] = np.asarray(val)
+    if calib is not None:
+        for name, val in calib._asdict().items():
+            out[f"calib/{name}"] = np.asarray(val)
     np.savez_compressed(path, **out)
 
 
 def load(path: str | Path):
-    """Returns (NavState, map (any backend), VisualMap | None)."""
+    """Returns (NavState, map (any backend), VisualMap | None,
+    ImuCalib | None). Older 3-part snapshots load with calib None."""
     path = Path(path)
     if not path.exists() and path.suffix != ".npz":
         # np.savez appends .npz when missing; accept the same path the
@@ -71,4 +78,12 @@ def load(path: str | Path):
             k.split("/", 1)[1]: jnp.asarray(z[k]) for k in vkeys
             if k.split("/", 1)[1] in fields
         })
-    return state, m, visual
+    ckeys = [k for k in z.files if k.startswith("calib/")]
+    calib = None
+    if ckeys:
+        from .. import imu as imu_mod
+
+        calib = imu_mod.ImuCalib(**{
+            k.split("/", 1)[1]: jnp.asarray(z[k]) for k in ckeys
+        })
+    return state, m, visual, calib

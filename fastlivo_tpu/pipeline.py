@@ -397,6 +397,28 @@ class Pipeline:
         self._scan_id = None
         self.sync.reset_open_scan()
 
+    def warm_start(self, state, m, visual=None, calib=None):
+        """Restore a checkpoint (io/checkpoint.load's tuple) into this
+        pipeline. With `calib` (snapshots taken by --save-ckpt carry
+        it), the 200-sample static IMU initialization is SKIPPED — rig
+        calibration is not trajectory state — and the EKF engages on
+        the first post-restore scan (the restored state is already
+        converged; re-running the INIT_TIME warm-up would insert
+        uncorrected scans). Without calib (older snapshots), the
+        restored maps load but IMU init re-runs on the live stream."""
+        from . import lio as lio_mod
+
+        self.state = state
+        self.map = m
+        self._map_mod = lio_mod.map_module(m)  # checkpoint wins over cfg
+        self.map_built = True
+        if visual is not None and self.vio is not None:
+            self.vio.vmap = visual
+        if calib is not None:
+            self.calib = calib
+            self.init_done = True
+        return self
+
     # --- internals -------------------------------------------------------
     def _feed_initializer(self, g: MeasureGroup):
         for i in range(len(g.imu_t)):
@@ -436,6 +458,12 @@ class Pipeline:
         if len(g.imu_t):
             self.last_imu = (g.imu_t[-1], g.imu_acc[-1], g.imu_gyr[-1])
 
+        if self.last_group_end is None:
+            # warm restart: the first post-restore group anchors the
+            # IMU-time continuity at its own start (the checkpoint gap
+            # is not integrated)
+            self.last_group_end = (scan.beg_time if scan is not None
+                                   else float(imu_t[0]))
         acc_avg, gyr_avg, dt, offs, valid, tail_dt, row0_off = imu_mod.prepare_pairs(
             imu_t, imu_acc, imu_gyr,
             beg_time=scan.beg_time,
@@ -520,6 +548,11 @@ class Pipeline:
             if scan is not None:
                 self.first_lidar_time = scan.beg_time
             return None
+        if self.first_lidar_time is None and scan is not None:
+            # warm restart (warm_start with calib): only then is
+            # init_done True with no lidar seen — backdate the epoch so
+            # ekf_inited is true from the first frame
+            self.first_lidar_time = scan.beg_time - INIT_TIME
 
         t0 = time.perf_counter()
         end_time = scan.end_time if g.is_lidar_end else scan.beg_time + g.img_offset_time

@@ -365,15 +365,10 @@ def main(argv=None):
     if args.load_ckpt:
         from .io import checkpoint as ckpt_mod
 
-        from . import lio as lio_mod
-
-        st, m, vm_ = ckpt_mod.load(args.load_ckpt)
-        pipe.state = st
-        pipe.map = m
-        pipe._map_mod = lio_mod.map_module(m)  # checkpoint wins over cfg
-        pipe.map_built = True
-        if vm_ is not None and pipe.vio is not None:
-            pipe.vio.vmap = vm_
+        # with a calib in the snapshot (any --save-ckpt from this
+        # version), the static IMU re-initialization is skipped and the
+        # EKF engages on the first restored frame (pipeline.warm_start)
+        pipe.warm_start(*ckpt_mod.load(args.load_ckpt))
 
     t0 = time.perf_counter()
     ds = None
@@ -461,6 +456,7 @@ def main(argv=None):
         ckpt_mod.save(
             args.save_ckpt, pipe.state, ckpt_map,
             pipe.vio.vmap if pipe.vio is not None else None,
+            calib=pipe.calib,  # lets the restored process skip IMU init
         )
         print(f"checkpoint: {args.save_ckpt}")
     if pipe.last_stage_profile:

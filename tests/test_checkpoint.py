@@ -18,7 +18,7 @@ def test_checkpoint_roundtrip(tmp_path):
                                      voxel_cap=4, ring=2, height=8, width=8)
     p = tmp_path / "ck.npz"
     ckpt.save(p, s, m, vmap)
-    s2, m2, v2 = ckpt.load(p)
+    s2, m2, v2, cal2 = ckpt.load(p)
     np.testing.assert_allclose(np.asarray(s2.pos), [1.0, 2.0, 3.0])
     np.testing.assert_allclose(np.asarray(s2.cov), np.asarray(s.cov))
     assert int(m2.count) == int(m.count)
@@ -73,10 +73,63 @@ def test_tiled_map_roundtrip(tmp_path):
                   jnp.asarray(pts), jnp.ones(1024, bool))
     p = tmp_path / "ck.npz"
     checkpoint.save(p, identity_state(), m)
-    _, m2, _ = checkpoint.load(p)
+    _, m2, _, _ = checkpoint.load(p)
     assert isinstance(m2, tm.TiledMap)
     q = jnp.asarray(pts[:128] + 0.01)
     n1, d1, v1 = tm.knn(m, q, 5, 1)
     n2, d2, v2 = tm.knn(m2, q, 5, 1)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_warm_restart_continues_tracking(tmp_path):
+    """TRUE warm restart: run half a stream, --save-ckpt (incl. the IMU
+    calibration), restore into a FRESH pipeline, continue the remaining
+    stream. The restored process must skip the 200-sample static IMU
+    init, engage the EKF on the first frame, and keep tracking ground
+    truth across the restart boundary."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipeline_lio import small_config
+    from fastlivo_tpu.io.synthetic import SyntheticDataset
+    from fastlivo_tpu.pipeline import Pipeline
+
+    ds = SyntheticDataset(duration=6.0, points_per_scan=4096,
+                          lidar_noise=0.004, seed=4)
+    scans = list(ds.lidar_scans_fast())
+    imus = list(ds.imu_stream())
+    T_SPLIT = 3.0
+
+    a = Pipeline(small_config())
+    for beg, pts, t_rel in scans:
+        if beg < T_SPLIT:
+            a.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in imus:
+        if t < T_SPLIT + 0.05:  # close A's final scan group (end 3.0)
+            a.push_imu(t, acc, gyr)
+    outs_a = a.spin() + a.finish()
+    assert len(outs_a) >= 15 and a.init_done
+    p = tmp_path / "warm.npz"
+    ckpt.save(p, a.state, a.map, None, calib=a.calib)
+
+    b = Pipeline(small_config())
+    b.warm_start(*ckpt.load(p))
+    assert b.init_done and b.calib is not None and b.map_built
+    for beg, pts, t_rel in scans:
+        if beg >= T_SPLIT:
+            b.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in imus:
+        if t >= T_SPLIT:
+            b.push_imu(t, acc, gyr)
+    outs_b = b.spin() + b.finish()
+    # every post-split scan frame produced output (no re-init window)
+    n_scans_b = sum(1 for beg, _, _ in scans if beg >= T_SPLIT)
+    assert len(outs_b) >= n_scans_b - 1
+    base = ds.traj.base_pos
+    errs = [
+        np.linalg.norm(o.pos - (ds.traj.pose(o.t)[1] - base))
+        for o in outs_b
+    ]
+    # tracking continues across the boundary, incl. the FIRST frames
+    assert np.max(errs[:5]) < 0.05, errs[:5]
+    assert np.sqrt(np.mean(np.square(errs))) < 0.03, "warm restart drifted"
