@@ -419,6 +419,22 @@ class Pipeline:
             self.init_done = True
         return self
 
+    def checkpointable_map(self):
+        """The map as a single-device artifact for io/checkpoint.save.
+        Under --sharded-map the shards' live points merge into one
+        TiledMap (ownership is disjoint, so build_host reproduces the
+        exact content; a restored map re-shards from the stream)."""
+        if getattr(self._map_mod, "is_sharded", False):
+            from .ops import tiled_map as tmod
+
+            pts_all, _ = self._map_mod.extract_points(self.map)
+            cap = self.cfg.capacity
+            return tmod.build_host(
+                pts_all, cap.tiled_dir_dims, cap.tiled_pool,
+                float(self.cfg.filter_size_map),
+            )
+        return self.map
+
     # --- internals -------------------------------------------------------
     def _feed_initializer(self, g: MeasureGroup):
         for i in range(len(g.imu_t)):

@@ -439,20 +439,7 @@ def main(argv=None):
     if args.save_ckpt:
         from .io import checkpoint as ckpt_mod
 
-        ckpt_map = pipe.map
-        if getattr(pipe._map_mod, "is_sharded", False):
-            # checkpoints are single-device artifacts: merge the shards'
-            # live points into one TiledMap (ownership is disjoint, so
-            # build_host reproduces the exact content; the restored map
-            # re-shards on the next --sharded-map run via the stream)
-            from .ops import tiled_map as tmod
-
-            pts_all, _ = pipe._map_mod.extract_points(pipe.map)
-            cap = pipe.cfg.capacity
-            ckpt_map = tmod.build_host(
-                pts_all, cap.tiled_dir_dims, cap.tiled_pool,
-                float(pipe.cfg.filter_size_map),
-            )
+        ckpt_map = pipe.checkpointable_map()
         ckpt_mod.save(
             args.save_ckpt, pipe.state, ckpt_map,
             pipe.vio.vmap if pipe.vio is not None else None,

@@ -146,9 +146,22 @@ class Server:
     single-threaded spinOnce cadence (:1260-1267)."""
 
     def __init__(self, cfg: Config, address, log_dir=None, mesh=None,
-                 sharded_map: bool = False):
+                 sharded_map: bool = False, autosave=None,
+                 autosave_every: int = 600):
+        """`autosave`: optional .npz path — every `autosave_every`
+        frames (and at server shutdown) the full estimator snapshots
+        to it (state + maps + IMU calib; io/checkpoint format, so
+        `--load-ckpt` / `Pipeline.warm_start` resumes from a crash).
+        Arrays materialize synchronously under the pipeline lock (a
+        donated map buffer is invalid after the NEXT frame), then
+        compression + the atomic file replace run on a worker thread
+        off the estimation path."""
         self.pipe = Pipeline(cfg, log_dir=log_dir, mesh=mesh,
                              sharded_map=sharded_map)
+        self.autosave = autosave
+        self.autosave_every = max(int(autosave_every), 1)
+        self._frames_since_save = 0
+        self._saver = None  # lazy single-worker executor
         if isinstance(address, tuple):
             self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -190,6 +203,13 @@ class Server:
                                  daemon=True).start()
         finally:
             self.sock.close()
+            if self.autosave:
+                # shutdown snapshot: the crash-recovery artifact is
+                # only useful if it also captures the final state
+                with self._pipe_lock:
+                    self._snapshot()
+                if self._saver is not None:
+                    self._saver.shutdown(wait=True)
             self._done.set()
 
     def _reader(self, conn):
@@ -294,8 +314,49 @@ class Server:
                     }) + "\n"
                     # pub/sub: every connection gets the odometry line
                     self._broadcast(line.encode())
+                if self.autosave and outs:
+                    self._frames_since_save += len(outs)
+                    if self._frames_since_save >= self.autosave_every:
+                        self._snapshot()
             if kind == FLUSH:
                 self._send_to(conn, b'{"flushed": true}\n')
+
+    def _snapshot(self):
+        """Periodic/shutdown checkpoint (call under _pipe_lock): pull
+        the estimator's arrays to host NOW, hand compression + an
+        atomic replace to the worker thread."""
+        import os
+
+        import jax
+
+        from .io import checkpoint as ckpt_mod
+
+        pipe = self.pipe
+        if not pipe.map_built:
+            return  # nothing worth snapshotting yet
+        to_np = lambda t: jax.tree.map(np.asarray, t)
+        state = to_np(pipe.state)
+        m = to_np(pipe.checkpointable_map())
+        vm_ = to_np(pipe.vio.vmap) if pipe.vio is not None else None
+        calib = to_np(pipe.calib) if pipe.calib is not None else None
+        self._frames_since_save = 0
+        if self._saver is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._saver = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fastlivo-autosave")
+
+        path = str(self.autosave)
+        if not path.endswith(".npz"):
+            path += ".npz"
+
+        def _write():
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                ckpt_mod.save(f, state, m, vm_, calib=calib)
+            os.replace(tmp, path)  # a crash never leaves a torn file
+
+        self._saver.submit(_write)
 
 
 def main(argv=None):
@@ -321,6 +382,15 @@ def main(argv=None):
                          "read (full-LIVO pair 146 -> ~85 ms measured); "
                          "odometry publishes up to ~2E events late. "
                          "Incompatible with --log-dir.")
+    ap.add_argument("--autosave", default=None, metavar="PATH.npz",
+                    help="periodic crash-recovery checkpoint (state + "
+                         "maps + IMU calib; io/checkpoint format): "
+                         "written every --autosave-every frames and at "
+                         "shutdown, atomically replaced; resume with "
+                         "run.py --load-ckpt / Pipeline.warm_start")
+    ap.add_argument("--autosave-every", type=int, default=600,
+                    metavar="N", help="frames between autosaves "
+                    "(default 600 ~ 60 s at 10 Hz)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="run the fused frame steps SPMD over the first "
                          "N devices (jax.sharding.Mesh; 0 = single)")
@@ -355,7 +425,8 @@ def main(argv=None):
         ap.error("--block-read is incompatible with --log-dir "
                  "(per-frame trace logging needs per-frame reads)")
     srv = Server(cfg, addr, log_dir=args.log_dir, mesh=mesh,
-                 sharded_map=args.sharded_map)
+                 sharded_map=args.sharded_map, autosave=args.autosave,
+                 autosave_every=args.autosave_every)
     if args.async_read:
         srv.pipe.async_read = True
     if args.block_read:

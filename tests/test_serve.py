@@ -316,3 +316,59 @@ def test_socket_stream_livo_block_read(tmp_path):
     assert len(frames) > 5
     assert all(np.isfinite(f["pos"]).all() for f in frames)
     assert np.linalg.norm(frames[0]["pos"]) < 0.02
+
+
+def test_autosave_snapshot_resumable(tmp_path):
+    """--autosave: the server periodically (and at shutdown) writes an
+    atomic crash-recovery checkpoint carrying state + maps + IMU calib;
+    a fresh Pipeline must warm_start from it with the EKF immediately
+    active."""
+    from fastlivo_tpu.io import checkpoint as ckpt
+    from fastlivo_tpu.pipeline import Pipeline
+
+    ds = SyntheticDataset(duration=3.0, points_per_scan=2048,
+                          lidar_noise=0.004, seed=3)
+    snap = tmp_path / "auto.npz"
+    srv = serve.Server(small_config(), str(tmp_path / "sock"),
+                       autosave=str(snap), autosave_every=8)
+    srv.start_background()
+    cli = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    cli.connect(srv.address)
+    cli.settimeout(120)
+    events = []
+    for t, acc, gyr in ds.imu_stream():
+        events.append((t, serve.encode_imu(t, acc, gyr)))
+    for beg, pts, t_rel in ds.lidar_scans_fast():
+        events.append((beg, serve.encode_lidar(
+            beg, pts[:, :3], t_rel.astype(np.float32))))
+    events.sort(key=lambda e: e[0])
+    for _, msg in events:
+        cli.sendall(msg)
+    cli.sendall(serve.encode_flush())
+    buf = b""
+    while b'"flushed"' not in buf:
+        chunk = cli.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    cli.close()
+    srv.wait(30)
+    assert snap.exists(), "autosave snapshot missing after shutdown"
+    assert not (tmp_path / "auto.npz.tmp").exists()  # atomic replace
+    st, m, vm_, cal = ckpt.load(snap)
+    assert cal is not None
+    b = Pipeline(small_config()).warm_start(st, m, vm_, cal)
+    assert b.init_done and b.map_built
+    # restored map answers immediately: push one more scan + imu tail
+    # and the EKF produces a frame with matches, no re-init window
+    ds2 = SyntheticDataset(duration=3.2, points_per_scan=2048,
+                           lidar_noise=0.004, seed=3)
+    for beg, pts, t_rel in ds2.lidar_scans_fast():
+        if beg >= 3.0:
+            b.push_lidar(beg, pts, t_rel)
+    for t, acc, gyr in ds2.imu_stream():
+        if t >= 3.0:
+            b.push_imu(t, acc, gyr)
+    outs = b.spin() + b.finish()
+    assert len(outs) >= 1
+    assert outs[0].n_active > 100, "EKF not active on first restored frame"
