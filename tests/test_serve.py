@@ -372,3 +372,60 @@ def test_autosave_snapshot_resumable(tmp_path):
     outs = b.spin() + b.finish()
     assert len(outs) >= 1
     assert outs[0].n_active > 100, "EKF not active on first restored frame"
+
+
+@pytest.mark.slow
+def test_autosave_survives_hard_kill(tmp_path):
+    """The crash scenario autosave exists for: the server process is
+    KILLED mid-stream (no shutdown hook runs); a periodic snapshot must
+    already be on disk and warm_start-able."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from fastlivo_tpu.io import checkpoint as ckpt
+    from fastlivo_tpu.pipeline import Pipeline
+
+    ds = SyntheticDataset(duration=3.0, points_per_scan=2048,
+                          lidar_noise=0.004, seed=3)
+    snap = tmp_path / "crash.npz"
+    sockp = str(tmp_path / "sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fastlivo_tpu.serve",
+         "--config", "/root/reference/config/avia.yaml",
+         "--unix", sockp, "--autosave", str(snap), "--autosave-every", "5"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    try:
+        assert "listening" in proc.stdout.readline()
+        cli = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        cli.connect(sockp)
+        cli.settimeout(120)
+        events = []
+        for t, acc, gyr in ds.imu_stream():
+            events.append((t, serve.encode_imu(t, acc, gyr)))
+        for beg, pts, t_rel in ds.lidar_scans_fast():
+            events.append((beg, serve.encode_lidar(
+                beg, pts[:, :3], t_rel.astype(np.float32))))
+        events.sort(key=lambda e: e[0])
+        for _, msg in events:
+            cli.sendall(msg)
+        cli.sendall(serve.encode_flush())
+        buf = b""
+        while b'"flushed"' not in buf:
+            buf += cli.recv(65536)
+        # wait for a periodic snapshot to land, then KILL (exact pid)
+        for _ in range(100):
+            if snap.exists():
+                break
+            _time.sleep(0.1)
+        assert snap.exists(), "no periodic snapshot before the crash"
+        proc.kill()  # the crash: no shutdown save runs
+        proc.wait(10)
+        cli.close()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    st, m, vm_, cal = ckpt.load(snap)
+    assert cal is not None
+    b = Pipeline(small_config()).warm_start(st, m, vm_, cal)
+    assert b.init_done and b.map_built
