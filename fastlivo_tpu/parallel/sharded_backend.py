@@ -130,24 +130,31 @@ class ShardedTiledBackend:
 
     def extract_points(self, shards):
         """All live points across shards (host). Owned tiles are
-        globally disjoint, so a plain concat is exact."""
+        globally disjoint, so a plain concat is exact.
+
+        Materializes each leaf ONCE and applies tiled_map's liveness
+        rule (cell_check == mix64(slot_key), slot < n_alloc) in numpy —
+        the old per-device loop pulled the whole stacked map N times
+        and re-uploaded every shard to run the device extract (N x
+        map-size transfers; minutes through the relay for a --map-pcd
+        or sharded --save-ckpt at shipped capacities)."""
+        from ..ops.voxel_map import _mix64_np
+
+        slot_key = np.asarray(shards.slot_key)      # (n, T, 3)
+        cell_check = np.asarray(shards.cell_check)  # (n, T*TC)
+        pts = np.asarray(shards.pts)                # (n, T*TC, 3)
+        n_alloc = np.asarray(shards.n_alloc)        # (n,)
+        T = slot_key.shape[1]
         parts = []
         for d in range(self.n):
-            one = jax.tree.map(lambda x: np.asarray(x)[d], shards)
-            one = tm.TiledMap(
-                dir_check=jnp.asarray(one.dir_check),
-                dir_slot=jnp.asarray(one.dir_slot),
-                cell_check=jnp.asarray(one.cell_check),
-                pts=jnp.asarray(one.pts),
-                slot_key=jnp.asarray(one.slot_key),
-                n_alloc=jnp.asarray(one.n_alloc),
-                n_dropped=jnp.asarray(one.n_dropped),
-                voxel_size=jnp.asarray(one.voxel_size),
-                log2_dims=jnp.asarray(one.log2_dims),
-            )
-            pts, n = tm.extract_points(one)
-            if n:
-                parts.append(pts)
+            chk = (_mix64_np(slot_key[d]) & np.uint32(0x7FFFFFFF)).astype(
+                np.int32)
+            cc = cell_check[d].reshape(T, tm.TC)
+            alloc = np.arange(T) < int(n_alloc[d])
+            live = (cc == chk[:, None]) & alloc[:, None]
+            p = pts[d].reshape(T, tm.TC, 3)[live]
+            if len(p):
+                parts.append(p)
         if not parts:
             return np.zeros((0, 3), np.float32), 0
         allp = np.concatenate(parts, axis=0)
