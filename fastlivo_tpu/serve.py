@@ -382,6 +382,11 @@ def main(argv=None):
                          "read (full-LIVO pair 146 -> ~85 ms measured); "
                          "odometry publishes up to ~2E events late. "
                          "Incompatible with --log-dir.")
+    ap.add_argument("--load-ckpt", default=None, metavar="PATH.npz",
+                    help="warm-start from a checkpoint before serving "
+                         "(state + maps + IMU calib; pair with "
+                         "--autosave PATH to make a crashed server "
+                         "resume where it left off on restart)")
     ap.add_argument("--autosave", default=None, metavar="PATH.npz",
                     help="periodic crash-recovery checkpoint (state + "
                          "maps + IMU calib; io/checkpoint format): "
@@ -424,9 +429,25 @@ def main(argv=None):
         # instead of an uncaught ValueError after the socket is bound
         ap.error("--block-read is incompatible with --log-dir "
                  "(per-frame trace logging needs per-frame reads)")
+    if args.sharded_map and args.load_ckpt:
+        ap.error("--sharded-map cannot restore a single-device map "
+                 "checkpoint (rebuild from the stream)")
     srv = Server(cfg, addr, log_dir=args.log_dir, mesh=mesh,
                  sharded_map=args.sharded_map, autosave=args.autosave,
                  autosave_every=args.autosave_every)
+    if args.load_ckpt:
+        import os
+
+        from .io import checkpoint as ckpt_mod
+
+        if os.path.exists(args.load_ckpt) or os.path.exists(
+                args.load_ckpt + ".npz"):
+            srv.pipe.warm_start(*ckpt_mod.load(args.load_ckpt))
+            print("warm-started from checkpoint", flush=True)
+        else:
+            # the crash-recovery pairing: on the FIRST boot the
+            # autosave file does not exist yet — start cold, not fail
+            print("checkpoint not found; starting cold", flush=True)
     if args.async_read:
         srv.pipe.async_read = True
     if args.block_read:

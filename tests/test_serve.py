@@ -359,6 +359,7 @@ def test_autosave_snapshot_resumable(tmp_path):
     assert cal is not None
     b = Pipeline(small_config()).warm_start(st, m, vm_, cal)
     assert b.init_done and b.map_built
+
     # restored map answers immediately: push one more scan + imu tail
     # and the EKF produces a frame with matches, no re-init window
     ds2 = SyntheticDataset(duration=3.2, points_per_scan=2048,
@@ -429,3 +430,49 @@ def test_autosave_survives_hard_kill(tmp_path):
     assert cal is not None
     b = Pipeline(small_config()).warm_start(st, m, vm_, cal)
     assert b.init_done and b.map_built
+
+    # full crash-recovery loop: RESTART the server from its own
+    # autosave (--load-ckpt + --autosave on the same path) and stream
+    # the remaining sensor window — odometry must flow immediately
+    proc2 = subprocess.Popen(
+        [sys.executable, "-m", "fastlivo_tpu.serve",
+         "--config", "/root/reference/config/avia.yaml",
+         "--unix", sockp, "--autosave", str(snap),
+         "--load-ckpt", str(snap), "--autosave-every", "5"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    try:
+        boot = proc2.stdout.readline() + proc2.stdout.readline()
+        assert "warm-started" in boot and "listening" in boot, boot
+        ds2 = SyntheticDataset(duration=3.4, points_per_scan=2048,
+                               lidar_noise=0.004, seed=3)
+        cli2 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        cli2.connect(sockp)
+        cli2.settimeout(120)
+        tail = []
+        for t, acc, gyr in ds2.imu_stream():
+            if t >= 3.0:
+                tail.append((t, serve.encode_imu(t, acc, gyr)))
+        for beg, pts, t_rel in ds2.lidar_scans_fast():
+            if beg >= 3.0:
+                tail.append((beg, serve.encode_lidar(
+                    beg, pts[:, :3], t_rel.astype(np.float32))))
+        tail.sort(key=lambda e: e[0])
+        for _, msg in tail:
+            cli2.sendall(msg)
+        cli2.sendall(serve.encode_flush())
+        buf2 = b""
+        while b'"flushed"' not in buf2:
+            chunk = cli2.recv(65536)
+            if not chunk:
+                break
+            buf2 += chunk
+        cli2.close()
+        # odometry lines flowed from the restored state (no init gap)
+        frames = [json.loads(x) for x in buf2.split(b"\n")
+                  if x and b'"pos"' in x]
+        assert len(frames) >= 2, buf2[:200]
+        assert all(np.isfinite(f["pos"]).all() for f in frames)
+    finally:
+        if proc2.poll() is None:
+            proc2.kill()
+        proc2.wait(10)
