@@ -726,7 +726,12 @@ def main():
             blk = None
     # overhead BEFORE any deferred readback: with the readback-free
     # ordering the session should still be untainted here, so this
-    # measures the floor the timed sections actually ran under
+    # measures the floor the timed sections actually ran under.
+    # Progress lines bracket the session's FIRST blocking reads — on a
+    # wedged relay these hang for minutes (observed 2026-08-20: a 480 s
+    # stall here silently starved the subprocess budgets), and the
+    # stale record must say where the time went.
+    _progress("first readback (overhead floor) start")
     overhead_ms = measured_dispatch_overhead()
     PARTIAL["overhead_ms"] = overhead_ms
     vio = None
@@ -735,6 +740,7 @@ def main():
             vio = vio_finish()  # materializes deferred device scalars
         except Exception:
             vio = None
+    _progress("readbacks + kernel section start")
     if vio is not None:
         PARTIAL["vio"] = vio
     # Kernel-units section (BASELINE.md "Core metric" row): nnz/s on the
@@ -811,6 +817,11 @@ def main():
     # day; measured 91 s end-to-end on a healthy session (2026-08-20).
     if not os.environ.get("FASTLIVO_BENCH_NO_LIVO"):
         budget = min(260.0, WATCHDOG_S - (time.perf_counter() - _T0) - 110.0)
+        if budget <= 100:
+            # say WHY the flagship metric will merge stale (a relay
+            # stall upstream ate the budget) instead of skipping mutely
+            _progress(f"livo pair SKIPPED: remaining budget {budget:.0f}s"
+                      " < 100s (upstream stall)")
         if budget > 100:
             try:
                 import subprocess
@@ -843,6 +854,10 @@ def main():
     _progress("baseline done")
     inter = None
     remaining = WATCHDOG_S - (time.perf_counter() - _T0) - 30.0
+    if remaining <= 130 and not os.environ.get(
+            "FASTLIVO_BENCH_NO_INTERACTIVE"):
+        _progress(f"interactive SKIPPED: remaining budget {remaining:.0f}s"
+                  " < 130s (upstream stall)")
     if remaining > 130 and not os.environ.get(
             "FASTLIVO_BENCH_NO_INTERACTIVE"):
         # In a FRESH subprocess (own relay session): the streaming
